@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Headline benchmark: train + anomaly-scoring throughput, frames/sec/chip.
+
+Target (BASELINE.md / BASELINE.json north_star): >= 10,000 frames/sec/chip at
+224x300x3 on the reference config.yml flagship model (KurtosisGlobalCVAE,
+latent 2000, layers [32, 64]). One step = gradient update (Adam) on the batch
+PLUS per-frame anomaly z-scores from the reconstruction error — i.e. the
+combined "train + score" pipeline of train.py + do_anomaly_detection.py
+(reference do_anomaly_detection.py:57-117 scoring math).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = value / 10000 (the north-star target).
+
+Compute is bfloat16 (MXU-native) with float32 loss/score reductions; the
+1.35B-parameter flagship (the 268800x4000 encoder dense dominates) holds
+params/Adam-mu in bf16 and Adam-nu in f32 to fit single-chip HBM.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _flagship_config(latent=2000):
+    return {
+        "data": {"image_size": [224, 300, 3]},
+        "loss": {
+            "kurtosis": 1.8,
+            "w_kl_divergence": 0.0,
+            "w_kurtosis": 1e-4,
+            "w_mse": 1.0,
+            "w_skew": 0.0,
+            "w_x_std": 0.0,
+            "w_z_l1_reg": 0.0,
+        },
+        "model": {
+            "type": "KurtosisGlobal",
+            "latent_dimensions": latent,
+            "layers": [32, 64],
+            "decoder_dense_filters": 32,
+        },
+        "training": {
+            "batch_size": 256,
+            "beta": 0.98,
+            "learning_rate": 1e-4,
+            "max_epochs": 10,
+        },
+    }
+
+
+def build_bench_step(core, optimizer):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def step(params, opt_state, x, rng, mu, sigma):
+        def loss_fn(p):
+            loss_dict, x_hat = core.compute_loss(p, x, training=True, return_inf=True, rng=rng)
+            return loss_dict["loss"], (loss_dict, x_hat)
+
+        grads, (loss_dict, x_hat) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # anomaly scoring (do_anomaly_detection.py:62-92 math): per-frame
+        # channel-summed squared error, reduced over pixels, z vs train stats
+        err = jnp.sum((x - x_hat) ** 2, axis=3)
+        err_reduced = jnp.sum(err, axis=(1, 2))
+        z_scores = (err_reduced - mu) / sigma
+        return params, opt_state, loss_dict["loss"], z_scores
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def run_bench(batch_size: int, steps: int = 30, warmup: int = 5):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
+
+    core = KurtosisGlobalCVAE(
+        _flagship_config(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16
+    )
+    params = core.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-4, mu_dtype=jnp.bfloat16)
+    opt_state = optimizer.init(params)
+    step_fn = build_bench_step(core, optimizer)
+
+    x = jnp.asarray(
+        np.random.RandomState(0).random((batch_size, 224, 300, 3)).astype(np.float32)
+    )
+    mu = jnp.float32(100.0)
+    sigma = jnp.float32(10.0)
+
+    rngs = jax.random.split(jax.random.PRNGKey(1), warmup + steps)
+    for i in range(warmup):
+        params, opt_state, loss, z = step_fn(params, opt_state, x, rngs[i], mu, sigma)
+    # NOTE: on some TPU runtimes block_until_ready does not synchronize; a
+    # device->host scalar fetch is the reliable fence (verified vs known-FLOPs
+    # matmul chain).
+    float(loss)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, loss, z = step_fn(params, opt_state, x, rngs[warmup + i], mu, sigma)
+    last_loss = float(loss)  # sync fence: whole step chain is sequential
+    dt = time.perf_counter() - t0
+    assert np.isfinite(last_loss), "non-finite loss in bench"
+    return batch_size * steps / dt
+
+
+def main():
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "512,256,128").split(",")]
+    fps = None
+    for b in batches:
+        try:
+            fps = run_bench(b)
+            break
+        except Exception as e:  # OOM at large batch: fall back
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "exceeds" in msg:
+                continue
+            raise
+    if fps is None:
+        raise RuntimeError("benchmark failed at all batch sizes")
+    print(
+        json.dumps(
+            {
+                "metric": "train+score frames/sec/chip @224x300 (KurtosisGlobalCVAE latent-2000)",
+                "value": round(fps, 1),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 10000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Config -> architecture shape invariants.
+
+Replicates the structure assertions of reference
+tests/test_kurtosis_global_cvae.py:58-148 / test_kurtosis_single_cvae.py
+(layer counts, latent output size, dense reshape units, filter counts,
+collapse errors) against the JAX parameter pytrees.
+"""
+
+import numpy as np
+import pytest
+
+
+def _models(config):
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE, KurtosisSingleCVAE
+
+    return [KurtosisGlobalCVAE(dict(config)), KurtosisSingleCVAE(dict(config))]
+
+
+def test_import():
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE, KurtosisSingleCVAE
+
+    assert KurtosisGlobalCVAE is not None
+    assert KurtosisSingleCVAE is not None
+
+
+def test_build(tiny_config):
+    for m in _models(tiny_config):
+        assert m is not None
+
+
+def test_encoder_structure(tiny_config):
+    import jax
+
+    for m in _models(tiny_config):
+        params = m.init(jax.random.PRNGKey(0))
+        enc = params["encoder"]
+        n_conv = len(tiny_config["model"]["layers"])
+        # conv layers + optional dense + latent dense
+        assert len(enc) == n_conv + 2
+        # per-layer filter counts (reference test_encoder_filters :108-123)
+        for idx, filters in enumerate(tiny_config["model"]["layers"]):
+            kernel = enc[f"Conv_{idx}"]["kernel"]
+            assert kernel.shape[-1] == filters
+            assert kernel.shape[:2] == (3, 3)
+        assert enc["Dense_0"]["kernel"].shape[1] == tiny_config["model"]["encoder_dense_filters"]
+        # latent output = 2 * latent_dimensions (reference :89-96)
+        assert enc["Dense_1"]["kernel"].shape[1] == 2 * tiny_config["model"]["latent_dimensions"]
+
+
+def test_decoder_structure(tiny_config):
+    import jax
+
+    for m in _models(tiny_config):
+        params = m.init(jax.random.PRNGKey(0))
+        dec = params["decoder"]
+        layers = tiny_config["model"]["layers"]
+        # dense units = floor(W/2^L) * floor(H/2^L) * decoder_dense_filters
+        w, h, _ = tiny_config["data"]["image_size"]
+        L = len(layers)
+        dense_units = (w // 2**L) * (h // 2**L) * tiny_config["model"]["decoder_dense_filters"]
+        assert dec["Dense_0"]["kernel"].shape == (
+            tiny_config["model"]["latent_dimensions"],
+            dense_units,
+        )
+        # reversed filter order (reference test_decoder_filters :126-138)
+        for i, filters in enumerate(reversed(layers)):
+            # transpose_kernel=True: kernel shape (3, 3, out_features, in_features)
+            assert dec[f"ConvTranspose_{i}"]["kernel"].shape[2] == filters
+        # final output conv produces image channels
+        out_kernel = dec[f"ConvTranspose_{L}"]["kernel"]
+        assert out_kernel.shape[2] == tiny_config["data"]["image_size"][2]
+
+
+def test_io_shapes(tiny_config):
+    for m in _models(tiny_config):
+        assert list(m.encoder_input_shape) == tiny_config["data"]["image_size"]
+        x = np.zeros([2] + tiny_config["data"]["image_size"], np.float32)
+        import jax
+
+        params = m.init(jax.random.PRNGKey(0))
+        x_hat, z, mean, logvar = m.call_detailed(params, x)
+        assert x_hat.shape == x.shape
+        latent = tiny_config["model"]["latent_dimensions"]
+        assert z.shape == (2, latent)
+        assert mean.shape == (2, latent)
+        assert logvar.shape == (2, latent)
+
+
+def test_width_collapse_raises(tiny_config):
+    """Reference abstract_cvae.py:65-68 collapse RuntimeErrors."""
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE
+
+    cfg = dict(tiny_config)
+    cfg["data"] = {"image_size": [4, 300, 3]}
+    cfg["model"] = dict(tiny_config["model"], layers=[5, 5, 5])
+    with pytest.raises(RuntimeError, match="Width Collapse"):
+        KurtosisGlobalCVAE(cfg)
+    cfg["data"] = {"image_size": [300, 4, 3]}
+    with pytest.raises(RuntimeError, match="Height Collapse"):
+        KurtosisGlobalCVAE(cfg)
+
+
+def test_registry(tiny_config):
+    from trustedai_cl_vae_ad_tpu.registry import import_vae_based_on_type
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE, KurtosisSingleCVAE
+
+    assert import_vae_based_on_type(None) is KurtosisGlobalCVAE
+    assert import_vae_based_on_type("KurtosisGlobal") is KurtosisGlobalCVAE
+    assert import_vae_based_on_type("KurtosisSingle") is KurtosisSingleCVAE
+    with pytest.raises(NotImplementedError):
+        import_vae_based_on_type("KLGaussian")
+    with pytest.raises(Exception, match="not found in available types"):
+        import_vae_based_on_type("Bogus")
+
+
+def test_reparameterize_semantics(tiny_config):
+    """z = mean + 0.5*logvar + eps; eps zero at eval (abstract_cvae.py:124-129)."""
+    import jax
+    import jax.numpy as jnp
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE
+
+    m = KurtosisGlobalCVAE(dict(tiny_config))
+    mean = jnp.array([[1.0, 2.0]])
+    logvar = jnp.array([[0.5, -0.5]])
+    z_eval = m.reparameterize(mean, logvar, training=False)
+    np.testing.assert_allclose(np.asarray(z_eval), [[1.25, 1.75]], rtol=1e-6)
+    z_train = m.reparameterize(mean, logvar, training=True, rng=jax.random.PRNGKey(0))
+    assert not np.allclose(np.asarray(z_train), np.asarray(z_eval))

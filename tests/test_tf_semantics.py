@@ -1,0 +1,101 @@
+"""TF numerical-semantics parity checks for the conv stack.
+
+The reference model is Keras Conv2D / Conv2DTranspose with padding='same'
+(abstract_cvae.py:32, :83, :88). For <1e-5 reconstruction parity given equal
+weights, our lax-based layers must match TF's asymmetric-SAME padding and
+Keras Conv2DTranspose's gradient-of-conv semantics. Keras Conv2DTranspose(
+filters, k, strides, 'same') computes exactly the input-gradient of a
+Conv2D(in_ch, k, strides, 'same') whose kernel is the transpose-flipped
+version — so we validate flax ConvTranspose(transpose_kernel=True) against
+jax.vjp of the forward convolution (the definitional identity).
+"""
+
+import numpy as np
+
+
+def test_convtranspose_matches_conv_gradient():
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    rng = np.random.RandomState(0)
+    # forward conv: (B, 10, 14, 8) -> (B, 5, 7, 5), stride 2 SAME, kernel 3
+    x_shape = (2, 10, 14, 8)
+    kernel = jnp.asarray(rng.randn(3, 3, 8, 5), jnp.float32)  # (k, k, in, out)
+    g = jnp.asarray(rng.randn(2, 5, 7, 5), jnp.float32)
+
+    def fwd(x):
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(2, 2),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    _, vjp = jax.vjp(fwd, jnp.zeros(x_shape, jnp.float32))
+    (grad_x,) = vjp(g)
+
+    # ConvTranspose with transpose_kernel=True and kernel (k, k, out=8, in=5)
+    # applied to g must equal grad_x.
+    ct = nn.ConvTranspose(
+        features=8, kernel_size=(3, 3), strides=(2, 2), padding="SAME", transpose_kernel=True
+    )
+    # flax transpose_kernel kernel shape: (k, k, features, in_features) = (3,3,8,5)
+    variables = {"params": {"kernel": kernel, "bias": jnp.zeros(8)}}
+    out = ct.apply(variables, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(grad_x), rtol=1e-5, atol=1e-5)
+
+
+def test_convtranspose_stride1_same():
+    """The decoder's final stride-1 'same' transposed conv (abstract_cvae.py:88)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    rng = np.random.RandomState(1)
+    kernel = jnp.asarray(rng.randn(3, 3, 3, 6), jnp.float32)  # conv: 3ch -> 6ch
+    g = jnp.asarray(rng.randn(2, 9, 11, 6), jnp.float32)
+
+    def fwd(x):
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    _, vjp = jax.vjp(fwd, jnp.zeros((2, 9, 11, 3), jnp.float32))
+    (grad_x,) = vjp(g)
+    ct = nn.ConvTranspose(
+        features=3, kernel_size=(3, 3), strides=(1, 1), padding="SAME", transpose_kernel=True
+    )
+    out = ct.apply({"params": {"kernel": kernel, "bias": jnp.zeros(3)}}, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(grad_x), rtol=1e-5, atol=1e-5)
+
+
+def test_same_padding_asymmetry():
+    """TF 'same' stride-2 k=3 on even dims pads (0, 1) — verify lax matches."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.arange(8, dtype=jnp.float32).reshape(1, 8, 1, 1)
+    k = jnp.ones((3, 1, 1, 1), jnp.float32)
+    same = jax.lax.conv_general_dilated(
+        x, k, (2, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    # TF formula: pad_total = max((ceil(8/2)-1)*2 + 3 - 8, 0) = 1 -> (0, 1)
+    manual = jax.lax.conv_general_dilated(
+        x, k, (2, 1), [(0, 1), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(manual))
+    assert same.shape == (1, 4, 1, 1)
+
+
+def test_decoder_output_shape_odd(tiny_config):
+    """224x300 with 2 stride-2 layers: 56x75 -> 112x150 -> 224x300 exactly."""
+    import jax
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE
+
+    m = KurtosisGlobalCVAE(dict(tiny_config))
+    params = m.init(jax.random.PRNGKey(0))
+    z = np.zeros((1, 2), np.float32)
+    out = m.decode(params, z)
+    assert out.shape == (1, 224, 300, 3)

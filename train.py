@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Offline training CLI: ``python train.py config.yml [--dry-run]``.
+
+Parity with reference train.py:50-213 — same CLI surface, same 4-section YAML
+config, logs/fit_<timestamp> log-dir stamping with a config.yml copy, epoch
+training with per-epoch beta annealing (x0.98), checkpoint save to
+<logdir>/encoder + <logdir>/decoder, and post-train evaluation artifacts
+(original/reconstruction grids, image + latent histograms).
+
+TPU-native internals: jit/pjit data-parallel train step over a device mesh,
+device-prefetched ingest, Orbax checkpoints (weights + optimizer state).
+"""
+
+import argparse
+
+import jax
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config_filename", type=str, help="YAML configuration file")
+    parser.add_argument("--dry-run", action="store_true", help="Quit before executing training")
+    parser.add_argument("--no-parallel", action="store_true", help="Disable data-parallel mesh")
+    return parser.parse_args()
+
+
+def main():
+    args = get_args()
+
+    print(f"JAX backend: {jax.default_backend()}, devices: {jax.device_count()}")
+
+    from trustedai_cl_vae_ad_tpu.config import load_config, stamp_logdir, validate_config
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.train.loop import evaluate, train_model
+
+    config = validate_config(load_config(args.config_filename))
+    stamp_logdir(config)
+    print(f"Log dir: {config['logdir']}")
+
+    data = load_data(config)
+    model = load_model_from_config(config)
+    if args.dry_run:
+        return
+    model = train_model(config, model, data, parallel=not args.no_parallel)
+    evaluate(config, model, data)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+"""TPU-native Kurtosis-CVAE anomaly-detection framework.
+
+A from-scratch JAX/XLA/Pallas re-architecture with the capabilities of the
+reference repo gtemplin/TrustedAI-CL-VAE-AD (a TF2/Keras research codebase):
+convolutional variational autoencoders whose latent distribution is shaped by
+batch-moment regularizers (kurtosis / skew / z-L1) instead of a standard KL
+term, used for reconstruction-error anomaly detection on video frames with
+continual (online) learning.
+
+Layer map (mirrors reference SURVEY.md section 1):
+  L1 config & registry   -> trustedai_cl_vae_ad_tpu.config / .registry
+  L2 model core          -> trustedai_cl_vae_ad_tpu.models
+  L3 data layer          -> trustedai_cl_vae_ad_tpu.data
+  L4 offline drivers     -> top-level CLIs (train.py, do_anomaly_detection.py, ...)
+  L5 live apps           -> trustedai_cl_vae_ad_tpu.stream (+ Qt shells)
+  L6 statistics utils    -> trustedai_cl_vae_ad_tpu.anomaly.cdf
+plus TPU-native additions the reference lacks: .parallel (mesh / pjit data
+parallelism), .ops (Pallas kernels for latent moments and streaming scoring),
+and a double-buffered host->HBM ingest pipeline (.data.ingest).
+"""
+
+__version__ = "0.1.0"
+
+from trustedai_cl_vae_ad_tpu.config import load_config, save_config  # noqa: F401
+from trustedai_cl_vae_ad_tpu.registry import (  # noqa: F401
+    import_vae_based_on_type,
+    load_model_from_config,
+    load_model_from_config_path,
+    load_model_from_directory,
+)

@@ -1,0 +1,273 @@
+"""Convolutional VAE core, TPU-native.
+
+Functional JAX re-architecture of the reference AbstractCVAE
+(/root/reference/src/abstract_cvae.py:7-178). The reference is a Keras
+``tf.keras.Model`` with mutable submodels; here the network is a pair of
+flax.linen modules with pure apply functions, so the whole forward/loss/train
+step can be jit/pjit-compiled once and sharded over a device mesh.
+
+Behavioral parity notes (quirks intentionally preserved):
+  * reparameterize is ``z = mean + 0.5 * logvar + eps`` — NOT the textbook
+    ``mean + exp(0.5*logvar) * eps`` (abstract_cvae.py:124-129). eps ~ N(0,1)
+    only when training, zeros otherwise.
+  * ``encode(x, training=True)`` adds N(0, beta) input noise
+    (abstract_cvae.py:115-118), but call_detailed/call never forward
+    ``training`` into encode (abstract_cvae.py:139-149), so the input-noise
+    path is dead during loss computation — exactly as in the reference.
+  * decode applies sigmoid only when asked (abstract_cvae.py:131-137);
+    call/call_detailed always request sigmoid.
+  * encoder: stride-2 3x3 SAME convs with relu, flatten, optional dense,
+    dense(2*latent) (abstract_cvae.py:22-48). decoder: dense(relu) ->
+    reshape(floor(W/2^L), floor(H/2^L), ddf) -> stride-2 3x3 SAME transposed
+    convs with relu -> stride-1 3x3 SAME transposed conv, linear
+    (abstract_cvae.py:51-92), including the width/height collapse RuntimeErrors
+    (abstract_cvae.py:65-68).
+
+TF 'same' padding semantics are matched exactly: lax 'SAME' convolutions use
+the identical asymmetric-padding formula, and transposed convs use
+``transpose_kernel=True`` (gradient-of-conv), which is what Keras
+Conv2DTranspose computes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Array = jax.Array
+
+_glorot = nn.initializers.glorot_uniform()
+
+
+class Encoder(nn.Module):
+    """Conv encoder producing the concatenated (mean, logvar) vector.
+
+    Mirrors reference abstract_cvae.py:22-48.
+    """
+
+    conv_filters: Sequence[int]
+    latent_size: int
+    encoder_dense_filters: Optional[int] = None
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = x.astype(self.dtype)
+        for filters in self.conv_filters:
+            x = nn.Conv(
+                features=filters,
+                kernel_size=(3, 3),
+                strides=(2, 2),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=_glorot,
+            )(x)
+            x = nn.relu(x)
+        x = x.reshape((x.shape[0], -1))  # row-major HWC flatten, as Keras Flatten
+        if self.encoder_dense_filters:
+            x = nn.Dense(
+                int(self.encoder_dense_filters),
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=_glorot,
+            )(x)
+        x = nn.Dense(
+            2 * self.latent_size, dtype=self.dtype, param_dtype=self.param_dtype, kernel_init=_glorot
+        )(x)
+        return x.astype(jnp.float32)
+
+
+class Decoder(nn.Module):
+    """Transposed-conv decoder producing reconstruction logits.
+
+    Mirrors reference abstract_cvae.py:51-92.
+    """
+
+    conv_filters: Sequence[int]  # encoder order; applied reversed
+    dense_shape: Tuple[int, int, int]  # (dense_width, dense_height, dense_filters)
+    output_channels: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        dw, dh, df = self.dense_shape
+        x = nn.Dense(
+            dw * dh * df, dtype=self.dtype, param_dtype=self.param_dtype, kernel_init=_glorot
+        )(z.astype(self.dtype))
+        x = nn.relu(x)
+        x = x.reshape((x.shape[0], dw, dh, df))
+        for filters in reversed(list(self.conv_filters)):
+            x = nn.ConvTranspose(
+                features=filters,
+                kernel_size=(3, 3),
+                strides=(2, 2),
+                padding="SAME",
+                transpose_kernel=True,  # gradient-of-conv == Keras Conv2DTranspose
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=_glorot,
+            )(x)
+            x = nn.relu(x)
+        x = nn.ConvTranspose(
+            features=self.output_channels,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="SAME",
+            transpose_kernel=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=_glorot,
+        )(x)
+        return x.astype(jnp.float32)
+
+
+def compute_dense_shape(config: dict) -> Tuple[int, int, int]:
+    """floor(dim / 2^L) dense reshape, with the reference's collapse errors.
+
+    Mirrors abstract_cvae.py:59-68 including the exact error messages'
+    semantics (RuntimeError on width/height collapse to zero).
+    """
+    image_size = config["data"]["image_size"]
+    image_width, image_height = image_size[0], image_size[1]
+    layer_count = len(config["model"]["layers"])
+    dense_width = int(float(image_width) / float(2**layer_count))
+    dense_height = int(float(image_height) / float(2**layer_count))
+    if dense_width == 0:
+        raise RuntimeError(
+            f"Error: Build Decoder: Width Collapse: Too many layers, check configuration file: "
+            f"{image_width} -> {dense_width}: {layer_count} Layers"
+        )
+    if dense_height == 0:
+        raise RuntimeError(
+            f"Error: Build Decoder: Height Collapse: Too many layers, check configuration file: "
+            f"{image_height} -> {dense_height}: {layer_count} Layers"
+        )
+    return dense_width, dense_height, int(config["model"]["decoder_dense_filters"])
+
+
+@dataclasses.dataclass
+class AbstractCVAE:
+    """Functional CVAE: hyperparameters + pure apply methods.
+
+    Unlike the reference Keras class, this object owns no parameters; params
+    live in a pytree ``{'encoder': ..., 'decoder': ...}`` threaded through
+    every method, so methods are jit/pjit/vmap/grad-compatible. A stateful
+    convenience wrapper with the reference's exact mutable API lives in
+    trustedai_cl_vae_ad_tpu.models.wrapper.VAEModel.
+    """
+
+    config: dict
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        cfg = self.config
+        self.beta = float(cfg["training"]["beta"])
+        self.encoder_input_shape = tuple(cfg["data"]["image_size"])
+        self.latent_size = int(cfg["model"]["latent_dimensions"])
+        self.conv_filters = tuple(int(f) for f in cfg["model"]["layers"])
+        edf = cfg["model"].get("encoder_dense_filters")
+        self.encoder_dense_filters = int(edf) if edf else None
+        self.dense_shape = compute_dense_shape(cfg)
+        self.encoder = Encoder(
+            conv_filters=self.conv_filters,
+            latent_size=self.latent_size,
+            encoder_dense_filters=self.encoder_dense_filters,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        self.decoder = Decoder(
+            conv_filters=self.conv_filters,
+            dense_shape=self.dense_shape,
+            output_channels=int(self.encoder_input_shape[2]),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+
+    # -- parameter initialization -------------------------------------------------
+    def init(self, rng: Array, batch_size: int = 1) -> dict:
+        enc_rng, dec_rng = jax.random.split(rng)
+        x = jnp.zeros((batch_size, *self.encoder_input_shape), jnp.float32)
+        z = jnp.zeros((batch_size, self.latent_size), jnp.float32)
+        return {
+            "encoder": self.encoder.init(enc_rng, x)["params"],
+            "decoder": self.decoder.init(dec_rng, z)["params"],
+        }
+
+    # -- forward pieces (abstract_cvae.py:109-149) --------------------------------
+    def encode(
+        self,
+        params: dict,
+        x: Array,
+        training: bool = False,
+        rng: Optional[Array] = None,
+        beta: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        """Split encoder output into (mean, logvar); optional input fuzz.
+
+        Mirrors abstract_cvae.py:115-122: ``fuzz_x = x + N(0, beta)`` when
+        training. (As in the reference, the standard loss path never sets
+        training=True here.)
+        """
+        fuzz_x = x
+        if training:
+            if rng is None:
+                raise ValueError("encode(training=True) requires rng")
+            b = self.beta if beta is None else beta
+            fuzz_x = x + b * jax.random.normal(rng, x.shape, x.dtype)
+        out = self.encoder.apply({"params": params["encoder"]}, fuzz_x)
+        mean, logvar = jnp.split(out, 2, axis=1)
+        return mean, logvar
+
+    def reparameterize(
+        self, mean: Array, logvar: Array, training: bool = False, rng: Optional[Array] = None
+    ) -> Array:
+        """z = mean + 0.5*logvar + eps (abstract_cvae.py:124-129)."""
+        if training:
+            if rng is None:
+                raise ValueError("reparameterize(training=True) requires rng")
+            eps = jax.random.normal(rng, mean.shape, mean.dtype)
+        else:
+            eps = jnp.zeros_like(mean)
+        return mean + (logvar * 0.5) + eps
+
+    def decode(self, params: dict, z: Array, apply_sigmoid: bool = False) -> Array:
+        logits = self.decoder.apply({"params": params["decoder"]}, z)
+        if apply_sigmoid:
+            return jax.nn.sigmoid(logits)
+        return logits
+
+    def sample(self, params: dict, rng: Array, eps: Optional[Array] = None, n: int = 100) -> Array:
+        """Decode n ~ N(0, 1) latents with sigmoid (abstract_cvae.py:109-113)."""
+        if eps is None:
+            eps = jax.random.normal(rng, (n, self.latent_size))
+        return self.decode(params, eps, apply_sigmoid=True)
+
+    def call_detailed(
+        self, params: dict, x: Array, training: bool = False, rng: Optional[Array] = None
+    ) -> Tuple[Array, Array, Array, Array]:
+        """(x_prob, z, mean, logvar). Mirrors abstract_cvae.py:139-144.
+
+        NOTE: as in the reference, ``training`` gates only the latent eps, not
+        the encoder input noise (encode is called without training).
+        """
+        mean, logvar = self.encode(params, x)
+        z = self.reparameterize(mean, logvar, training=training, rng=rng)
+        x_prob = self.decode(params, z, apply_sigmoid=True)
+        return x_prob, z, mean, logvar
+
+    def call(self, params: dict, x: Array, training: bool = False, rng: Optional[Array] = None) -> Array:
+        mean, logvar = self.encode(params, x, training=False)
+        z = self.reparameterize(mean, logvar, training=training, rng=rng)
+        return self.decode(params, z, apply_sigmoid=True)
+
+    # -- loss: subclass responsibility (abstract_cvae.py:151-152) -----------------
+    def compute_loss(self, params, x, training=False, return_inf=False, rng=None):
+        raise NotImplementedError("Error, compute_loss must be implemented")

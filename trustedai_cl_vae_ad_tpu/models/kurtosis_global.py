@@ -1,0 +1,107 @@
+"""KurtosisGlobalCVAE: loss over global scalar latent statistics.
+
+Parity with reference src/kurtosis_global_cvae.py:9-110. The batch latents are
+treated as one flat distribution; the loss shapes its global mean/variance/
+skew/kurtosis. Quirks preserved exactly:
+  * cross-entropy diagnostic: softmax over the ENTIRE batch tensor
+    (kurtosis_global_cvae.py:46-47).
+  * "abs-KL" variant: 0.5*sum(|1 + logvar^2 - mean^2 - exp(logvar^2)|)
+    (kurtosis_global_cvae.py:36-38) — logvar is squared, not the textbook form.
+  * z_score uses divide_no_nan (zero where std == 0).
+  * optimized loss = w_mse*mse + w_kurtosis*|K_t - K| + w_skew*|skew|
+    + w_z_l1*mean(|z|) (kurtosis_global_cvae.py:91); x_std/var/mean losses are
+    computed for the metric dict but NOT optimized.
+
+The moment reductions route through ops.moments.global_moments, which uses a
+fused Pallas kernel on TPU and a jnp fallback elsewhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE
+from trustedai_cl_vae_ad_tpu.ops.moments import global_moments
+
+
+def divide_no_nan(num, den):
+    """tf.math.divide_no_nan: 0 where den == 0, with NaN-free gradients."""
+    den_safe = jnp.where(den == 0, 1.0, den)
+    return jnp.where(den == 0, jnp.zeros_like(num), num / den_safe)
+
+
+class KurtosisGlobalCVAE(AbstractCVAE):
+    def __post_init__(self):
+        super().__post_init__()
+        loss_config = self.config["loss"]
+        self.kurtosis_target = float(loss_config["kurtosis"])
+        self.w_mse = float(loss_config["w_mse"])
+        self.w_kurtosis = float(loss_config["w_kurtosis"])
+        self.w_skew = float(loss_config["w_skew"])
+        self.w_kl_divergence = float(loss_config["w_kl_divergence"])
+        self.w_z_l1_reg = float(loss_config["w_z_l1_reg"])
+        self.w_x_std = float(loss_config.get("w_x_std", 0.0))
+
+    def kl_divergence_gaussian(self, z_mean, z_logvar):
+        """kurtosis_global_cvae.py:36-38 (note the squared logvar)."""
+        return 0.5 * jnp.sum(jnp.abs(1.0 + z_logvar**2 - z_mean**2 - jnp.exp(z_logvar**2)))
+
+    def log_normal_pdf(self, sample, mean, logvar, raxis=1):
+        """kurtosis_global_cvae.py:27-29 (legacy ELBO helper)."""
+        log2pi = jnp.log(2.0 * jnp.pi)
+        return jnp.abs(
+            jnp.mean(-0.5 * (((sample - mean) ** 2.0) * jnp.exp(-logvar) + logvar + log2pi), axis=raxis)
+        )
+
+    def compute_loss(self, params, x, training=False, return_inf=False, rng=None):
+        """kurtosis_global_cvae.py:40-110 (compute_loss_new)."""
+        x_hat_prob, z, mean, logvar = self.call_detailed(params, x, training, rng)
+
+        # Entropy diagnostic: softmax over the whole tensor, as in reference.
+        x_logit = jnp.log(jnp.exp(x) / jnp.sum(jnp.exp(x)))
+        likelihood_cross_entropy = -jnp.mean(x_hat_prob * x_logit)
+
+        mse = jnp.mean((x - x_hat_prob) ** 2)
+
+        # Global latent statistics (fused on TPU).
+        z_mean, z_var, z_skew, z_kurtosis = global_moments(z)
+        z_std = jnp.sqrt(z_var)
+
+        x_std = jnp.std(x, axis=0)
+        x_hat_std = jnp.std(x_hat_prob, axis=0)
+        x_std_loss = jnp.mean((x_std - x_hat_std) ** 2)
+
+        mean_loss = z_mean**2  # computed, not optimized (metric only)
+        var_loss = jnp.abs(1.0 - z_var)
+        z_skew_loss = jnp.abs(z_skew)
+        z_kurtosis_loss = jnp.abs(self.kurtosis_target - z_kurtosis)
+
+        kl_div_gaus = self.kl_divergence_gaussian(mean, logvar)
+        z_l1_reg = jnp.mean(jnp.abs(z))
+
+        loss = (
+            self.w_mse * mse
+            + self.w_kurtosis * z_kurtosis_loss
+            + self.w_skew * z_skew_loss
+            + self.w_z_l1_reg * z_l1_reg
+        )
+
+        d = {
+            "loss": loss,
+            "mse": mse,
+            "z_l1": z_l1_reg,
+            "var_loss": var_loss,
+            "skew_loss": z_skew_loss,
+            "z_kurtosis_loss": z_kurtosis_loss,
+            "z_kurtosis": z_kurtosis,
+            "r_min": jnp.min(x_hat_prob),
+            "r_max": jnp.max(x_hat_prob),
+            "cross_entropy": likelihood_cross_entropy,
+            "kl_div": kl_div_gaus,
+            "x_std_loss": x_std_loss,
+        }
+        del mean_loss, z_std  # parity: computed in reference, unused in dict
+        if return_inf:
+            return d, x_hat_prob
+        return d

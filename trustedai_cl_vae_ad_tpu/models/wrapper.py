@@ -1,0 +1,237 @@
+"""Stateful convenience wrapper preserving the reference's mutable model API.
+
+The reference exposes a Keras model with mutable attributes and methods
+(abstract_cvae.py:109-178): ``encode/reparameterize/decode/call/call_detailed/
+sample/compute_loss/train_step/test_step/train_step_and_run``, plus runtime
+mutation of ``model.beta`` (camera_streamer_qt.py:1336) and the optimizer
+learning rate (camera_streamer_qt.py:1329). ``VAEModel`` reproduces that
+surface on top of jit-compiled pure functions:
+
+  * params / optimizer state are pytrees held on device;
+  * the learning rate is an optax injected hyperparameter, so the continual-
+    learning loop can re-dial it per step WITHOUT recompiling the train step;
+  * ``beta`` (input-noise stddev) is passed as a traced scalar argument for
+    the same reason;
+  * each jitted function is compiled once per input shape and reused.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE
+
+
+def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+    """Adam with an injectable (runtime-mutable) learning rate.
+
+    Mirrors reference train.py:99-101 (tf.keras.optimizers.Adam(lr)); the
+    injection replaces camera_streamer_qt.py:1329's
+    ``tf.keras.backend.set_value(optimizer.learning_rate, lr)``.
+    """
+    return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+
+
+class VAEModel:
+    """Stateful facade over a functional AbstractCVAE core."""
+
+    def __init__(self, core: AbstractCVAE, seed: int = 0):
+        self.core = core
+        self.config = core.config
+        self.latent_size = core.latent_size
+        self.encoder_input_shape = core.encoder_input_shape
+        self._rng = jax.random.PRNGKey(seed)
+        self.params = core.init(self._next_rng())
+        self.optimizer: Optional[optax.GradientTransformation] = None
+        self.opt_state = None
+        self.mesh = None
+        self._beta = jnp.float32(core.beta)
+        self._build_jitted()
+
+    # -- mutable hyperparameters --------------------------------------------------
+    @property
+    def beta(self) -> float:
+        return float(self._beta)
+
+    @beta.setter
+    def beta(self, value: float) -> None:
+        self._beta = jnp.float32(value)
+
+    @property
+    def learning_rate(self) -> float:
+        assert self.opt_state is not None, "model not compiled"
+        return float(self.opt_state.hyperparams["learning_rate"])
+
+    def set_learning_rate(self, lr: float) -> None:
+        """Re-dial Adam's lr in-place; no recompilation (cf. streamer :1329)."""
+        assert self.opt_state is not None, "model not compiled"
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+    def compile(self, learning_rate: Optional[float] = None, mesh=None) -> None:
+        """Attach the optimizer (reference train.py:99-101).
+
+        With ``mesh`` set, parameters/optimizer state are replicated over the
+        mesh and the train step compiles as one SPMD program with the batch
+        sharded on the 'data' axis (XLA inserts the gradient all-reduce).
+        """
+        if learning_rate is None:
+            learning_rate = float(self.config["training"]["learning_rate"])
+        self.optimizer = make_optimizer(learning_rate)
+        self.mesh = mesh
+        if mesh is not None:
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import replicate
+
+            self.params = replicate(self.params, mesh)
+            self.opt_state = replicate(self.optimizer.init(self.params), mesh)
+        else:
+            self.opt_state = self.optimizer.init(self.params)
+        self._build_train_jits()
+
+    # -- rng ----------------------------------------------------------------------
+    def _next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # -- jit construction ----------------------------------------------------------
+    def _build_jitted(self):
+        core = self.core
+
+        self._encode_j = jax.jit(lambda p, x: core.encode(p, x))
+        self._decode_sig_j = jax.jit(lambda p, z: core.decode(p, z, apply_sigmoid=True))
+        self._decode_raw_j = jax.jit(lambda p, z: core.decode(p, z, apply_sigmoid=False))
+        self._call_j = jax.jit(
+            lambda p, x, rng, training: core.call(p, x, training=training, rng=rng),
+            static_argnums=(3,),
+        )
+        self._call_detailed_j = jax.jit(
+            lambda p, x, rng, training: core.call_detailed(p, x, training=training, rng=rng),
+            static_argnums=(3,),
+        )
+        self._loss_j = jax.jit(
+            lambda p, x, rng, training, return_inf: core.compute_loss(
+                p, x, training=training, return_inf=return_inf, rng=rng
+            ),
+            static_argnums=(3, 4),
+        )
+        self._sample_j = jax.jit(lambda p, eps: core.decode(p, eps, apply_sigmoid=True))
+
+    def _build_train_jits(self):
+        core = self.core
+        optimizer = self.optimizer
+
+        if self.mesh is not None:
+            from trustedai_cl_vae_ad_tpu.parallel.dp import build_train_step
+
+            self._train_step_j = build_train_step(core, optimizer, self.mesh)
+            return
+
+        def train_step(params, opt_state, x, rng):
+            def loss_fn(p):
+                loss_dict, x_hat = core.compute_loss(p, x, training=True, return_inf=True, rng=rng)
+                return loss_dict["loss"], (loss_dict, x_hat)
+
+            grads, (loss_dict, x_hat) = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss_dict, x_hat
+
+        self._train_step_j = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # -- reference API surface (abstract_cvae.py:109-178) --------------------------
+    def encode(self, x, training: bool = False):
+        x = jnp.asarray(x, jnp.float32)
+        return self._encode_j(self.params, x)
+
+    def reparameterize(self, mean, logvar, training: bool = False):
+        rng = self._next_rng() if training else None
+        return self.core.reparameterize(mean, logvar, training=training, rng=rng)
+
+    def decode(self, z, apply_sigmoid: bool = False):
+        z = jnp.asarray(z, jnp.float32)
+        if apply_sigmoid:
+            return self._decode_sig_j(self.params, z)
+        return self._decode_raw_j(self.params, z)
+
+    def sample(self, eps=None, n: int = 100):
+        if eps is None:
+            eps = jax.random.normal(self._next_rng(), (n, self.latent_size))
+        return self._sample_j(self.params, jnp.asarray(eps, jnp.float32))
+
+    def call(self, x, training: bool = False):
+        x = jnp.asarray(x, jnp.float32)
+        rng = self._next_rng()
+        return self._call_j(self.params, x, rng, training)
+
+    def __call__(self, x, training: bool = False):
+        return self.call(x, training)
+
+    def call_detailed(self, x, training: bool = False):
+        x = jnp.asarray(x, jnp.float32)
+        rng = self._next_rng()
+        return self._call_detailed_j(self.params, x, rng, training)
+
+    def compute_loss(self, x, training: bool = False, return_inf: bool = False):
+        x = jnp.asarray(x, jnp.float32)
+        rng = self._next_rng()
+        return self._loss_j(self.params, x, rng, training, return_inf)
+
+    def train_step(self, x):
+        """One gradient step; returns the loss dict (abstract_cvae.py:154-162)."""
+        loss, _ = self.train_step_and_run(x)
+        return loss
+
+    def test_step(self, x):
+        return self.compute_loss(x, training=False)
+
+    def train_step_and_run(self, x):
+        """Gradient step returning (loss dict, x_hat) (abstract_cvae.py:170-178)."""
+        assert self.optimizer is not None, "call model.compile() before training"
+        if self.mesh is not None:
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import shard_batch
+
+            x = shard_batch(np.asarray(x, np.float32), self.mesh)
+        else:
+            x = jnp.asarray(x, jnp.float32)
+        rng = self._next_rng()
+        self.params, self.opt_state, loss, x_hat = self._train_step_j(
+            self.params, self.opt_state, x, rng
+        )
+        return loss, x_hat
+
+    # -- checkpointing (ABI: log dir with encoder/ decoder/ config.yml) ------------
+    def save_model(self, log_dir: str, include_optimizer: bool = True) -> None:
+        from trustedai_cl_vae_ad_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            log_dir,
+            self.params,
+            opt_state=self.opt_state if include_optimizer else None,
+        )
+
+    def load_model(self, model_path: str) -> None:
+        """Restore weights (+ optimizer state if present) from a log dir.
+
+        Mirrors abstract_cvae.py:95-106. Unlike the reference (which discards
+        optimizer state and swaps whole Keras submodels), this restores params
+        in place and, when an optimizer/ checkpoint exists and the model is
+        compiled, restores Adam moments too — fixing the reference's
+        checkpoint gap (SURVEY.md section 5.4).
+        """
+        from trustedai_cl_vae_ad_tpu.train.checkpoint import restore_checkpoint
+
+        params, opt_state = restore_checkpoint(
+            model_path, self.params, self.opt_state if self.optimizer else None
+        )
+        self.params = params
+        if opt_state is not None:
+            self.opt_state = opt_state
+
+    # -- numpy conveniences for the tool scripts -----------------------------------
+    def predict(self, x) -> np.ndarray:
+        return np.asarray(self.call(jnp.asarray(x, jnp.float32)))

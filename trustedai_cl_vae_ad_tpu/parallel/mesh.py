@@ -1,0 +1,69 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed support of any kind (SURVEY.md section 2.9:
+no tf.distribute, no collectives). This module is the new TPU-native
+capability mandated by BASELINE.json: a ``jax.sharding.Mesh`` over ICI (and
+DCN-ready for multi-host), batch-sharded data parallelism with XLA-compiled
+gradient all-reduce, and replicated parameters.
+
+Axes:
+  * ``data``  — batch sharding (data parallel over ICI).
+  * ``model`` — reserved for tensor-parallel sharding of the big encoder
+    flatten->dense / decoder dense matmuls (the only >MXU-tile weights in
+    this model family).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a (data, model) mesh over the local devices.
+
+    Defaults to all local devices on the data axis — the right layout for
+    this model family (small CNN, gradient all-reduce rides ICI).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated over the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, pad: bool = True):
+    """Device_put a host batch with leading-axis sharding; optionally pad the
+    batch up to a multiple of the data-axis size (repeating the last row)."""
+    batch = np.asarray(batch)
+    n_data = mesh.shape[DATA_AXIS]
+    if pad and batch.shape[0] % n_data != 0:
+        extra = n_data - (batch.shape[0] % n_data)
+        batch = np.concatenate([batch, np.repeat(batch[-1:], extra, axis=0)], axis=0)
+    return jax.device_put(batch, batch_sharding(mesh))

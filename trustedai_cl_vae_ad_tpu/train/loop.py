@@ -1,0 +1,164 @@
+"""Offline training driver (library side of train.py).
+
+Parity with reference train.py:95-193: build + compile the model, epoch loop
+with per-epoch validation, per-epoch beta annealing (x0.98, train.py:40-47),
+TensorBoard-equivalent metric logging, KeyboardInterrupt-safe checkpointing
+(train.py:122-125), encoder/decoder checkpoint save (train.py:127-128), and
+post-train evaluation artifacts (original/reconstruction grids + image and
+latent histograms, train.py:135-193 — matplotlib instead of plotly).
+
+TPU-first: the train step is a single jitted (optionally pjit-sharded) pure
+function; batches stream through a device-prefetch queue so host decode
+overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trustedai_cl_vae_ad_tpu.models.wrapper import VAEModel
+from trustedai_cl_vae_ad_tpu.utils.metrics import MetricsWriter
+
+
+class BetaAnnealing:
+    """Per-epoch beta decay, reference train.py:40-47 (rate 0.98)."""
+
+    def __init__(self, rate: float = 0.98):
+        self.rate = rate
+
+    def on_epoch_end(self, model: VAEModel) -> None:
+        model.beta = model.beta * self.rate
+
+
+def train_model(
+    config: dict,
+    model: VAEModel,
+    data: dict,
+    writer: Optional[MetricsWriter] = None,
+    beta_annealing: Optional[BetaAnnealing] = None,
+    max_epochs: Optional[int] = None,
+    log_every: int = 50,
+    parallel: bool = True,
+) -> VAEModel:
+    """Epoch loop over data['train'] with validation on data['val']."""
+    logdir = config.get("logdir", ".")
+    epochs = int(max_epochs if max_epochs is not None else config["training"]["max_epochs"])
+    if beta_annealing is None:
+        beta_annealing = BetaAnnealing()
+    owns_writer = writer is None
+    if writer is None:
+        writer = MetricsWriter(logdir)
+
+    if model.optimizer is None:
+        mesh = None
+        if parallel and len(jax.local_devices()) > 1:
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+        model.compile(mesh=mesh)
+
+    step = 0
+    try:
+        for epoch in range(epochs):
+            for batch in _iter_images(data["train"]):
+                loss = model.train_step(batch)
+                if step % log_every == 0:
+                    writer.log(step, jax.device_get(loss), prefix="train/")
+                step += 1
+            # Validation pass
+            if data.get("val") is not None:
+                val_losses = []
+                for batch in _iter_images(data["val"]):
+                    val_losses.append(jax.device_get(model.test_step(batch)))
+                if val_losses:
+                    mean_val = {
+                        k: float(np.mean([d[k] for d in val_losses])) for k in val_losses[0]
+                    }
+                    writer.log(step, mean_val, prefix="val/")
+            beta_annealing.on_epoch_end(model)
+            writer.log(step, {"beta": model.beta, "epoch": epoch}, prefix="train/")
+    except KeyboardInterrupt:
+        print("Keyboard Interrupt")  # parity: train.py:124-125 saves on Ctrl-C
+
+    model.save_model(logdir)
+    if owns_writer:
+        writer.close()
+    return model
+
+
+def _iter_images(dataset: Iterable):
+    """Yield image ndarrays from batches that may be dicts or tuples."""
+    for batch in dataset:
+        if isinstance(batch, dict):
+            yield batch["image"]
+        elif isinstance(batch, (tuple, list)):
+            yield batch[0]
+        else:
+            yield batch
+
+
+def evaluate(config: dict, model: VAEModel, data: dict, n: int = 10) -> None:
+    """Post-training artifacts. Parity with reference train.py:135-193:
+    original.png / reconstruction.png facet grids (matplotlib in place of
+    plotly), output_histogram.png, latent_histogram.png."""
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    logdir = config["logdir"]
+
+    xs = []
+    for batch in _iter_images(data["val"] if data.get("val") is not None else data["train"]):
+        xs.append(np.asarray(batch))
+        if sum(b.shape[0] for b in xs) >= n:
+            break
+    if not xs:
+        print("evaluate: no validation data")
+        return
+    x_i = np.concatenate(xs, axis=0)[:n]
+
+    y = np.asarray(model.call(jnp.asarray(x_i, jnp.float32)))
+    mean, _ = model.encode(jnp.asarray(x_i, jnp.float32))
+    z = np.asarray(mean)
+
+    y_rng = np.max(y) - np.min(y)
+    y_i = (y - np.min(y)) / (y_rng if y_rng > 0 else 1.0)
+
+    def _grid(images, path, title):
+        cols = 5
+        rows = int(np.ceil(len(images) / cols))
+        fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows), squeeze=False)
+        for idx in range(rows * cols):
+            ax = axes[idx // cols][idx % cols]
+            ax.axis("off")
+            if idx < len(images):
+                img = np.clip(images[idx], 0.0, 1.0)
+                ax.imshow(img if img.shape[-1] != 1 else img[..., 0])
+        fig.suptitle(title)
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+
+    _grid(x_i, os.path.join(logdir, "original.png"), "Original")
+    _grid(y_i, os.path.join(logdir, "reconstruction.png"), "Reconstruction")
+
+    fig, ax = plt.subplots(1, 1)
+    ax.hist(x_i.flatten(), bins=64, label="Original", alpha=0.65)
+    ax.hist(y_i.flatten(), bins=64, label="Reconstruction", alpha=0.65)
+    ax.grid()
+    ax.legend()
+    ax.set_title("Flat Image Histogram")
+    fig.savefig(os.path.join(logdir, "output_histogram.png"))
+    plt.close(fig)
+
+    fig, ax = plt.subplots(1, 1)
+    ax.hist(z.reshape(-1), bins=64)
+    ax.grid()
+    ax.set_title("Latent Vector Histogram")
+    fig.savefig(os.path.join(logdir, "latent_histogram.png"))
+    plt.close(fig)
