@@ -1,0 +1,26 @@
+#!/usr/bin/env python3
+"""CLI: VIRAT directory (videos_original/ + annotations/) -> frame records.
+
+Parity with reference build_virat_dataset.py:29-420.
+"""
+
+import argparse
+
+from trustedai_cl_vae_ad_tpu.data.builders.virat import create_dataset, load_meta_data
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("virat_directory", type=str, help="VIRAT root directory")
+    parser.add_argument("--output-path", "-o", type=str, default="virat_dataset")
+    return parser.parse_args()
+
+
+def main():
+    args = get_args()
+    meta_data = load_meta_data(args.virat_directory)
+    create_dataset(meta_data, args.output_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""Data layer: COCO index/validator, RAITE loader, saved datasets, builders,
+ingest preprocessing — the coverage the reference lacks (SURVEY.md section 4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture
+def raite_dir(tmp_path):
+    """Tiny RAITE-style dataset: train/ + test/ with frames/ + labels.json."""
+    from trustedai_cl_vae_ad_tpu.data.builders.raite_json import build_config_from_directory
+
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 7), ("test", 4)):
+        frames = tmp_path / split / "frames"
+        frames.mkdir(parents=True)
+        for i in range(n):
+            img = rng.randint(0, 255, (24, 32, 3), dtype=np.uint8)
+            Image.fromarray(img).save(frames / f"frame_{i:03d}.png")
+        build_config_from_directory(str(frames), str(tmp_path / split / "labels.json"))
+    return tmp_path
+
+
+def test_coco_builder_and_validator(raite_dir):
+    from trustedai_cl_vae_ad_tpu.data.coco import load_coco_index, validate_coco_data
+
+    data = load_coco_index(str(raite_dir / "train" / "labels.json"))
+    validate_coco_data(data)
+    assert len(data["images"]) == 7
+    assert all(os.path.exists(r["full_filepath"]) for r in data["images"])
+    assert data["images"][0]["width"] == 32 and data["images"][0]["height"] == 24
+
+
+def test_coco_validator_rejects_bad(raite_dir):
+    from trustedai_cl_vae_ad_tpu.data.coco import load_coco_index, validate_coco_data
+
+    data = load_coco_index(str(raite_dir / "train" / "labels.json"))
+    data["annotations"].append(
+        {"id": 1, "image_id": 999, "category_id": 1, "bbox": [0, 0, 1, 1], "area": 1, "iscrowd": 0}
+    )
+    with pytest.raises(AssertionError, match="unknown image"):
+        validate_coco_data(data)
+
+
+def test_raite_dataset_batches(raite_dir):
+    from trustedai_cl_vae_ad_tpu.data.raite import RaiteDataset
+
+    db = RaiteDataset(
+        str(raite_dir / "train" / "labels.json"),
+        str(raite_dir / "test" / "labels.json"),
+        batchsize=4,
+    )
+    batches = list(db.train_data)
+    assert [b["image"].shape[0] for b in batches] == [4, 3]
+    assert batches[0]["image"].dtype == np.uint8
+    assert batches[0]["image"].shape[1:] == (24, 32, 3)
+    imgs, labels = db.split_train_data_labels()
+    assert sum(len(b) for b in labels) == 7
+    # decoded content round-trips (RGB order)
+    first_path = batches[0]["filepath"][0]
+    ref = np.asarray(Image.open(first_path).convert("RGB"))
+    np.testing.assert_array_equal(batches[0]["image"][0], ref)
+
+
+def test_raite_cache(raite_dir):
+    from trustedai_cl_vae_ad_tpu.data.raite import RaiteDataset
+
+    db = RaiteDataset(
+        str(raite_dir / "train" / "labels.json"),
+        str(raite_dir / "test" / "labels.json"),
+        batchsize=4,
+    )
+    db.cache()
+    a = [b["image"].sum() for b in db.train_data]
+    b = [b["image"].sum() for b in db.train_data]  # second epoch from cache
+    assert a == b
+
+
+def test_saved_dataset_roundtrip(tmp_path):
+    from trustedai_cl_vae_ad_tpu.data.saved_dataset import SavedDataset, save_dataset
+
+    rng = np.random.RandomState(1)
+    batches = [
+        {"image": rng.randint(0, 255, (5, 8, 8, 3), dtype=np.uint8), "filepath": [f"f{i}" for i in range(5)]}
+        for _ in range(3)
+    ]
+    save_dataset(str(tmp_path / "ds"), iter(batches), shard_size=6)
+    ds = SavedDataset(str(tmp_path / "ds"), batch_size=4)
+    assert ds.num_items == 15
+    out = list(ds)
+    assert sum(b["image"].shape[0] for b in out) == 15
+    all_in = np.concatenate([b["image"] for b in batches])
+    all_out = np.concatenate([b["image"] for b in out])
+    np.testing.assert_array_equal(all_in, all_out)
+
+
+def test_load_data_raite_end_to_end(raite_dir):
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    config = {
+        "data": {
+            "dataset": "raite",
+            "dataset_path": str(raite_dir),
+            "train_split": "train",
+            "val_split": "test",
+            "image_size": [16, 20, 3],
+        },
+        "training": {"batch_size": 4},
+    }
+    data = load_data(config)
+    batch = next(iter(data["train"]))
+    assert batch.shape == (4, 16, 20, 3)
+    x = np.asarray(batch)
+    assert x.dtype == np.float32
+    assert 0.0 <= x.min() and x.max() <= 1.0
+    labels = next(iter(data["train_labels"]))
+    assert len(labels) == 4
+
+
+def test_load_data_synthetic():
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    config = {
+        "data": {"dataset": "synthetic", "image_size": [8, 8, 3], "n_train": 10, "n_val": 4},
+        "training": {"batch_size": 4},
+    }
+    data = load_data(config)
+    # non-raite branches yield dict batches (reference data_loader.py:94-98)
+    assert sum(np.asarray(b["image"]).shape[0] for b in data["train"]) == 10
+
+
+def test_load_data_unknown_raises():
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    config = {
+        "data": {"dataset": "imagenet2012", "image_size": [8, 8, 3]},
+        "training": {"batch_size": 4},
+    }
+    with pytest.raises(ValueError, match="TFDS"):
+        load_data(config)
+
+
+def _resize_antialias_reference(x: np.ndarray, out_hw) -> np.ndarray:
+    """Pure-numpy triangle-kernel antialiased bilinear resize — the algorithm
+    tf.image.resize(antialias=True) uses (half-pixel centers, kernel widened
+    by the scale factor on downsampling, weights normalized)."""
+
+    def axis_weights(n_in, n_out):
+        scale = n_in / n_out
+        support = max(scale, 1.0)
+        w = np.zeros((n_out, n_in), np.float64)
+        for i in range(n_out):
+            center = (i + 0.5) * scale - 0.5
+            lo = int(np.floor(center - support)) - 1
+            hi = int(np.ceil(center + support)) + 1
+            for j in range(max(lo, 0), min(hi + 1, n_in)):
+                t = (j - center) / support
+                w[i, j] = max(0.0, 1.0 - abs(t))
+            s = w[i].sum()
+            if s > 0:
+                w[i] /= s
+        return w
+
+    b, h, w_in, c = x.shape
+    wh = axis_weights(h, out_hw[0])
+    ww = axis_weights(w_in, out_hw[1])
+    y = np.einsum("oh,bhwc->bowc", wh, x.astype(np.float64))
+    y = np.einsum("ow,bhwc->bhoc", ww, y)
+    return y.astype(np.float32)
+
+
+def test_ingest_resize_matches_tf_antialias_algorithm():
+    """Device antialias resize vs numpy reference of TF's triangle-kernel
+    algorithm (tf.image.resize(antialias=True) semantics)."""
+    from trustedai_cl_vae_ad_tpu.data.ingest import preprocess_batch
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (2, 37, 53, 3), dtype=np.uint8)
+    ours = np.asarray(preprocess_batch(img, [16, 20, 3]))
+    ref = _resize_antialias_reference(img.astype(np.float32) / 255.0, (16, 20))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_virat_annotation_parsing(tmp_path):
+    from trustedai_cl_vae_ad_tpu.data.builders import virat
+
+    events = tmp_path / "e.txt"
+    events.write_text("1 4 10 5 15 7 100 120 30 40\n1 4 10 5 15 8 101 121 30 40\n")
+    objs = tmp_path / "o.txt"
+    objs.write_text("2 300 7 50 60 20 20 1\n")
+    ev = virat.get_event_annotations_from_file(str(events))
+    assert len(ev) == 2 and ev[0]["event_type"] == 4 and ev[0]["current_frame"] == 7
+    ob = virat.get_object_annotations_from_file(str(objs))
+    assert ob[0]["obj_type"] == 1 and ob[0]["current_frame"] == 7
+
+    ann = {"events": ev, "mapping": None, "objects": ob}
+    emap = virat.build_event_frame_map(ann)
+    omap = virat.build_object_frame_map(ann)
+    assert emap[7] == [0] and emap[8] == [1]
+    assert omap[7] == [0]
+
+    name = virat.parse_video_name_data("VIRAT_S_010204_05_000856_000890")
+    assert name["group_id"] == 1 and name["scene_id"] == 2 and name["sequence_id"] == 4
+    assert name["segment_id"] == 5 and name["start_seconds"] == 856 and name["end_seconds"] == 890
+    short = virat.parse_video_name_data("VIRAT_S_010204")
+    assert short["segment_id"] is None
+
+
+def test_fix_raite_groups(tmp_path):
+    from trustedai_cl_vae_ad_tpu.data.builders.fix_raite import get_event_files, split_by_match
+
+    base = tmp_path / "camera-1" / "match_2"
+    base.mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    good = base / "20230101-120000-000001.png"
+    Image.fromarray(rng.randint(0, 255, (8, 8, 3), dtype=np.uint8)).save(good)
+    (base / "notaframe.png").write_bytes(b"x")
+    files = get_event_files(str(tmp_path))
+    assert files == [str(good)]
+    groups = split_by_match(files)
+    assert ("camera-1", "match_2") in groups

@@ -1,0 +1,67 @@
+"""COCO labels.json builder from an image directory.
+
+Parity with reference build_raite_json_from_directory.py:13-65: recursive
+walk for .png files, image sizes via PIL, COCO skeleton with empty
+annotations, --force overwrite and --merge (reuse existing JSON, rebuild the
+images list) semantics including the error exits.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import sys
+
+from PIL import Image
+
+
+def build_config_from_directory(
+    img_dir: str,
+    config_filepath: str,
+    force_flag: bool = False,
+    merge_flag: bool = False,
+    extensions: tuple = (".png",),
+) -> dict:
+    assert os.path.exists(img_dir)
+    assert os.path.isdir(img_dir)
+
+    if os.path.exists(config_filepath):
+        if not force_flag and not merge_flag:
+            print(f"Error, config filepath exists: {config_filepath}", file=sys.stderr)
+            raise SystemExit(1)
+    elif merge_flag:
+        print(f"Error, file does not exist for merge: {config_filepath}", file=sys.stderr)
+        raise SystemExit(1)
+
+    if merge_flag:
+        with open(config_filepath, "r") as ifile:
+            output_dict = json.load(ifile)
+        output_dict["images"] = []
+    else:
+        output_dict = {
+            "info": {
+                "year": datetime.datetime.now().year,
+                "version": "1.0",
+                "description": "custom",
+                "contributor": "trustedai_cl_vae_ad_tpu",
+            },
+            "categories": [],
+            "images": [],
+            "annotations": [],
+        }
+
+    idx = 0
+    for root_path, _dirs, filenames in os.walk(img_dir):
+        for f in sorted(filenames):
+            if os.path.splitext(f)[1].lower() in extensions:
+                with Image.open(os.path.join(root_path, f)) as img:
+                    width, height = img.size
+                output_dict["images"].append(
+                    {"id": idx, "width": width, "height": height, "file_name": f}
+                )
+                idx += 1
+
+    with open(config_filepath, "w") as ofile:
+        json.dump(output_dict, ofile)
+    return output_dict

@@ -1,0 +1,141 @@
+"""``load_data(config)``: dataset front-end keyed by the config's data section.
+
+Parity with reference src/data_loader.py:22-98 — three sources:
+  (a) ``dataset: raite``  -> COCO-JSON RaiteDataset (normalize + antialias
+      resize + cache + image/filepath split), reference :34-65;
+  (b) ``dataset_path``    -> saved dataset directory with train/ + validation/
+      subdirectories, reference :67-76 (tf.data.Dataset.load equivalent);
+  (c) ``dataset`` name    -> catalog datasets. TFDS is not available in this
+      environment; the built-in ``synthetic`` generator covers the
+      tests/bench path and anything else raises with guidance.
+
+Returns {'train', 'val', ...} where each split yields dict batches whose
+'image' is ALREADY on device: f32, [0,1], resized to config image_size — the
+normalize/resize maps run on-TPU (data/ingest.py), not on host threads.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from trustedai_cl_vae_ad_tpu.data import ingest
+from trustedai_cl_vae_ad_tpu.data.pipeline import CachedDataset, MappedDataset
+from trustedai_cl_vae_ad_tpu.data.raite import RaiteDataset
+from trustedai_cl_vae_ad_tpu.data.saved_dataset import SavedDataset, is_saved_dataset
+
+
+class DeviceStream:
+    """Re-iterable wrapper: host batch source -> device-preprocessed batches."""
+
+    def __init__(self, source, image_size, depth: int = 2):
+        self.source = source
+        self.image_size = image_size
+        self.depth = depth
+
+    def __iter__(self) -> Iterator[dict]:
+        return ingest.device_prefetch(iter(self.source), self.image_size, depth=self.depth)
+
+    def __len__(self):
+        return len(self.source)
+
+
+class SyntheticDataset:
+    """Deterministic noise frames for tests/benchmarks (no tfds in env)."""
+
+    def __init__(self, n: int, image_size, batch_size: int, seed: int = 0):
+        self.n = n
+        self.image_size = list(image_size)
+        self.batch_size = batch_size
+        self.seed = seed
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed)
+        remaining = self.n
+        idx = 0
+        w, h, c = self.image_size
+        while remaining > 0:
+            b = min(self.batch_size, remaining)
+            img = rng.randint(0, 256, size=(b, w, h, c), dtype=np.uint8)
+            paths = [f"synthetic://{self.seed}/{idx + i}" for i in range(b)]
+            yield {"image": img, "filepath": paths}
+            idx += b
+            remaining -= b
+
+
+def load_data(config: dict) -> dict:
+    data_config = config["data"]
+    dataset_path = data_config.get("dataset_path")
+    dataset_name = data_config.get("dataset")
+    train_split = data_config.get("train_split", "train")
+    val_split = data_config.get("val_split", "validation")
+    img_size = data_config["image_size"]
+    batch_size = int(config["training"]["batch_size"])
+
+    if dataset_name == "raite":
+        assert os.path.exists(dataset_path)
+        assert os.path.isdir(dataset_path)
+        print(f"Loading RAITE Dataset from: {dataset_path}")
+
+        # The split may name the labels.json directly (reference usage) or its
+        # containing directory; accept both.
+        def _resolve_json(split):
+            p = os.path.join(dataset_path, split)
+            if os.path.isdir(p):
+                p = os.path.join(p, "labels.json")
+            assert os.path.exists(p), f"Split path missing: {p}"
+            return p
+
+        train_path = _resolve_json(train_split)
+        test_path = _resolve_json(val_split)
+
+        rdb = RaiteDataset(train_path, test_path, batchsize=batch_size)
+        rdb.cache()  # decoded uint8 batches cached in RAM (tf.data .cache())
+
+        train_stream = DeviceStream(rdb.train_data, img_size)
+        val_stream = DeviceStream(rdb.test_data, img_size)
+        return {
+            "train": MappedDataset(train_stream, lambda b: b["image"]),
+            "train_labels": MappedDataset(train_stream, lambda b: b["filepath"]),
+            "val": MappedDataset(val_stream, lambda b: b["image"]),
+            "val_labels": MappedDataset(val_stream, lambda b: b["filepath"]),
+            "raite_db": rdb,
+            "train_full": train_stream,
+            "val_full": val_stream,
+        }
+
+    if dataset_path is not None:
+        print(f"Loading dataset from: {dataset_path}")
+        assert os.path.exists(dataset_path)
+        assert os.path.isdir(dataset_path)
+        train_dir = os.path.join(dataset_path, "train")
+        val_dir = os.path.join(dataset_path, "validation")
+        if is_saved_dataset(dataset_path) and not os.path.exists(train_dir):
+            # single-split saved dataset: use it for both (anomaly-eval usage)
+            train_ds = SavedDataset(dataset_path, batch_size)
+            val_ds: Optional[SavedDataset] = None
+        else:
+            train_ds = SavedDataset(train_dir, batch_size)
+            val_ds = SavedDataset(val_dir, batch_size) if os.path.exists(val_dir) else None
+        out = {"train": DeviceStream(train_ds, img_size)}
+        out["val"] = DeviceStream(val_ds, img_size) if val_ds is not None else None
+        return out
+
+    if dataset_name == "synthetic":
+        n_train = int(data_config.get("n_train", 256))
+        n_val = int(data_config.get("n_val", 64))
+        return {
+            "train": DeviceStream(SyntheticDataset(n_train, img_size, batch_size, seed=0), img_size),
+            "val": DeviceStream(SyntheticDataset(n_val, img_size, batch_size, seed=1), img_size),
+        }
+
+    raise ValueError(
+        f"Unknown dataset {dataset_name!r}: TFDS catalogs are unavailable in this "
+        f"environment. Use dataset: raite (COCO JSON), dataset_path (saved "
+        f"dataset directory), or dataset: synthetic."
+    )

@@ -1,0 +1,190 @@
+"""Host-side streaming pipeline: parallel decode, batching, caching, prefetch.
+
+TPU-native replacement for the reference's tf.data chain
+(raite_loader.py:40-58: from_generator -> map -> batch -> interleave/prefetch,
+data_loader.py:49-53: normalize/resize maps + .cache()). The reference's
+single-threaded Python generator (cv2.imread under the GIL,
+raite_loader.py:129-153) is the throughput ceiling SURVEY.md section 3.1
+identifies; here decode fans out over a thread pool (cv2 releases the GIL in
+imread/imdecode) with a bounded reorder buffer, and batches are assembled into
+contiguous numpy arrays ready for a single host->HBM transfer.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def decode_image_rgb(filepath: str) -> Optional[np.ndarray]:
+    """Read an image file to RGB uint8 HWC. cv2 when available, else PIL.
+
+    Mirrors raite_loader.py:133-140 (cv2.imread + BGR2RGB, skip unreadable).
+    """
+    try:
+        import cv2
+
+        img = cv2.imread(filepath)
+        if img is None:
+            return None
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        from PIL import Image
+
+        try:
+            with Image.open(filepath) as im:
+                return np.asarray(im.convert("RGB"))
+        except Exception:
+            return None
+
+
+class ParallelDecodeIterable:
+    """Decode a list of filepaths with a worker pool, preserving order.
+
+    Yields (image uint8 HWC, filepath); silently skips unreadable files
+    (reference behavior, raite_loader.py:132-138).
+    """
+
+    def __init__(
+        self,
+        filepaths: Sequence[str],
+        decode_fn: Callable[[str], Optional[np.ndarray]] = decode_image_rgb,
+        num_workers: int = 8,
+        prefetch: int = 32,
+    ):
+        self.filepaths = list(filepaths)
+        self.decode_fn = decode_fn
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, num_workers)
+
+    def __len__(self):
+        return len(self.filepaths)
+
+    def __iter__(self) -> Iterator:
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending: "queue.Queue" = queue.Queue()
+            it = iter(self.filepaths)
+
+            def submit_next() -> bool:
+                try:
+                    fp = next(it)
+                except StopIteration:
+                    return False
+                pending.put((pool.submit(self.decode_fn, fp), fp))
+                return True
+
+            for _ in range(self.prefetch):
+                if not submit_next():
+                    break
+            while not pending.empty():
+                fut, fp = pending.get()
+                img = fut.result()
+                submit_next()
+                if img is None:
+                    continue
+                yield img, fp
+
+
+def batched(
+    source: Iterable,
+    batch_size: int,
+    drop_remainder: bool = False,
+) -> Iterator[dict]:
+    """Assemble {'image': (B,H,W,C) uint8, 'filepath': [str]} batches.
+
+    Equivalent of the reference's dict-map + .batch (raite_loader.py:47-54).
+    Images within a batch must share a shape (as tf.data batch requires).
+    """
+    images: List[np.ndarray] = []
+    paths: List[str] = []
+    for img, fp in source:
+        if images and img.shape != images[0].shape:
+            # flush on shape change rather than erroring (ragged datasets)
+            yield {"image": np.stack(images), "filepath": paths}
+            images, paths = [], []
+        images.append(img)
+        paths.append(fp if isinstance(fp, str) else str(fp))
+        if len(images) == batch_size:
+            yield {"image": np.stack(images), "filepath": paths}
+            images, paths = [], []
+    if images and not drop_remainder:
+        yield {"image": np.stack(images), "filepath": paths}
+
+
+class CachedDataset:
+    """Materialize-once, iterate-many dataset of batches (tf.data .cache())."""
+
+    def __init__(self, factory: Callable[[], Iterable]):
+        self._factory = factory
+        self._cache: Optional[List] = None
+        self._lock = threading.Lock()
+
+    def __iter__(self):
+        if self._cache is not None:
+            return iter(self._cache)
+        return self._fill_iter()
+
+    def _fill_iter(self):
+        items = []
+        for item in self._factory():
+            items.append(item)
+            yield item
+        with self._lock:
+            self._cache = items
+
+    def __len__(self):
+        if self._cache is None:
+            self._cache = list(self._factory())
+        return len(self._cache)
+
+
+class BackgroundPrefetcher:
+    """Run an iterator in a daemon thread with a bounded queue (prefetch)."""
+
+    _DONE = object()
+
+    def __init__(self, iterable: Iterable, depth: int = 2):
+        self.iterable = iterable
+        self.depth = depth
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        err: list = []
+
+        def worker():
+            try:
+                for item in self.iterable:
+                    q.put(item)
+            except BaseException as e:  # surfaced in consumer
+                err.append(e)
+            finally:
+                q.put(self._DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._DONE:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+class MappedDataset:
+    """Lazy per-batch map (tf.data .map equivalent), re-iterable."""
+
+    def __init__(self, source: Iterable, fn: Callable):
+        self.source = source
+        self.fn = fn
+
+    def __iter__(self):
+        for item in self.source:
+            yield self.fn(item)
+
+    def __len__(self):
+        return len(self.source)
