@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""CLI: offline anomaly detection with reconstruction-error z-scoring.
+
+Parity with reference do_anomaly_detection.py:36-227 — same flags (-m model
+dir, -d eval dataset path, -o output dir, -t z threshold default 3.0), same
+two-pass scoring, same artifacts. The reference exits after the histogram
+(:157) leaving the per-frame dumps dead; here they run by default
+(--histogram-only restores the reference's effective behavior).
+"""
+
+import argparse
+import os
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-dir", "-m", required=True, type=str, help="Model directory")
+    parser.add_argument("--dataset-path", "-d", required=True, type=str, help="Dataset directory")
+    parser.add_argument("--output-path", "-o", required=True, type=str, help="Output directory")
+    parser.add_argument(
+        "--anomaly-threshold", "-t", type=float, default=3.0, help="Z-score thresh (default=3.0)"
+    )
+    parser.add_argument(
+        "--histogram-only", action="store_true",
+        help="Stop after the z-score histogram (reference behavior)",
+    )
+    args = parser.parse_args()
+
+    assert os.path.isdir(args.model_dir)
+    assert os.path.isdir(args.dataset_path)
+    if os.path.exists(args.output_path):
+        assert os.path.isdir(args.output_path)
+    os.makedirs(args.output_path, exist_ok=True)
+    return args
+
+
+def main():
+    args = get_args()
+
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import (
+        evaluate_anomalies,
+        get_data_scale,
+        output_anomalies,
+    )
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    model, config = load_model_from_directory(args.model_dir)
+
+    train_data = load_data(config)
+    data_scale = get_data_scale(model, config, train_data)
+
+    config["data"]["dataset_path"] = args.dataset_path
+    config["data"].pop("dataset", None)  # force the saved-dataset branch
+    evaluation_data = load_data(config)
+
+    anomaly_results = evaluate_anomalies(
+        model, config, evaluation_data, data_scale, args.anomaly_threshold,
+        keep_maps=not args.histogram_only,
+    )
+    output_anomalies(
+        evaluation_data, anomaly_results, data_scale, args.output_path,
+        args.anomaly_threshold, histogram_only=args.histogram_only,
+    )
+
+
+if __name__ == "__main__":
+    main()

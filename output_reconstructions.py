@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""CLI: dump originals / reconstructions / error maps / JET heatmap overlays.
+
+Parity with reference output_reconstructions.py:40-149: for both train and
+val splits writes imgs/{originals,reconstructions,errors,heatmap}/{train,val}
+PNGs, per-image scalar error sqrt(sum eps) JSONs
+(train/val_reconstruction_error.json), and a reconstruction-error histogram
+figure. Heatmaps normalize by the split's global error min/max (reference
+:73-84).
+
+TPU-first: forward + per-pixel error reduce is one jitted program per batch;
+PNG encoding fans out over a thread pool.
+"""
+
+import argparse
+import concurrent.futures as cf
+import json
+import os
+
+import numpy as np
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("log_dir", type=str, help="Model Directory")
+    return parser.parse_args()
+
+
+def _save_png(path, arr, mode):
+    from PIL import Image
+
+    Image.fromarray(arr, mode=mode).save(path)
+
+
+def _jet_overlay(orig_u8, err_u8):
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import _jet_heatmap
+
+    heatmap = _jet_heatmap(err_u8)
+    return (0.5 * heatmap + 0.5 * orig_u8).astype(np.uint8)
+
+
+def process_train_val_reconstructions(log_dir: str, model, config: dict, data: dict) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    assert os.path.isdir(log_dir)
+    core = model.core
+
+    @jax.jit
+    def fwd_err(params, x):
+        x_hat = core.call(params, x, training=False)
+        err_map = jnp.sum((x - x_hat) ** 2, axis=3)
+        scalar_err = jnp.sqrt(jnp.sum(err_map, axis=(1, 2)))
+        return x_hat, err_map, scalar_err
+
+    def process_split(split_data, split: str) -> dict:
+        orig_dir = os.path.join(log_dir, f"imgs/originals/{split}")
+        rec_dir = os.path.join(log_dir, f"imgs/reconstructions/{split}")
+        heat_dir = os.path.join(log_dir, f"imgs/heatmap/{split}")
+        err_dir = os.path.join(log_dir, f"imgs/errors/{split}")
+        for d in (orig_dir, rec_dir, heat_dir, err_dir):
+            os.makedirs(d, exist_ok=True)
+
+        rec_err = {}
+        err_maps = {}
+        origs = {}
+        img_num = 0
+        with cf.ThreadPoolExecutor(max_workers=8) as pool:
+            futs = []
+            for batch in split_data:
+                x = jnp.asarray(batch["image"] if isinstance(batch, dict) else batch, jnp.float32)
+                x_hat, err_map, scalar_err = fwd_err(model.params, x)
+                x_np, xh_np, em_np, se_np = map(np.asarray, (x, x_hat, err_map, scalar_err))
+                for i in range(len(x_np)):
+                    orig_u8 = np.clip(np.round(255.0 * x_np[i]), 0, 255).astype(np.uint8)
+                    rec_u8 = np.clip(np.round(255.0 * xh_np[i]), 0, 255).astype(np.uint8)
+                    futs.append(pool.submit(_save_png, os.path.join(orig_dir, f"{img_num}.png"), orig_u8, "RGB"))
+                    futs.append(pool.submit(_save_png, os.path.join(rec_dir, f"{img_num}.png"), rec_u8, "RGB"))
+                    rec_err[img_num] = float(se_np[i])
+                    err_maps[img_num] = em_np[i]
+                    origs[img_num] = orig_u8
+                    img_num += 1
+            for f in futs:
+                f.result()
+
+        # Heatmaps normalized by split-global min/max (reference :73-77)
+        if err_maps:
+            emin = min(float(m.min()) for m in err_maps.values())
+            emax = max(float(m.max()) for m in err_maps.values())
+            scale = (emax - emin) if emax > emin else 1.0
+            with cf.ThreadPoolExecutor(max_workers=8) as pool:
+                futs = []
+                for k, m in err_maps.items():
+                    err_u8 = np.clip(np.round(255.0 * (m - emin) / scale), 0, 255).astype(np.uint8)
+                    futs.append(pool.submit(_save_png, os.path.join(err_dir, f"{k}.png"), err_u8, "L"))
+                    overlay = _jet_overlay(origs[k], err_u8)
+                    futs.append(pool.submit(_save_png, os.path.join(heat_dir, f"{k}.png"), overlay, "RGB"))
+                for f in futs:
+                    f.result()
+        return rec_err
+
+    train_err = process_split(data["train"], "train")
+    with open(os.path.join(log_dir, "train_reconstruction_error.json"), "w") as f:
+        json.dump(train_err, f)
+    val_err = {}
+    if data.get("val") is not None:
+        val_err = process_split(data["val"], "val")
+        with open(os.path.join(log_dir, "val_reconstruction_error.json"), "w") as f:
+            json.dump(val_err, f)
+
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1)
+    fig.suptitle("Reconstruction Error Histogram")
+    ax.hist(list(train_err.values()), label="train", bins="auto")
+    if val_err:
+        ax.hist(list(val_err.values()), label="val", bins="auto")
+    ax.set_ylabel("Counts")
+    ax.set_xlabel("Reconstruction Error (MSE)")
+    ax.grid()
+    ax.legend()
+    fig.savefig(os.path.join(log_dir, "reconstruction_hist.png"))
+    plt.close(fig)
+
+
+def main():
+    args = get_args()
+
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    model, config = load_model_from_directory(args.log_dir)
+    data = load_data(config)
+    process_train_val_reconstructions(args.log_dir, model, config, data)
+
+
+if __name__ == "__main__":
+    main()

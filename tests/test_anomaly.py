@@ -1,0 +1,122 @@
+"""Offline anomaly pipeline + CDF threshold object tests."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    config = {
+        "data": {"dataset": "synthetic", "image_size": [16, 16, 3], "n_train": 16, "n_val": 8},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4, "w_mse": 1.0,
+                 "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 8, "beta": 1e-6, "learning_rate": 1e-3, "max_epochs": 1},
+    }
+    return load_model_from_config(config), config
+
+
+def test_two_pass_scoring(tiny_model):
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import evaluate_anomalies, get_data_scale
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    model, config = tiny_model
+    data = load_data(config)
+    scale = get_data_scale(model, config, data)
+    assert scale["sigma"] >= 0 and scale["max"] >= scale["min"]
+    assert scale["z_scores"].shape == (16,)
+    # z-scores of the reference distribution are standardized
+    np.testing.assert_allclose(np.mean(scale["z_scores"]), 0.0, atol=1e-5)
+
+    results = evaluate_anomalies(model, config, data, scale, anomaly_threshold=3.0)
+    assert results["z_scores"].shape == (16,)
+    assert results["rec"].shape == (16, 16, 16, 3)
+    assert results["norm_errs"].shape == (16, 16, 16)
+    assert results["anomalies"].dtype == bool
+    # same data as reference distribution -> roughly matching z-scores
+    np.testing.assert_allclose(
+        np.sort(results["z_scores"]), np.sort(scale["z_scores"]), atol=1e-3
+    )
+
+
+def test_output_artifacts(tiny_model, tmp_path):
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import (
+        evaluate_anomalies,
+        get_data_scale,
+        output_anomalies,
+    )
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    model, config = tiny_model
+    data = load_data(config)
+    scale = get_data_scale(model, config, data)
+    results = evaluate_anomalies(model, config, data, scale, 3.0)
+    out = tmp_path / "anomaly_out"
+    out.mkdir()
+    output_anomalies(data, results, scale, str(out), 3.0)
+    assert (out / "anomaly_fig.png").exists()
+    assert (out / "anomaly_list.csv").exists()
+    for sub in ("err", "heatmap", "overlay", "rec", "orig"):
+        files = list((out / sub).glob("*.png"))
+        assert len(files) == 16, f"{sub}: {len(files)}"
+    rows = (out / "anomaly_list.csv").read_text().strip().splitlines()
+    assert rows[0] == "orig_filepath,z_score"
+    assert len(rows) == 17
+    # sorted descending by z-score
+    zs = [float(r.split(",")[1]) for r in rows[1:]]
+    assert zs == sorted(zs, reverse=True)
+
+
+def test_histogram_only(tiny_model, tmp_path):
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import (
+        evaluate_anomalies,
+        get_data_scale,
+        output_anomalies,
+    )
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    model, config = tiny_model
+    data = load_data(config)
+    scale = get_data_scale(model, config, data)
+    results = evaluate_anomalies(model, config, data, scale, 3.0, keep_maps=False)
+    out = tmp_path / "hist_only"
+    out.mkdir()
+    output_anomalies(data, results, scale, str(out), 3.0, histogram_only=True)
+    assert (out / "anomaly_fig.png").exists()
+    assert not (out / "err").exists()
+
+
+def test_cdf_object_matches_distribution():
+    from trustedai_cl_vae_ad_tpu.anomaly.cdf import CDFObject
+
+    rng = np.random.RandomState(0)
+    x = rng.gamma(shape=2.0, scale=0.25, size=10000)
+    cdf = CDFObject(x)
+    # P(X <= median) ~ 0.5 (up to one histogram-bin of mass)
+    med = float(np.median(x))
+    assert abs(cdf.get_prob_by_value(med) - 0.5) < 0.06
+    # quantile roundtrip
+    v95 = cdf.get_value_by_prob(0.95)
+    assert abs(np.mean(x <= v95) - 0.95) < 0.03
+    # vectorized lookups
+    ps = cdf.get_prob_by_value(np.array([med, med * 2]))
+    assert ps.shape == (2,) and ps[1] > ps[0]
+    # reset with new data
+    cdf.reset(rng.normal(size=5000))
+    assert abs(cdf.get_prob_by_value(0.0) - 0.5) < 0.06
+
+
+def test_bst_prob_parity():
+    from trustedai_cl_vae_ad_tpu.anomaly.cdf import BSTProb, CDFObject
+
+    rng = np.random.RandomState(1)
+    x = rng.normal(size=500)
+    cdf = CDFObject(x, bins=32)
+    bst = BSTProb(cdf.bin_edges[1:], cdf.cdf)
+    for q in (-1.0, 0.0, 0.5, 1.5):
+        tree_p = bst[q]
+        fast_p = cdf.get_prob_by_value(q)
+        assert abs(tree_p - fast_p) < 0.08, (q, tree_p, fast_p)

@@ -1,0 +1,144 @@
+"""Empirical-CDF threshold object (per-task anomaly thresholds).
+
+Capability parity with reference src/cdf_object.py:6-107: histogram-based
+empirical CDF with value->probability and probability->value lookups, plus the
+``BSTProb`` mean-split binary-search tree API. The reference builds the CDF
+with an O(n^2) lower-triangular mask matmul (cdf_object.py:96-98) and walks a
+Python dict tree per query; here the CDF is a cumsum and lookups are
+``np.searchsorted`` (vectorized, accepts arrays), which is what the BST
+approximated. ``BSTProb`` is kept for API parity and small-n introspection.
+
+The reference ships this component with no importers (SURVEY.md section 2 L6);
+here it is wired into the continual-learning stream as the per-task threshold
+mechanism (stream/engine.py) per BASELINE.json config #3.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Union
+
+import numpy as np
+
+ArrayLike = Union[Sequence, np.ndarray]
+
+
+class BSTProb:
+    """Mean-split BST over (x, prob) pairs. Parity with cdf_object.py:6-77."""
+
+    def __init__(self, x: ArrayLike, probs: ArrayLike, match_fun: Callable = None):
+        self.reset(x, probs, match_fun or (lambda a, b: a <= b))
+
+    def reset(self, x, probs, match_fun=None):
+        assert len(x) == len(probs)
+        assert len(x) > 0
+        if match_fun:
+            self.match_fun = match_fun
+        order = np.argsort(np.asarray(x), kind="stable")
+        self.x = np.asarray(x)[order]
+        self.probs = np.asarray(probs)[order]
+        self._build_tree()
+
+    def _build_tree(self):
+        self._tree = self._step_down(self.x, self.probs, np.mean(self.x), 0)
+        assert self._tree
+        self._tree["parent"] = None
+
+    def _step_down(self, x, probs, meu, parent_depth):
+        if len(x) == 0:
+            return None
+        if len(x) == 1 or np.min(x) == np.max(x):
+            return {"key": meu, "prob": probs[0], "depth": parent_depth + 1}
+        node = {"key": meu, "depth": parent_depth + 1}
+        left_match = self.match_fun(x, meu)
+        left_x, left_p = x[left_match], probs[left_match]
+        if len(left_x) > 0:
+            node["left"] = self._step_down(left_x, left_p, np.mean(left_x), parent_depth + 1)
+            if node["left"]:
+                node["left"]["parent"] = node
+        right_match = np.logical_not(left_match)
+        right_x, right_p = x[right_match], probs[right_match]
+        if len(right_x) > 0:
+            node["right"] = self._step_down(right_x, right_p, np.mean(right_x), parent_depth + 1)
+            if node["right"]:
+                node["right"]["parent"] = node
+        return node
+
+    def __getitem__(self, x):
+        walk = self._tree
+        while "prob" not in walk:
+            left = self.match_fun(x, walk["key"])
+            if left and "left" in walk:
+                walk = walk["left"]
+            elif not left and "right" in walk:
+                walk = walk["right"]
+            else:
+                raise Exception("Error: BSTProb[], should never reach here")
+        return walk["prob"]
+
+
+class CDFObject:
+    """Histogram empirical CDF. Parity with cdf_object.py:81-107 semantics;
+    O(n log n) build and vectorized searchsorted lookups."""
+
+    def __init__(self, x: ArrayLike, bins="auto"):
+        self.bins = bins
+        self.reset(x, bins)
+
+    def reset(self, x, bins=None):
+        self.x = np.asarray(x)
+        if bins:
+            self.bins = bins
+        self.hist, self.bin_edges = np.histogram(self.x, bins=self.bins, density=True)
+        s = np.sum(self.hist)
+        self.hist = self.hist / (s if s > 0 else 1.0)
+        self.bin_mid = (self.bin_edges[1:] + self.bin_edges[:-1]) / 2.0
+        self.bin_width = np.mean(self.bin_edges[1:] - self.bin_edges[:-1])
+        self.meu = float(np.dot(self.hist, self.bin_mid))
+        # cumulative mass up to each right bin edge (== reference's masked sum)
+        self.cdf = np.cumsum(self.hist)
+
+    def get_prob_by_value(self, x):
+        """P(X <= x) from the histogram CDF (scalar or array)."""
+        idx = np.clip(np.searchsorted(self.bin_edges[1:], x, side="left"), 0, len(self.cdf) - 1)
+        out = self.cdf[idx]
+        return float(out) if np.isscalar(x) else out
+
+    def get_value_by_prob(self, p):
+        """Smallest right-bin-edge whose CDF reaches p (scalar or array)."""
+        idx = np.clip(np.searchsorted(self.cdf, p, side="left"), 0, len(self.cdf) - 1)
+        out = self.bin_edges[1:][idx]
+        return float(out) if np.isscalar(p) else out
+
+
+def benchmark_reset(n_runs: int = 1000, alpha: float = 2.0, beta: float = 4.0, n: int = 10000):
+    """Parity with the reference's CLI timing loop (cdf_object.py:148-155)."""
+    import time
+
+    cdf = CDFObject(np.random.gamma(shape=alpha, scale=1.0 / beta, size=(n,)))
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        cdf.reset(np.random.gamma(shape=alpha, scale=1.0 / beta, size=(n,)))
+    dt = time.perf_counter() - t0
+    print(f"Time Delta for {n_runs} runs: {dt} s, {dt / n_runs} s/frame")
+    return dt
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--alpha", "-a", type=float, default=2.0)
+    parser.add_argument("--beta", "-b", type=float, default=4.0)
+    parser.add_argument("--num-samples", "-n", type=int, default=10000)
+    args = parser.parse_args()
+
+    x = np.random.gamma(shape=args.alpha, scale=1.0 / args.beta, size=(args.num_samples,))
+    cdf = CDFObject(x)
+    print("Get Probability from Value")
+    for a in np.linspace(0.0, 3.0, 30):
+        print(f" - {a:0.03f}: {cdf.get_prob_by_value(a):0.03f}")
+    print("Get Value from Probability")
+    for p in np.linspace(0.0, 1.0, 10):
+        print(f" - {p:0.03f}: {cdf.get_value_by_prob(p):0.03f}")
+    print(f"95%: {cdf.get_value_by_prob(0.95)}")
+    benchmark_reset(n=args.num_samples, alpha=args.alpha, beta=args.beta)
