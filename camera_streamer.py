@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""CLI: headless live-stream anomaly detection + continual learning.
+
+The engine behind the reference's Qt camera app (camera_streamer_qt.py),
+runnable without a display: capture (RTSP / webcam / video file / frame
+directory / synthetic) -> TPU inference + streaming anomaly score ->
+optional continual learning -> optional recording -> periodic autosave.
+
+Usage:
+  python camera_streamer.py cam_config.yml -m <model_logdir> [--cam-index 0]
+  python camera_streamer.py --source synthetic -m <model_logdir> --max-frames 100
+"""
+
+import argparse
+import json
+import os
+import time
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("cam_config", type=str, nargs="?", default=None,
+                        help="cam_config.yml with camera_list + anomaly_settings")
+    parser.add_argument("--cam-config-index", type=int, default=0)
+    parser.add_argument("--model-dir", "-m", required=True, type=str, help="Model log dir")
+    parser.add_argument("--source", "-s", type=str, default=None,
+                        help="Override source: 'synthetic', dir, file, index, or URL")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--continual-learning", "-c", action="store_true")
+    parser.add_argument("--learning-rate", type=float, default=None)
+    parser.add_argument("--img-noise", type=float, default=None)
+    parser.add_argument("--replay-buffer", type=str, default=None, help="txt/csv of image paths")
+    parser.add_argument("--record-dir", "-r", type=str, default=None)
+    parser.add_argument("--model-cache-dir", type=str, default="model_cache")
+    parser.add_argument("--stats-jsonl", type=str, default=None, help="Write per-frame stats")
+    parser.add_argument("--realtime", action="store_true",
+                        help="Pace frames at source fps (default: as fast as possible)")
+    parser.add_argument("--host-resize", action="store_true",
+                        help="Shrink frames on host before upload (thin TPU links)")
+    return parser.parse_args()
+
+
+def main():
+    args = get_args()
+
+    from trustedai_cl_vae_ad_tpu.stream.capture import make_source
+    from trustedai_cl_vae_ad_tpu.stream.engine import load_cam_config, load_engine_from_directory
+
+    anomaly_settings = None
+    cam_info = None
+    source_spec = args.source
+    fps = 20.0
+    if args.cam_config:
+        cam_config = load_cam_config(args.cam_config, args.cam_config_index)
+        anomaly_settings = cam_config.get("anomaly_settings")
+        cam_info = cam_config["camera_list"][args.cam_config_index]
+        fps = float(cam_info.get("fps", 20))
+        if source_spec is None:
+            source_spec = cam_info.get("url")
+    if source_spec is None:
+        source_spec = "synthetic"
+
+    engine = load_engine_from_directory(
+        args.model_dir,
+        anomaly_settings=anomaly_settings,
+        model_cache_dir=args.model_cache_dir,
+        host_resize=args.host_resize,
+    )
+    if cam_info:
+        engine.cam_info = cam_info
+    engine.enable_cont_learning = args.continual_learning
+    if args.learning_rate is not None:
+        engine.set_learning_rate(args.learning_rate)
+    if args.img_noise is not None:
+        engine.set_img_noise(args.img_noise)
+    if args.replay_buffer:
+        engine.load_replay_buffer_from_file(args.replay_buffer)
+    if args.record_dir:
+        os.makedirs(args.record_dir, exist_ok=True)
+        engine.begin_recording(args.record_dir)
+
+    if not args.realtime:
+        # offline replay: process every frame, ignore the wall-clock hold-off
+        engine.inference_period_ms = 0.0
+
+    source = make_source(source_spec, fps=fps)
+    stats_file = open(args.stats_jsonl, "w") if args.stats_jsonl else None
+
+    n = 0
+    latencies = []
+    try:
+        for frame in source:
+            t0 = time.perf_counter()
+            result = engine.process_frame(frame)
+            if result is not None:
+                lat_ms = (time.perf_counter() - t0) * 1000.0
+                latencies.append(lat_ms)
+                line = {
+                    "frame": n,
+                    "score": result.score,
+                    "score_ma": result.score_ma,
+                    "count": result.pixel_count,
+                    "anomalous": result.anomalous,
+                    "latency_ms": round(lat_ms, 3),
+                    "cl_stepped": result.cl_stepped,
+                }
+                if stats_file:
+                    stats_file.write(json.dumps(line) + "\n")
+                if n % 20 == 0 or result.anomalous:
+                    print(f"frame {n}: AS={result.score: .4f} MA={result.score_ma: .4f} "
+                          f"{'**ANOMALOUS**' if result.anomalous else ''} ({lat_ms:.2f} ms)")
+            n += 1
+            if args.max_frames is not None and n >= args.max_frames:
+                break
+            if args.realtime:
+                time.sleep(max(0.0, 1.0 / fps - (time.perf_counter() - t0)))
+    except KeyboardInterrupt:
+        print("Keyboard Interrupt")
+    finally:
+        source.release()
+        if engine.recording_flag:
+            engine.terminate_recording()
+        if stats_file:
+            stats_file.close()
+
+    if latencies:
+        import numpy as np
+
+        lat = np.array(latencies[2:] if len(latencies) > 4 else latencies)
+        print(f"processed {n} frames; latency p50={np.percentile(lat, 50):.2f} ms "
+              f"p95={np.percentile(lat, 95):.2f} ms mean={lat.mean():.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

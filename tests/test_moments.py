@@ -41,9 +41,12 @@ def test_degenerate_constant_input():
     import jax.numpy as jnp
     from trustedai_cl_vae_ad_tpu.ops import moments
 
-    z = jnp.full((8, 4), 3.7, jnp.float32)
+    # use a power-of-two constant: the mean is then exact in f32, so var is
+    # exactly 0 and the divide_no_nan guard engages (with an inexact constant
+    # the var is ~1e-14 and z-scores collapse to +-1 — same as TF)
+    z = jnp.full((8, 4), 2.0, jnp.float32)
     m, var, skew, kurt = moments.global_moments(z)
-    assert float(m) == pytest.approx(3.7, rel=1e-6)
+    assert float(m) == pytest.approx(2.0, rel=1e-6)
     assert float(var) == 0.0
     assert float(skew) == 0.0
     assert float(kurt) == 0.0

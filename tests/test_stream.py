@@ -1,0 +1,269 @@
+"""Streaming engine: scorer math parity, CL, recording, state machine."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _numpy_reference_scorer(frames, recs, alpha):
+    """Step-by-step numpy transcription of the reference's scoring block
+    (camera_streamer_qt.py:1366-1400) for parity validation."""
+    min_ema = 0.0
+    max_ema = 0.0
+    sum_ma = None
+    sum2_ma = None
+    as_sum = 0.0
+    as_sum2 = 0.0
+    outs = []
+    for img, rec in zip(frames, recs):
+        err = np.sum((img - rec) ** 2, axis=-1)
+        e_min, e_max = float(err.min()), float(err.max())
+        max_ema = alpha * max_ema + (1 - alpha) * e_max
+        min_ema = alpha * min_ema + (1 - alpha) * e_min
+        norm = (err - min_ema) / (max_ema - min_ema)
+        s = err * 1.0
+        if sum_ma is None:
+            sum_ma = s
+        if sum2_ma is None:
+            sum2_ma = s**2
+        sum_ma = alpha * sum_ma + (1 - alpha) * s
+        sum2_ma = alpha * sum2_ma + (1 - alpha) * s**2
+        var = np.abs(sum2_ma - sum_ma**2)
+        z = (s - sum_ma) / np.sqrt(var + 1e-10)
+        zz = (z - z.mean()) / z.std()
+        count = float(np.sum(zz > 3.0))
+        as_sum = alpha * as_sum + (1 - alpha) * count
+        as_sum2 = alpha * as_sum2 + (1 - alpha) * count**2
+        a_var = as_sum2 - as_sum**2
+        with np.errstate(invalid="ignore"):
+            score = (count - as_sum) / np.sqrt(a_var)
+        outs.append((norm, float(score), count))
+    return outs
+
+
+def test_stream_score_matches_reference_math():
+    import jax.numpy as jnp
+    from trustedai_cl_vae_ad_tpu.ops import stream_score
+
+    rng = np.random.RandomState(0)
+    H, W, C = 12, 10, 3
+    frames = rng.random((5, H, W, C)).astype(np.float32)
+    recs = rng.random((5, H, W, C)).astype(np.float32)
+    alpha = 0.9
+
+    ref = _numpy_reference_scorer(frames, recs, alpha)
+    state = stream_score.init_state(H, W)
+    for i in range(5):
+        state, norm, score, count = stream_score.stream_score_step_reference(
+            state, jnp.asarray(frames[i]), jnp.asarray(recs[i]), alpha
+        )
+        ref_norm, ref_score, ref_count = ref[i]
+        np.testing.assert_allclose(np.asarray(norm), ref_norm, rtol=1e-4, atol=1e-5)
+        # zz > 3 is a hard threshold: f32-vs-f64 noise can flip boundary
+        # pixels, so allow a small count delta
+        assert abs(float(count) - ref_count) <= 2, (float(count), ref_count)
+        if np.isnan(ref_score) or np.isnan(float(score)):
+            assert float(count) == pytest.approx(ref_count, abs=2)
+        else:
+            np.testing.assert_allclose(float(score), ref_score, rtol=5e-2, atol=5e-2)
+
+
+def test_stream_score_pallas_interpret_matches_jnp():
+    import jax.numpy as jnp
+    from trustedai_cl_vae_ad_tpu.ops import stream_score
+
+    rng = np.random.RandomState(1)
+    H, W, C = 8, 16, 3
+    state_a = stream_score.init_state(H, W)
+    state_b = stream_score.init_state(H, W)
+    old = stream_score._INTERPRET
+    stream_score._INTERPRET = True
+    try:
+        for _ in range(3):
+            img = jnp.asarray(rng.random((H, W, C)).astype(np.float32))
+            rec = jnp.asarray(rng.random((H, W, C)).astype(np.float32))
+            state_a, norm_a, score_a, count_a = stream_score.stream_score_step(
+                state_a, img, rec, 0.95
+            )
+            state_b, norm_b, score_b, count_b = stream_score.stream_score_step_reference(
+                state_b, img, rec, 0.95
+            )
+            np.testing.assert_allclose(np.asarray(norm_a), np.asarray(norm_b), rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(state_a.maps), np.asarray(state_b.maps), rtol=1e-5, atol=1e-6)
+            assert abs(float(count_a) - float(count_b)) <= 2  # zz boundary flips
+    finally:
+        stream_score._INTERPRET = old
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+
+    config = {
+        "data": {"image_size": [16, 16, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4, "w_mse": 1.0,
+                 "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 8, "beta": 1e-6, "learning_rate": 1e-3, "max_epochs": 1},
+    }
+    model = load_model_from_config(config)
+    model.compile()
+    settings = {
+        "anomaly_score_threshold": 2.0,
+        "anomaly_score_method": "zz_count",
+        "buffer_record_period_s": 1.0,
+        "anomalous_state_period_s": 0.05,
+    }
+    eng = StreamingEngine(model, config, anomaly_settings=settings)
+    eng.inference_period_ms = 0.0
+    return eng
+
+
+def test_engine_process_and_state_machine(engine):
+    """Static scene + noise -> injected blob must raise pixel counts and
+    trip the anomalous-state machine. (The scorer's z is capped at
+    sqrt(alpha/(1-alpha)), so alpha must be ~0.99 for zz to exceed 3 —
+    matching the reference's default stream_error_ma.)"""
+    from trustedai_cl_vae_ad_tpu.stream.capture import SyntheticSource
+
+    src = SyntheticSource(
+        width=24, height=20, n_frames=60, anomaly_frames=range(50, 54), motion=0.0
+    )
+    counts = []
+    anomalous_seen = False
+    for i, frame in enumerate(src):
+        r = engine.process_frame(frame)
+        assert r is not None
+        counts.append(r.pixel_count)
+        assert r.norm_err_u8.shape == (16, 16)
+        assert r.reconstruction_u8.shape == (16, 16, 3)
+        if r.anomalous:
+            anomalous_seen = True
+    steady = np.mean(counts[40:50])
+    burst = np.max(counts[50:54])
+    assert burst > steady, (steady, burst)
+    assert burst >= 1.0
+    assert anomalous_seen
+
+
+def test_engine_cl_step_updates_params(engine):
+    import jax
+
+    engine.enable_cont_learning = True
+    engine._last_cl_t = 0.0
+    engine.continuous_learning_period_ms = 0.0
+    before = jax.tree_util.tree_leaves(engine.model.params)[0].copy()
+    frame = np.random.RandomState(3).randint(0, 255, (20, 24, 3), np.uint8)
+    r = engine.process_frame(frame)
+    engine.enable_cont_learning = False
+    assert r.cl_stepped
+    assert r.loss is not None and "anomaly_score" in r.loss
+    after = jax.tree_util.tree_leaves(engine.model.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    assert engine.cl_epochs >= 1
+    assert engine.model_changed_flag
+
+
+def test_engine_lr_and_noise_dials(engine):
+    engine.set_learning_rate(3.3e-4)
+    assert abs(engine.model.learning_rate - 3.3e-4) < 1e-9
+    engine.set_img_noise(0.05)
+    assert abs(engine.model.beta - 0.05) < 1e-9
+
+
+def test_engine_recording_and_labels(engine, tmp_path):
+    rec_dir = tmp_path / "recordings"
+    rec_dir.mkdir()
+    engine.record_period_ms = 0.0
+    engine.begin_recording(str(rec_dir))
+    src_frames = np.random.RandomState(4).randint(0, 255, (3, 20, 24, 3), np.uint8)
+    for f in src_frames:
+        engine.process_frame(f)
+    labels_path = engine.terminate_recording()
+    assert labels_path and os.path.exists(labels_path)
+    import json
+
+    with open(labels_path) as fh:
+        labels = json.load(fh)
+    inst = os.path.dirname(labels_path)
+    n = len(labels["images"])
+    assert n >= 1
+    assert len(labels["annotations"]) == n  # per-frame anomaly scores
+    for sub in ("frames", "err", "heatmap", "overlay", "rec"):
+        assert len(os.listdir(os.path.join(inst, sub))) == n
+    assert os.path.isdir(os.path.join(inst, "model", "encoder"))
+
+
+def test_replay_buffer_load(engine, tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"rb_{i}.png"
+        Image.fromarray(rng.randint(0, 255, (20, 24, 3), np.uint8)).save(p)
+        paths.append(str(p))
+    csv_path = tmp_path / "replay.csv"
+    csv_path.write_text("\n".join(paths) + "\n")
+    n = engine.load_replay_buffer_from_file(str(csv_path))
+    assert n == 3
+    assert engine.replay_buffer.shape == (3, 16, 16, 3)
+    # CL step with replay stacked
+    engine.enable_cont_learning = True
+    engine._last_cl_t = 0.0
+    r = engine.process_frame(rng.randint(0, 255, (20, 24, 3), np.uint8))
+    engine.enable_cont_learning = False
+    assert r.cl_stepped
+    engine.replay_buffer = None
+    engine.replay_buffer_paths = None
+
+
+def test_save_model_with_cam_info(engine, tmp_path):
+    engine.cam_info = {"name": "cam0", "url": "rtsp://example", "fps": 20}
+    out = engine.save_model_to_dir(str(tmp_path / "saved"))
+    from trustedai_cl_vae_ad_tpu.config import load_config
+
+    cfg = load_config(os.path.join(out, "config.yml"))
+    assert cfg["cam_info"]["name"] == "cam0"
+    assert os.path.isdir(os.path.join(out, "encoder"))
+
+
+def test_combine_datasets(tmp_path):
+    import json
+
+    from trustedai_cl_vae_ad_tpu.stream.engine import combine_datasets
+
+    for name, ids in (("a", [0, 1]), ("b", [0])):
+        d = tmp_path / name / "frames"
+        d.mkdir(parents=True)
+        labels = {"info": {}, "categories": [], "annotations": [],
+                  "images": [{"id": i, "width": 4, "height": 4, "file_name": f"{name}{i}.png"} for i in ids]}
+        (tmp_path / name / "labels.json").write_text(json.dumps(labels))
+    dest = tmp_path / "merged"
+    dest.mkdir()
+    out = combine_datasets([str(tmp_path / "a"), str(tmp_path / "b")], str(dest))
+    with open(out) as f:
+        merged = json.load(f)
+    assert len(merged["images"]) == 3
+
+
+def test_cam_config_validation(tmp_path):
+    import yaml
+
+    from trustedai_cl_vae_ad_tpu.stream.engine import load_cam_config
+
+    good = {"camera_list": [{"name": "c", "url": "", "fps": 10}],
+            "anomaly_settings": {"anomaly_score_threshold": 2.0, "anomaly_score_method": "m",
+                                  "buffer_record_period_s": 1, "anomalous_state_period_s": 5}}
+    p = tmp_path / "cam.yml"
+    p.write_text(yaml.safe_dump(good))
+    cfg = load_cam_config(str(p))
+    assert cfg["camera_list"][0]["name"] == "c"
+    bad = dict(good, anomaly_settings={"anomaly_score_threshold": 2.0})
+    p2 = tmp_path / "bad.yml"
+    p2.write_text(yaml.safe_dump(bad))
+    with pytest.raises(AssertionError, match="anomaly_settings missing"):
+        load_cam_config(str(p2))

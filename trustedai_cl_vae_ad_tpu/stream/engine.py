@@ -1,0 +1,542 @@
+"""Headless streaming inference + continual-learning engine.
+
+The TPU-native core of the reference's live camera app
+(camera_streamer_qt.py:116-1502) with the Qt shell factored out (the Qt/tk
+GUIs are thin views over this engine). Capability map:
+
+  * frame ring buffer of 16 device-resident frames — the reference's
+    DataQueue of tf.Variables (:61-81, :182) becomes a jnp ring updated by
+    dynamic_update_slice INSIDE the jitted step (no per-tick host traffic);
+  * per-frame inference + streaming anomaly score as ONE jitted program:
+    device resize/normalize -> CVAE forward -> fused EMA scorer
+    (ops/stream_score.py) — the reference's per-tick host resize (:1296) and
+    15-op TF scoring block (:1366-1400) collapse into a single dispatch,
+    which is what makes <10 ms p50 per frame possible;
+  * continual learning: gradient step on ring [+ replay buffer] at a dialed
+    cadence with runtime-mutable lr (:1325-1329) and input-noise beta
+    (:1331-1336) — lr is an optax injected hyperparameter, beta a traced
+    argument, so re-dialing never recompiles;
+  * replay buffer load from txt/csv of image paths (:702-795);
+  * anomaly state machine with threshold + hold period from cam_config
+    ``anomaly_settings`` (:280-285, :898-914);
+  * recording pipeline: frames/err/heatmap/overlay/rec PNG streams + COCO
+    labels.json with per-frame anomaly-score annotations (:1017-1102,
+    :1210-1260);
+  * model autosave: schedule flag + dirty flag, save to cache dir with
+    cam_info embedded in config.yml and replay_buffer_paths.csv (:917-1010);
+  * dataset combine (:798-850);
+  * per-phase timing EMA (process_rate, :1111-1139) logged not printed.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import json
+import os
+import shutil
+import time
+from copy import deepcopy
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trustedai_cl_vae_ad_tpu.config import load_config, save_config
+from trustedai_cl_vae_ad_tpu.ops import stream_score
+from trustedai_cl_vae_ad_tpu.ops.stream_score import StreamScoreState
+
+
+def validate_anomaly_settings(anomaly_settings: dict) -> dict:
+    """cam_config['anomaly_settings'] schema (camera_streamer_qt.py:280-285)."""
+    assert anomaly_settings is not None
+    for key in (
+        "anomaly_score_threshold",
+        "anomaly_score_method",
+        "buffer_record_period_s",
+        "anomalous_state_period_s",
+    ):
+        assert key in anomaly_settings, f"anomaly_settings missing {key}"
+    return anomaly_settings
+
+
+def load_cam_config(path: str, index: int = 0) -> dict:
+    """cam_config.yml: camera_list + anomaly_settings (:264-304)."""
+    cam_config = load_config(path)
+    assert "camera_list" in cam_config
+    assert len(cam_config["camera_list"]) > 0
+    assert index < len(cam_config["camera_list"])
+    if "anomaly_settings" in cam_config:
+        validate_anomaly_settings(cam_config["anomaly_settings"])
+    return cam_config
+
+
+@dataclass
+class FrameResult:
+    score: float
+    score_ma: float
+    pixel_count: float
+    anomalous: bool
+    _norm_dev: object = None       # device arrays; fetched lazily
+    _rec_dev: object = None
+    cl_stepped: bool = False
+    loss: Optional[dict] = None
+
+    @property
+    def norm_err_u8(self) -> np.ndarray:
+        """(H, W) uint8 normalized error map (device->host on first access)."""
+        return np.asarray(self._norm_dev)
+
+    @property
+    def reconstruction_u8(self) -> np.ndarray:
+        """(H, W, C) uint8 reconstruction (device->host on first access)."""
+        return np.asarray(self._rec_dev)
+
+
+class StreamingEngine:
+    RING_SIZE = 16
+
+    def __init__(
+        self,
+        model,
+        config: dict,
+        anomaly_settings: Optional[dict] = None,
+        cam_info: Optional[dict] = None,
+        stream_error_ma: float = 0.99,
+        anomaly_ma_weight: float = 0.9,
+        inference_period_ms: float = 50.0,
+        continuous_learning_period_ms: float = 500.0,
+        model_cache_dir: Optional[str] = None,
+        autosave_period_s: float = 5 * 60.0,
+        host_resize: bool = False,
+    ):
+        self.model = model
+        self.config = config
+        self.anomaly_settings = anomaly_settings
+        self.cam_info = cam_info or {}
+        self.stream_error_ma = float(stream_error_ma)
+        self.anomaly_ma_weight = float(anomaly_ma_weight)
+        self.inference_period_ms = inference_period_ms
+        self.continuous_learning_period_ms = continuous_learning_period_ms
+        self.model_cache_dir = model_cache_dir
+        self.autosave_period_s = autosave_period_s
+        # Pre-shrink frames on host (cv2 INTER_AREA) before upload: trades the
+        # on-device antialias resize for a ~30x smaller host->device transfer
+        # (6 MB 1080p -> 200 KB). Worth it when the TPU link is thin.
+        self.host_resize = host_resize
+
+        size = config["data"]["image_size"]
+        self.height, self.width, self.channels = int(size[0]), int(size[1]), int(size[2])
+
+        # device-resident state
+        self.ring = jnp.zeros((self.RING_SIZE, self.height, self.width, self.channels), jnp.float32)
+        self.ring_idx = 0
+        self.ring_filled = 0
+        self.score_state: StreamScoreState = stream_score.init_state(self.height, self.width)
+        self.replay_buffer: Optional[jnp.ndarray] = None
+        self.replay_buffer_paths: Optional[list] = None
+
+        # mutable dials (reference GUI spinboxes)
+        self.enable_cont_learning = False
+        self.enable_anomaly_state = True
+        self.anomaly_score = 0.0
+        self.anomaly_score_ma = 0.0
+        self.anomalous_state = False
+        self.anomalous_start_time: Optional[float] = None
+        self.cl_epochs = 0
+        self.last_epoch_loss: Optional[dict] = None
+        self.model_changed_flag = False
+        self.schedule_model_save_flag = True
+        self._last_inference_t = 0.0
+        self._last_cl_t = 0.0
+        self._last_autosave_t = time.monotonic()
+
+        # recording
+        self.record_dir: Optional[str] = None
+        self.record_instance_dir: Optional[str] = None
+        self.recording_flag = False
+        self.anomaly_score_map: dict = {}
+        self._last_record_t = 0.0
+        self.record_period_ms = 500.0
+
+        # timing EMA (reference process_rate :1130-1131)
+        self.process_rate = 0.0
+        self.timings: dict = {}
+
+        if self.model.optimizer is None:
+            self.model.compile()
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jits
+    def _build_jits(self):
+        core = self.model.core
+        out_hw = (self.height, self.width)
+
+        def infer_score(params, ring, idx, frame_u8, maps, scalars, alpha):
+            x = frame_u8.astype(jnp.float32) / 255.0
+            b = x[None]
+            if x.shape[:2] != out_hw:
+                b = jax.image.resize(
+                    b, (1, out_hw[0], out_hw[1], x.shape[2]), method="linear", antialias=True
+                )
+            img = b[0]
+            ring = jax.lax.dynamic_update_slice(ring, b, (idx, 0, 0, 0))
+            x_hat = core.call(params, b, training=False)[0]
+            state, norm, score, count = stream_score.stream_score_step(
+                StreamScoreState(maps, scalars), img, x_hat, alpha
+            )
+            norm_u8 = jnp.clip(jnp.round(255.0 * norm), 0, 255).astype(jnp.uint8)
+            rec_u8 = jnp.clip(jnp.round(255.0 * x_hat), 0, 255).astype(jnp.uint8)
+            score_count = jnp.stack([score, count])  # one packed scalar fetch
+            return ring, state.maps, state.scalars, norm_u8, rec_u8, score_count
+
+        self._infer_score_j = jax.jit(infer_score, donate_argnums=(1, 4, 5))
+
+        optimizer = self.model.optimizer
+
+        def cl_step(params, opt_state, stacked, rng, beta):
+            def loss_fn(p):
+                loss_dict, x_hat = core.compute_loss(
+                    p, stacked, training=True, return_inf=True, rng=rng
+                )
+                return loss_dict["loss"], (loss_dict, x_hat)
+
+            grads, (loss_dict, x_hat) = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            import optax
+
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss_dict, x_hat
+
+        self._cl_step_j = jax.jit(cl_step, donate_argnums=(0, 1))
+
+    # -------------------------------------------------------------- main path
+    def process_frame(self, frame_u8: np.ndarray, now: Optional[float] = None) -> Optional[FrameResult]:
+        """Run inference + scoring (+ CL at its cadence) for one RGB frame.
+
+        Returns None when inside the inference hold-off period (reference
+        :1274-1279). Mirrors update_inference_draws (:1263-1461).
+        """
+        t_start = time.perf_counter()
+        now = time.monotonic() if now is None else now
+        if (now - self._last_inference_t) * 1000.0 < self.inference_period_ms:
+            return None
+        self._last_inference_t = now
+
+        frame_u8 = np.ascontiguousarray(frame_u8)
+        if self.host_resize and frame_u8.shape[:2] != (self.height, self.width):
+            try:
+                import cv2
+
+                # cv2.resize takes (width, height); tensor axes are (H, W)
+                frame_u8 = cv2.resize(
+                    frame_u8, (self.width, self.height), interpolation=cv2.INTER_AREA
+                )
+            except ImportError:
+                pass  # fall through to device resize
+        alpha = jnp.float32(self.stream_error_ma)
+        idx = self.ring_idx = (self.ring_idx + 1) % self.RING_SIZE
+        self.ring_filled = min(self.ring_filled + 1, self.RING_SIZE)
+
+        (self.ring, maps, scalars, norm_u8, rec_u8, score_count) = self._infer_score_j(
+            self.model.params, self.ring, idx, jnp.asarray(frame_u8),
+            self.score_state.maps, self.score_state.scalars, alpha,
+        )
+        self.score_state = StreamScoreState(maps, scalars)
+        score_count = np.asarray(score_count)  # single small device->host fetch
+        score, count = score_count[0], score_count[1]
+        t_infer = time.perf_counter()
+
+        # continual learning at its cadence (reference :1306-1353)
+        cl_stepped = False
+        loss = None
+        if (
+            self.enable_cont_learning
+            and (now - self._last_cl_t) * 1000.0 > self.continuous_learning_period_ms
+        ):
+            self._last_cl_t = now
+            loss = self._do_cl_step()
+            cl_stepped = True
+        t_cl = time.perf_counter()
+
+        score_f = float(score)
+        self.anomaly_score = score_f
+        self.check_anomalous_state()
+        ma = self.anomaly_ma_weight * self.anomaly_score_ma + (1.0 - self.anomaly_ma_weight) * score_f
+        if not np.isnan(ma):  # reference :1407-1408
+            self.anomaly_score_ma = ma
+
+        result = FrameResult(
+            score=score_f,
+            score_ma=self.anomaly_score_ma,
+            pixel_count=float(count),
+            anomalous=self.anomalous_state,
+            _norm_dev=norm_u8,
+            _rec_dev=rec_u8,
+            cl_stepped=cl_stepped,
+            loss=loss,
+        )
+
+        self._maybe_record(frame_u8, result, now)
+        self._maybe_autosave(now)
+
+        t_end = time.perf_counter()
+        self.timings = {
+            "infer_s": t_infer - t_start,
+            "cl_s": t_cl - t_infer,
+            "record_s": t_end - t_cl,
+            "total_s": t_end - t_start,
+        }
+        self.process_rate = 0.9 * self.timings["total_s"] + 0.1 * self.process_rate
+        return result
+
+    def _do_cl_step(self) -> dict:
+        """Gradient step on ring [+ replay] (reference :1319-1353)."""
+        if self.replay_buffer is not None:
+            stacked = jnp.concatenate([self.ring, self.replay_buffer], axis=0)
+        else:
+            stacked = self.ring
+        rng = self.model._next_rng()
+        beta = jnp.float32(self.model.beta)
+        (self.model.params, self.model.opt_state, loss, _x_hat) = self._cl_step_j(
+            self.model.params, self.model.opt_state, stacked, rng, beta
+        )
+        self.cl_epochs += 1
+        loss = {k: float(v) for k, v in loss.items()}
+        loss["anomaly_score"] = self.anomaly_score
+        loss["anomaly_score_ma"] = self.anomaly_score_ma
+        self.last_epoch_loss = loss
+        self.model_changed_flag = True
+        return loss
+
+    def set_learning_rate(self, lr: float) -> None:
+        self.model.set_learning_rate(lr)
+
+    def set_img_noise(self, beta: float) -> None:
+        """GUI img-noise dial -> model.beta (reference :1331-1336)."""
+        self.model.beta = beta
+
+    # ------------------------------------------------------- state machine
+    def toggle_anomalous_state(self, state: bool) -> None:
+        if self.enable_anomaly_state:
+            if state and not self.anomalous_state:
+                self.anomalous_start_time = time.monotonic()
+            self.anomalous_state = state
+        else:
+            self.anomalous_state = False
+
+    def check_anomalous_state(self) -> None:
+        """Threshold + hold-period state machine (reference :898-914)."""
+        if self.anomaly_settings is not None:
+            threshold = float(self.anomaly_settings.get("anomaly_score_threshold"))
+            if self.anomaly_score > threshold:
+                self.toggle_anomalous_state(True)
+            elif self.anomalous_state and self.anomalous_start_time is not None:
+                hold_s = float(self.anomaly_settings.get("anomalous_state_period_s"))
+                if time.monotonic() - self.anomalous_start_time > hold_s:
+                    self.toggle_anomalous_state(False)
+        else:
+            self.toggle_anomalous_state(False)
+
+    # ----------------------------------------------------------- replay buffer
+    def load_replay_buffer_from_file(self, input_filename: str) -> int:
+        """txt (one path per line) or csv (first column) (reference :716-795)."""
+        assert os.path.isfile(input_filename), input_filename
+        ext = os.path.splitext(input_filename)[-1].lower()
+        if ext == ".txt":
+            with open(input_filename) as f:
+                paths = [os.path.normpath(r.strip()) for r in f if r.strip()]
+        elif ext == ".csv":
+            with open(input_filename) as f:
+                paths = [row[0] for row in csv.reader(f) if row]
+        else:
+            raise ValueError(f"Unrecognized extension: {ext}")
+        paths = [p for p in paths if os.path.isfile(p)]
+        return self.load_replay_buffer_from_filelist(paths)
+
+    def load_replay_buffer_from_filelist(self, filelist: list) -> int:
+        from trustedai_cl_vae_ad_tpu.data.ingest import preprocess_batch
+        from trustedai_cl_vae_ad_tpu.data.pipeline import decode_image_rgb
+
+        imgs, ok_paths = [], []
+        for p in filelist:
+            img = decode_image_rgb(p)
+            if img is None:
+                continue
+            imgs.append(np.asarray(
+                preprocess_batch(img[None], [self.height, self.width, self.channels])[0]
+            ))
+            ok_paths.append(os.path.abspath(p))
+        if not ok_paths:
+            return 0
+        self.replay_buffer = jnp.asarray(np.stack(imgs), jnp.float32)
+        self.replay_buffer_paths = ok_paths
+        print(f"Replay Buffer Loaded: {len(ok_paths)} images")
+        return len(ok_paths)
+
+    # -------------------------------------------------------------- recording
+    def begin_recording(self, record_dir: str) -> str:
+        """Open a data_<ts> instance dir with the 5 PNG streams (ref :1021-1044)."""
+        assert os.path.isdir(record_dir), record_dir
+        self.record_dir = record_dir
+        start_time = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        self.record_instance_dir = os.path.join(record_dir, f"data_{start_time}")
+        for sub in ("frames", "err", "heatmap", "overlay", "rec"):
+            os.makedirs(os.path.join(self.record_instance_dir, sub))
+        self.anomaly_score_map = {}
+        self.recording_flag = True
+        print(f"Recording to: {self.record_instance_dir}")
+        return self.record_instance_dir
+
+    def _maybe_record(self, frame_u8: np.ndarray, result: FrameResult, now: float) -> None:
+        if not self.recording_flag:
+            return
+        if (now - self._last_record_t) * 1000.0 < self.record_period_ms:
+            return
+        self._last_record_t = now
+        from PIL import Image
+
+        from trustedai_cl_vae_ad_tpu.anomaly.offline import _jet_heatmap
+
+        ts = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
+        basename = f"{ts}.png"
+        self.anomaly_score_map[basename] = result.score
+        d = self.record_instance_dir
+        heatmap = _jet_heatmap(result.norm_err_u8)
+        overlay = (0.5 * heatmap + 0.5 * result.reconstruction_u8).astype(np.uint8)
+        Image.fromarray(frame_u8, mode="RGB").save(os.path.join(d, "frames", basename))
+        Image.fromarray(result.norm_err_u8, mode="L").save(os.path.join(d, "err", basename))
+        Image.fromarray(heatmap, mode="RGB").save(os.path.join(d, "heatmap", basename))
+        Image.fromarray(overlay, mode="RGB").save(os.path.join(d, "overlay", basename))
+        Image.fromarray(result.reconstruction_u8, mode="RGB").save(os.path.join(d, "rec", basename))
+
+    def terminate_recording(self) -> Optional[str]:
+        """Close recording: COCO labels.json with anomaly-score annotations +
+        model snapshot (reference :1050-1102)."""
+        self.recording_flag = False
+        d = self.record_instance_dir
+        if d is None or not os.path.isdir(d):
+            return None
+        from PIL import Image
+
+        img_filelist = []
+        for dirpath, _, filenames in os.walk(os.path.join(d, "frames")):
+            for f in sorted(filenames):
+                if os.path.splitext(f)[1].lower() == ".png":
+                    img_filelist.append(os.path.join(dirpath, f))
+        output_dict = {
+            "info": {
+                "year": datetime.datetime.now().year,
+                "version": "1.0",
+                "description": "custom",
+                "contributor": "trustedai_cl_vae_ad_tpu",
+            },
+            "categories": [],
+            "images": [],
+            "annotations": [],
+        }
+        for idx, img_filepath in enumerate(img_filelist):
+            with Image.open(img_filepath) as img:
+                width, height = img.size
+            img_basename = os.path.basename(img_filepath)
+            output_dict["images"].append(
+                {"id": idx, "width": width, "height": height, "file_name": img_basename}
+            )
+            score = self.anomaly_score_map.get(img_basename)
+            if score is not None:
+                output_dict["annotations"].append({img_basename: score})
+        labels_filename = os.path.join(d, "labels.json")
+        with open(labels_filename, "w") as f:
+            json.dump(output_dict, f)
+        self.save_model_to_dir(os.path.join(d, "model"))
+        return labels_filename
+
+    # ------------------------------------------------------------ model save
+    def save_model_to_dir(self, model_dir: str) -> Optional[str]:
+        """Checkpoint + config.yml with embedded cam_info + replay paths
+        (reference save_model_to_dir :946-988)."""
+        os.makedirs(model_dir, exist_ok=True)
+        self.model.save_model(model_dir)
+        output_config = deepcopy(self.config)
+        if self.cam_info:
+            output_config["cam_info"] = self.cam_info
+        save_config(output_config, os.path.join(model_dir, "config.yml"))
+        if self.replay_buffer_paths:
+            with open(os.path.join(model_dir, "replay_buffer_paths.csv"), "w", newline="") as f:
+                writer = csv.writer(f)
+                for row in self.replay_buffer_paths:
+                    writer.writerow([row])
+        print(f"Saved Model to {model_dir}")
+        return model_dir
+
+    def save_model_to_dir_by_date(self, model_dir: str) -> Optional[str]:
+        now = datetime.datetime.now()
+        return self.save_model_to_dir(
+            os.path.join(os.path.abspath(model_dir), f"date_{now.strftime('%Y%m%d_%H%M%S')}")
+        )
+
+    def schedule_model_save(self) -> None:
+        self.schedule_model_save_flag = True
+
+    def _maybe_autosave(self, now: float) -> None:
+        """5-minute dirty-flag autosave to the cache dir (reference :251-253,
+        :991-1010)."""
+        if self.model_cache_dir is None:
+            return
+        if now - self._last_autosave_t < self.autosave_period_s:
+            return
+        self._last_autosave_t = now
+        if not self.schedule_model_save_flag and not self.model_changed_flag:
+            return
+        if self.model_changed_flag:
+            try:
+                self.save_model_to_dir(self.model_cache_dir)
+            finally:
+                self.model_changed_flag = False
+                self.schedule_model_save_flag = False
+
+
+def load_engine_from_directory(log_dir: str, **kwargs) -> StreamingEngine:
+    """Load model+config from a log dir; restores replay buffer if recorded
+    (reference load-model flow :630-696)."""
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    model, config = load_model_from_directory(log_dir)
+    model.compile()
+    engine = StreamingEngine(model, config, cam_info=config.get("cam_info"), **kwargs)
+    replay_csv = os.path.join(log_dir, "replay_buffer_paths.csv")
+    if os.path.exists(replay_csv):
+        engine.load_replay_buffer_from_file(replay_csv)
+    return engine
+
+
+def combine_datasets(src_dirs: list, dest_dir: str) -> str:
+    """Merge recorded datasets: copy trees, concatenate labels.json images
+    (reference combine_datasets_action :798-850)."""
+    assert os.path.isdir(dest_dir)
+    labels = []
+    for src_dir in src_dirs:
+        label_filepath = os.path.join(src_dir, "labels.json")
+        if not os.path.exists(label_filepath):
+            continue
+        with open(label_filepath) as f:
+            labels.append(json.load(f))
+        for root_path, _dirs, files in os.walk(src_dir):
+            d_dir = root_path.replace(src_dir, dest_dir, 1)
+            os.makedirs(d_dir, exist_ok=True)
+            for f in files:
+                src_file = os.path.join(root_path, f)
+                dst_file = os.path.join(d_dir, f)
+                if os.path.exists(dst_file):
+                    os.remove(dst_file)
+                shutil.copy(src_file, d_dir)
+    assert labels, "no labels.json found in any source directory"
+    output_label = deepcopy(labels[0])
+    for label_obj in labels[1:]:
+        output_label["images"].extend(label_obj["images"])
+    out_path = os.path.join(dest_dir, "labels.json")
+    with open(out_path, "w") as f:
+        json.dump(output_label, f)
+    return out_path
