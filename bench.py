@@ -112,7 +112,9 @@ def run_bench(batch_size: int, steps: int = 30, warmup: int = 5):
 
 
 def main():
-    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "512,256,128").split(",")]
+    # batch 512 OOMs with f32 Adam-nu on 16 GB v5e; 384 measured best
+    # (amortizes the ~20 ms Adam update without spilling)
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "384,256,128").split(",")]
     fps = None
     for b in batches:
         try:

@@ -99,3 +99,60 @@ def test_decoder_output_shape_odd(tiny_config):
     z = np.zeros((1, 2), np.float32)
     out = m.decode(params, z)
     assert out.shape == (1, 224, 300, 3)
+
+
+def test_rgb_head_s2d_matches_convtranspose():
+    """The decoder's fast space-to-depth head == nn.ConvTranspose exactly
+    (fwd + both grads), cf. models/cvae.py _rgb_head_s2d."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from trustedai_cl_vae_ad_tpu.models.cvae import _rgb_head_s2d
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 16, 20, 32), jnp.float32)
+    P = jnp.asarray(rng.randn(3, 3, 3, 32), jnp.float32)
+    bias = jnp.asarray(rng.randn(3), jnp.float32)
+    ct = nn.ConvTranspose(
+        features=3, kernel_size=(3, 3), strides=(1, 1), padding="SAME", transpose_kernel=True
+    )
+    ref_fn = lambda x, P: ct.apply({"params": {"kernel": P, "bias": bias}}, x)
+    y_ref = ref_fn(x, P)
+    y = _rgb_head_s2d(x, P, bias, s=4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+    g = jnp.asarray(rng.randn(*y_ref.shape), jnp.float32)
+    gx_ref = jax.grad(lambda x: jnp.sum(ref_fn(x, P) * g))(x)
+    gx = jax.grad(lambda x: jnp.sum(_rgb_head_s2d(x, P, bias) * g))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=2e-5)
+    gp_ref = jax.grad(lambda P: jnp.sum(ref_fn(x, P) * g))(P)
+    gp = jax.grad(lambda P: jnp.sum(_rgb_head_s2d(x, P, bias) * g))(P)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_ref), atol=5e-5)
+
+
+def test_upconv2x_subpixel_matches_convtranspose():
+    """Sub-pixel stride-2 upconv == nn.ConvTranspose (fwd + both grads)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from trustedai_cl_vae_ad_tpu.models.cvae import _upconv2x_subpixel
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 6, 9, 7), jnp.float32)
+    P = jnp.asarray(rng.randn(3, 3, 5, 7), jnp.float32)
+    bias = jnp.asarray(rng.randn(5), jnp.float32)
+    ct = nn.ConvTranspose(
+        features=5, kernel_size=(3, 3), strides=(2, 2), padding="SAME", transpose_kernel=True
+    )
+    ref_fn = lambda x, P: ct.apply({"params": {"kernel": P, "bias": bias}}, x)
+    y_ref = ref_fn(x, P)
+    y = _upconv2x_subpixel(x, P, bias)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+    g = jnp.asarray(rng.randn(*y_ref.shape), jnp.float32)
+    gx_ref = jax.grad(lambda x: jnp.sum(ref_fn(x, P) * g))(x)
+    gx = jax.grad(lambda x: jnp.sum(_upconv2x_subpixel(x, P, bias) * g))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=2e-5)
+    gp_ref = jax.grad(lambda P: jnp.sum(ref_fn(x, P) * g))(P)
+    gp = jax.grad(lambda P: jnp.sum(_upconv2x_subpixel(x, P, bias) * g))(P)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_ref), atol=5e-5)

@@ -21,9 +21,11 @@ import numpy as np
 
 
 def decode_image_rgb(filepath: str) -> Optional[np.ndarray]:
-    """Read an image file to RGB uint8 HWC. cv2 when available, else PIL.
+    """Read an image file to RGB uint8 HWC: cv2 -> native loader -> PIL.
 
     Mirrors raite_loader.py:133-140 (cv2.imread + BGR2RGB, skip unreadable).
+    The native C++ decoder (runtime_native/frame_loader.cpp) also exposes a
+    batched worker-pool API (data/native.decode_batch) for multi-core hosts.
     """
     try:
         import cv2
@@ -33,13 +35,20 @@ def decode_image_rgb(filepath: str) -> Optional[np.ndarray]:
             return None
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     except ImportError:
-        from PIL import Image
+        pass
+    if filepath.lower().endswith(".png"):
+        from trustedai_cl_vae_ad_tpu.data import native
 
-        try:
-            with Image.open(filepath) as im:
-                return np.asarray(im.convert("RGB"))
-        except Exception:
-            return None
+        img = native.decode_png(filepath)
+        if img is not None:
+            return img
+    from PIL import Image
+
+    try:
+        with Image.open(filepath) as im:
+            return np.asarray(im.convert("RGB"))
+    except Exception:
+        return None
 
 
 class ParallelDecodeIterable:

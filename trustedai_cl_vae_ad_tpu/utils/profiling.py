@@ -1,0 +1,74 @@
+"""Tracing / profiling helpers (the aux subsystem the reference lacks).
+
+The reference's only instrumentation is hand-rolled wall-clock prints in the
+Qt loop (camera_streamer_qt.py:1111-1139, SURVEY.md section 5.1). Here:
+  * ``trace(logdir)`` wraps a block in a jax.profiler trace (viewable in
+    TensorBoard / Perfetto);
+  * ``StepTimer`` measures per-step wall time with a correct device fence —
+    on some TPU runtimes ``block_until_ready`` does not synchronize (verified
+    empirically: 50 PFLOPS "measured" on a 197 TFLOP chip), so the fence is a
+    device->host scalar fetch;
+  * ``ema_rate`` reproduces the reference's process_rate EMA (:1130-1131).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace context; view with TensorBoard's profile plugin."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_fence(tree) -> float:
+    """Reliable device sync: fetch a scalar derived from the first leaf."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32)))
+
+
+class StepTimer:
+    """Times jitted steps with a device fence; keeps a history."""
+
+    def __init__(self):
+        self.history: list = []
+
+    @contextlib.contextmanager
+    def step(self, fence_tree=None):
+        t0 = time.perf_counter()
+        yield
+        if fence_tree is not None:
+            device_fence(fence_tree)
+        self.history.append(time.perf_counter() - t0)
+
+    def p50_ms(self) -> Optional[float]:
+        if not self.history:
+            return None
+        return float(np.percentile(np.array(self.history) * 1000.0, 50))
+
+    def summary(self) -> dict:
+        if not self.history:
+            return {}
+        arr = np.array(self.history) * 1000.0
+        return {
+            "p50_ms": float(np.percentile(arr, 50)),
+            "p95_ms": float(np.percentile(arr, 95)),
+            "mean_ms": float(arr.mean()),
+            "n": len(arr),
+        }
+
+
+def ema_rate(new_value: float, prev: float, weight: float = 0.9) -> float:
+    """The reference's process_rate EMA (camera_streamer_qt.py:1130-1131)."""
+    return weight * new_value + (1.0 - weight) * prev
