@@ -1,0 +1,84 @@
+"""Checkpoint ABI: log-dir roundtrips, optimizer-state restore, registry load."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    config = {
+        "data": {"image_size": [16, 16, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4, "w_mse": 1.0,
+                 "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 8, "beta": 1e-6, "learning_rate": 1e-3, "max_epochs": 1},
+    }
+    model = load_model_from_config(config)
+    model.compile()
+    x = np.random.RandomState(0).random((8, 16, 16, 3)).astype(np.float32)
+    for _ in range(3):
+        model.train_step(x)
+    d = tmp_path_factory.mktemp("ckpt")
+    save_config(config, os.path.join(d, "config.yml"))
+    model.save_model(str(d))
+    return model, config, str(d), x
+
+
+def test_layout(trained):
+    _, _, d, _ = trained
+    assert os.path.isdir(os.path.join(d, "encoder"))
+    assert os.path.isdir(os.path.join(d, "decoder"))
+    assert os.path.isdir(os.path.join(d, "optimizer"))
+    assert os.path.isfile(os.path.join(d, "config.yml"))
+
+
+def test_weights_roundtrip(trained):
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    model, _, d, x = trained
+    m2, cfg2 = load_model_from_directory(d)
+    y1 = np.asarray(model.call(x))
+    y2 = np.asarray(m2.call(x))
+    np.testing.assert_array_equal(y1, y2)
+    assert cfg2["model"]["type"] == "KurtosisSingle"
+
+
+def test_optimizer_state_restored(trained):
+    """Adam moments survive the roundtrip (the reference's resume gap, fixed)."""
+    import jax
+
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    model, _, d, x = trained
+    m2, _ = load_model_from_directory(d)
+    m2.compile()
+    m2.load_model(d)  # restores optimizer/ now that the model is compiled
+    mu1 = jax.tree_util.tree_leaves(model.opt_state.inner_state[0].mu)[0]
+    mu2 = jax.tree_util.tree_leaves(m2.opt_state.inner_state[0].mu)[0]
+    np.testing.assert_array_equal(np.asarray(mu1), np.asarray(mu2))
+    # continued training from the restored state matches continued training
+    # from the original (pin both rng streams so the latent eps agree)
+    key = jax.random.PRNGKey(7)
+    model._rng = key
+    m2._rng = key
+    l1 = float(model.train_step(x)["loss"])
+    l2 = float(m2.train_step(x)["loss"])
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_load_missing_dir_raises(trained, tmp_path):
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    _, config, _, _ = trained
+    bad = tmp_path / "incomplete"
+    bad.mkdir()
+    save_config(config, str(bad / "config.yml"))
+    with pytest.raises(AssertionError, match="encoder"):
+        load_model_from_directory(str(bad))

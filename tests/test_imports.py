@@ -1,0 +1,44 @@
+"""Import smoke tests (reference tests/test_imports.py:5-25 equivalent)."""
+
+
+def test_import_jax_stack():
+    import flax
+    import jax
+    import numpy
+    import optax
+    import orbax.checkpoint  # noqa: F401
+
+    assert jax.__version__
+    assert flax.__version__
+    assert optax.__version__
+    assert numpy.__version__
+
+
+def test_import_package():
+    import trustedai_cl_vae_ad_tpu as tc
+
+    assert tc.__version__
+    assert callable(tc.load_config)
+    assert callable(tc.load_model_from_directory)
+
+
+def test_import_models():
+    from trustedai_cl_vae_ad_tpu.models import (  # noqa: F401
+        AbstractCVAE,
+        KurtosisGlobalCVAE,
+        KurtosisSingleCVAE,
+        VAEModel,
+    )
+
+    assert KurtosisGlobalCVAE is not None
+    assert KurtosisSingleCVAE is not None
+
+
+def test_import_subsystems():
+    from trustedai_cl_vae_ad_tpu.anomaly import cdf, offline  # noqa: F401
+    from trustedai_cl_vae_ad_tpu.data import coco, ingest, loader, pipeline, raite  # noqa: F401
+    from trustedai_cl_vae_ad_tpu.ops import moments, stream_score  # noqa: F401
+    from trustedai_cl_vae_ad_tpu.parallel import dp, mesh, tp  # noqa: F401
+    from trustedai_cl_vae_ad_tpu.stream import capture, engine  # noqa: F401
+    from trustedai_cl_vae_ad_tpu.train import checkpoint, loop  # noqa: F401
+    from trustedai_cl_vae_ad_tpu.utils import metrics, profiling  # noqa: F401

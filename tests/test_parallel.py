@@ -1,0 +1,132 @@
+"""Multi-device sharding: dp train step equivalence, tp placement, dryrun."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE, make_optimizer
+
+    config = {
+        "data": {"image_size": [16, 16, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4, "w_mse": 1.0,
+                 "w_skew": 0.0, "w_z_l1_reg": 1e-3},
+        "model": {"decoder_dense_filters": 4, "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 16, "beta": 1e-6, "learning_rate": 1e-3, "max_epochs": 1},
+    }
+    core = KurtosisGlobalCVAE(config)
+    params = core.init(jax.random.PRNGKey(0))
+    return core, params, make_optimizer(1e-3)
+
+
+def test_dp_matches_single_device(setup):
+    """One data-parallel step over 8 devices == the same step on one device.
+
+    Note: eps noise must be identical, so training=False in the loss for this
+    equivalence check (the rng path is exercised elsewhere)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    core, params, optimizer = setup
+    x = np.random.RandomState(0).random((16, 16, 16, 3)).astype(np.float32)
+
+    def loss_fn(p, xx):
+        return core.compute_loss(p, xx, training=False)["loss"]
+
+    def step(p, o, xx):
+        g = jax.grad(loss_fn)(p, xx)
+        u, o = optimizer.update(g, o, p)
+        return optax.apply_updates(p, u), o
+
+    # single device
+    p1, _ = jax.jit(step)(params, optimizer.init(params), jnp.asarray(x))
+
+    # 8-device dp
+    mesh = make_mesh()
+    pd = replicate(params, mesh)
+    od = replicate(optimizer.init(params), mesh)
+    xd = shard_batch(x, mesh)
+    p2, _ = jax.jit(step)(pd, od, xd)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_tp_param_placement(setup):
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
+    from trustedai_cl_vae_ad_tpu.parallel.tp import param_shardings
+
+    core, params, _ = setup
+    mesh = make_mesh(n_data=4, n_model=2)
+    sh = param_shardings(params, mesh)
+    flat = dict(
+        ("/".join(str(getattr(p, "key", p)) for p in path), s)
+        for path, s in jax.tree_util.tree_flatten_with_path(sh)[0]
+    )
+    # small model: all kernels < 1M params -> everything replicated
+    assert all(s.spec == P() for s in flat.values())
+
+    # flagship-size dense kernel gets model-axis sharding
+    import jax.numpy as jnp
+
+    big = {"encoder": {"Dense_0": {"kernel": jnp.zeros((4096, 512)), "bias": jnp.zeros(512)}}}
+    sh2 = param_shardings(big, mesh)
+    assert sh2["encoder"]["Dense_0"]["kernel"].spec == P(None, "model")
+    assert sh2["encoder"]["Dense_0"]["bias"].spec == P()
+
+
+def test_tp_step_runs_and_matches(setup):
+    """dp x tp sharded step == single-device step (eval-mode loss)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh, shard_batch
+    from trustedai_cl_vae_ad_tpu.parallel.tp import place_params
+
+    core, params, optimizer = setup
+    x = np.random.RandomState(1).random((8, 16, 16, 3)).astype(np.float32)
+
+    def loss_fn(p, xx):
+        return core.compute_loss(p, xx, training=False)["loss"]
+
+    def step(p, o, xx):
+        g = jax.grad(loss_fn)(p, xx)
+        u, o = optimizer.update(g, o, p)
+        return optax.apply_updates(p, u), o
+
+    p_ref, _ = jax.jit(step)(params, optimizer.init(params), jnp.asarray(x))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    pd = place_params(params, mesh)
+    od = optimizer.init(pd)
+    xd = shard_batch(x, mesh)
+    p_tp, _ = jax.jit(step)(pd, od, xd)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_graft_dryrun_smoke():
+    import subprocess
+    import sys
+
+    result = subprocess.run(
+        [sys.executable, "__graft_entry__.py"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=".",
+    )
+    assert result.returncode == 0, result.stderr[-500:]
+    assert "dryrun_multichip ok" in result.stdout
