@@ -55,7 +55,11 @@ def build_bench_step(core, optimizer):
     import jax.numpy as jnp
     import optax
 
-    def step(params, opt_state, x, rng, mu, sigma):
+    def step(params, opt_state, x_u8, rng, mu, sigma):
+        # frames arrive uint8 from the ingest pipeline; normalization is part
+        # of the on-device work (data/ingest.py semantics)
+        x = x_u8.astype(jnp.float32) / 255.0
+
         def loss_fn(p):
             loss_dict, x_hat = core.compute_loss(p, x, training=True, return_inf=True, rng=rng)
             return loss_dict["loss"], (loss_dict, x_hat)
@@ -89,7 +93,7 @@ def run_bench(batch_size: int, steps: int = 30, warmup: int = 5):
     step_fn = build_bench_step(core, optimizer)
 
     x = jnp.asarray(
-        np.random.RandomState(0).random((batch_size, 224, 300, 3)).astype(np.float32)
+        np.random.RandomState(0).randint(0, 256, (batch_size, 224, 300, 3), np.uint8)
     )
     mu = jnp.float32(100.0)
     sigma = jnp.float32(10.0)

@@ -25,6 +25,37 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (jax.distributed) for DCN-spanning meshes.
+
+    With no arguments, reads the standard cluster env (JAX auto-detects on
+    Cloud TPU pods). After this, ``make_mesh`` over ``jax.devices()`` yields a
+    DCN-major device order, so the 'data' axis spans hosts (gradient
+    all-reduce hierarchically: ICI within a host's slice, DCN across) while
+    'model' stays within a slice. Safe to call once per process.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError) as e:
+        # single-process run (no cluster env): that's fine
+        print(f"jax.distributed not initialized ({e}); running single-process")
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
