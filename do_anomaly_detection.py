@@ -50,8 +50,10 @@ def main():
     train_data = load_data(config)
     data_scale = get_data_scale(model, config, train_data)
 
+    # reference do_anomaly_detection.py:217-219: re-point dataset_path and
+    # reload with the SAME dataset kind (raite eval sets stay raite-format;
+    # for non-raite kinds load_data's dataset_path branch takes precedence)
     config["data"]["dataset_path"] = args.dataset_path
-    config["data"].pop("dataset", None)  # force the saved-dataset branch
     evaluation_data = load_data(config)
 
     anomaly_results = evaluate_anomalies(

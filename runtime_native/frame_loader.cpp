@@ -280,6 +280,22 @@ class WorkerPool {
 
 extern "C" {
 
+// Header-only probe: reads IHDR for (width, height) without decoding.
+int fl_png_dims(const char* path, int* width, int* height) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return kErrOpen;
+  uint8_t hdr[33];  // 8 sig + 8 chunk hdr + 13 IHDR + 4 crc
+  size_t got = std::fread(hdr, 1, sizeof(hdr), f);
+  std::fclose(f);
+  static const uint8_t kSig[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
+  if (got < 29 || std::memcmp(hdr, kSig, 8) != 0 ||
+      std::memcmp(hdr + 12, "IHDR", 4) != 0)
+    return kErrFormat;
+  *width = int(read_be32(hdr + 16));
+  *height = int(read_be32(hdr + 20));
+  return 0;
+}
+
 void* fl_pool_create(int num_threads) {
   if (num_threads <= 0) num_threads = int(std::thread::hardware_concurrency());
   return new WorkerPool(num_threads);

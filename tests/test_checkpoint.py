@@ -82,3 +82,22 @@ def test_load_missing_dir_raises(trained, tmp_path):
     save_config(config, str(bad / "config.yml"))
     with pytest.raises(AssertionError, match="encoder"):
         load_model_from_directory(str(bad))
+
+
+def test_optimizer_restored_via_directory_loader(trained):
+    """The production path (load before compile) must still restore Adam
+    moments: load_model auto-compiles when an optimizer/ checkpoint exists."""
+    import jax
+
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    _, _, d, _ = trained
+    m2, _ = load_model_from_directory(d)
+    assert m2.optimizer is not None, "loader should have compiled to restore optimizer"
+    # restored moments are the trained ones, not a fresh zero init
+    mu2 = jax.tree_util.tree_leaves(m2.opt_state.inner_state[0].mu)
+    assert any(np.abs(np.asarray(m)).max() > 0 for m in mu2)
+    # and a second loader instance restores the identical state
+    m3, _ = load_model_from_directory(d)
+    for a, b in zip(mu2, jax.tree_util.tree_leaves(m3.opt_state.inner_state[0].mu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -267,3 +267,33 @@ def test_cam_config_validation(tmp_path):
     p2.write_text(yaml.safe_dump(bad))
     with pytest.raises(AssertionError, match="anomaly_settings missing"):
         load_cam_config(str(p2))
+
+
+def test_ring_seeded_with_first_frame():
+    """First frame must fill every ring slot (reference DataQueue behavior,
+    camera_streamer_qt.py:67-69) so early CL never trains on zeros."""
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+
+    config = {
+        "data": {"image_size": [8, 8, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4, "w_mse": 1.0,
+                 "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 2,
+                  "latent_dimensions": 4, "layers": [2]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3, "max_epochs": 1},
+    }
+    model = load_model_from_config(config)
+    model.compile()
+    eng = StreamingEngine(model, config)
+    eng.inference_period_ms = 0.0
+    frame = np.full((8, 8, 3), 200, np.uint8)
+    eng.process_frame(frame)
+    ring = np.asarray(eng.ring)
+    expected = 200.0 / 255.0
+    assert np.allclose(ring, expected, atol=1e-3), ring.mean(axis=(1, 2, 3))
+    # second distinct frame only replaces one slot
+    eng.process_frame(np.zeros((8, 8, 3), np.uint8))
+    ring = np.asarray(eng.ring)
+    near_zero_slots = int(np.sum(ring.mean(axis=(1, 2, 3)) < 0.01))
+    assert near_zero_slots == 1

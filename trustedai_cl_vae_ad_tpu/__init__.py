@@ -21,6 +21,21 @@ and a double-buffered host->HBM ingest pipeline (.data.ingest).
 
 __version__ = "0.1.0"
 
+# Some deployments pre-import jax with a platform plugin that overrides
+# JAX_PLATFORMS, making the standard env var ineffective. TCVAE_PLATFORM
+# gives users a working override (e.g. TCVAE_PLATFORM=cpu for the tool CLIs
+# on machines where the accelerator is busy or absent).
+import os as _os
+
+_plat = _os.environ.get("TCVAE_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 from trustedai_cl_vae_ad_tpu.config import load_config, save_config  # noqa: F401
 from trustedai_cl_vae_ad_tpu.registry import (  # noqa: F401
     import_vae_based_on_type,

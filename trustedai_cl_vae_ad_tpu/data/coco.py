@@ -78,7 +78,9 @@ def validate_coco_data(data: dict) -> None:
         bbox = ann["bbox"]
         assert len(bbox) == 4, f"bbox must have length 4: {bbox}"
         w, h = bbox[2], bbox[3]
-        assert abs(ann["area"] - w * h) < 1e-6 or ann["area"] >= 0
+        assert abs(ann["area"] - w * h) < 1e-6, (
+            f"annotation {ann['id']}: area {ann['area']} != bbox w*h {w * h}"
+        )
         assert ann["iscrowd"] in (0, 1)
 
 

@@ -101,9 +101,12 @@ def load_data(config: dict) -> dict:
         val_stream = DeviceStream(rdb.test_data, img_size)
         return {
             "train": MappedDataset(train_stream, lambda b: b["image"]),
-            "train_labels": MappedDataset(train_stream, lambda b: b["filepath"]),
+            # labels come straight from the host-side batch source — mapping
+            # the device stream would upload+resize every image just to
+            # discard it
+            "train_labels": MappedDataset(rdb.train_data, lambda b: b["filepath"]),
             "val": MappedDataset(val_stream, lambda b: b["image"]),
-            "val_labels": MappedDataset(val_stream, lambda b: b["filepath"]),
+            "val_labels": MappedDataset(rdb.test_data, lambda b: b["filepath"]),
             "raite_db": rdb,
             "train_full": train_stream,
             "val_full": val_stream,

@@ -67,6 +67,12 @@ def _load(auto_build: bool = True):
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.fl_png_dims.restype = ctypes.c_int
+    lib.fl_png_dims.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     lib.fl_decode_batch.restype = ctypes.c_int
     lib.fl_decode_batch.argtypes = [
         ctypes.c_void_p,
@@ -86,14 +92,22 @@ def available() -> bool:
     return _load() is not None
 
 
-def decode_png(path: str, max_pixels: int = 64 * 1024 * 1024) -> Optional[np.ndarray]:
-    """Decode one PNG to RGB8 (native). None on failure/unsupported."""
+def decode_png(path: str) -> Optional[np.ndarray]:
+    """Decode one PNG to RGB8 (native). None on failure/unsupported.
+
+    A header-only IHDR probe supplies the dimensions, then exactly
+    w*h*3 bytes are allocated — no oversized scratch per decode.
+    """
     lib = _load()
     if lib is None:
         return None
-    buf = np.empty(max_pixels * 3, np.uint8)
     w = ctypes.c_int(0)
     h = ctypes.c_int(0)
+    if lib.fl_png_dims(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    if w.value <= 0 or h.value <= 0:
+        return None
+    buf = np.empty(h.value * w.value * 3, np.uint8)
     rc = lib.fl_decode_png(
         path.encode(),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
@@ -103,7 +117,7 @@ def decode_png(path: str, max_pixels: int = 64 * 1024 * 1024) -> Optional[np.nda
     )
     if rc != 0:
         return None
-    return buf[: w.value * h.value * 3].reshape(h.value, w.value, 3).copy()
+    return buf.reshape(h.value, w.value, 3)
 
 
 def decode_batch(

@@ -152,7 +152,13 @@ class CachedDataset:
 
 
 class BackgroundPrefetcher:
-    """Run an iterator in a daemon thread with a bounded queue (prefetch)."""
+    """Run an iterator in a daemon thread with a bounded queue (prefetch).
+
+    The producer polls a stop flag while the queue is full, so a consumer
+    that abandons iteration early (break / GeneratorExit) releases the
+    thread and its buffered (possibly device-resident) batches instead of
+    leaking a permanently blocked thread.
+    """
 
     _DONE = object()
 
@@ -163,25 +169,45 @@ class BackgroundPrefetcher:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         err: list = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self.iterable:
-                    q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # surfaced in consumer
                 err.append(e)
             finally:
-                q.put(self._DONE)
+                put(self._DONE)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._DONE:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            stop.set()
+            # drain so a producer blocked mid-put can observe the stop flag
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 class MappedDataset:

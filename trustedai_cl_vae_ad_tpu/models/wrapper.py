@@ -219,12 +219,19 @@ class VAEModel:
 
         Mirrors abstract_cvae.py:95-106. Unlike the reference (which discards
         optimizer state and swaps whole Keras submodels), this restores params
-        in place and, when an optimizer/ checkpoint exists and the model is
-        compiled, restores Adam moments too — fixing the reference's
-        checkpoint gap (SURVEY.md section 5.4).
+        in place and, when an optimizer/ checkpoint exists, restores Adam
+        moments too — fixing the reference's checkpoint gap (SURVEY.md
+        section 5.4). If the model is not compiled yet, the presence of an
+        optimizer/ checkpoint triggers compilation first so the moments are
+        actually restored (production loaders call load before compile).
         """
+        import os as _os
+
         from trustedai_cl_vae_ad_tpu.train.checkpoint import restore_checkpoint
 
+        has_opt_ckpt = _os.path.exists(_os.path.join(model_path, "optimizer"))
+        if self.optimizer is None and has_opt_ckpt:
+            self.compile()
         params, opt_state = restore_checkpoint(
             model_path, self.params, self.opt_state if self.optimizer else None
         )

@@ -40,8 +40,8 @@ def initialize_distributed(
     """
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: must run before anything initializes the XLA backend — even
+    # jax.process_count()/jax.devices() would spoil it.
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
@@ -52,7 +52,15 @@ def initialize_distributed(
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:
-        # single-process run (no cluster env): that's fine
+        msg = str(e).lower()
+        if "already" in msg:
+            return  # initialized earlier in this process: fine
+        # single-process run (no cluster env): fine; backend-already-up is NOT
+        if "backend" in msg or "xla" in msg:
+            raise RuntimeError(
+                "initialize_distributed() must be called before any JAX "
+                "computation/device query initializes the backend"
+            ) from e
         print(f"jax.distributed not initialized ({e}); running single-process")
 
 

@@ -13,9 +13,10 @@ GUIs are thin views over this engine). Capability map:
     15-op TF scoring block (:1366-1400) collapse into a single dispatch,
     which is what makes <10 ms p50 per frame possible;
   * continual learning: gradient step on ring [+ replay buffer] at a dialed
-    cadence with runtime-mutable lr (:1325-1329) and input-noise beta
-    (:1331-1336) — lr is an optax injected hyperparameter, beta a traced
-    argument, so re-dialing never recompiles;
+    cadence with runtime-mutable lr (:1325-1329) — an optax injected
+    hyperparameter, so re-dialing never recompiles; the img-noise/beta dial
+    (:1331-1336) is stored but — as in the reference — has no effect on the
+    training loss (the input-fuzz path is dead, abstract_cvae.py:139-143);
   * replay buffer load from txt/csv of image paths (:702-795);
   * anomaly state machine with threshold + hold period from cam_config
     ``anomaly_settings`` (:280-285, :898-914);
@@ -174,7 +175,7 @@ class StreamingEngine:
         core = self.model.core
         out_hw = (self.height, self.width)
 
-        def infer_score(params, ring, idx, frame_u8, maps, scalars, alpha):
+        def infer_score(params, ring, idx, frame_u8, maps, scalars, alpha, seed_ring):
             x = frame_u8.astype(jnp.float32) / 255.0
             b = x[None]
             if x.shape[:2] != out_hw:
@@ -182,7 +183,11 @@ class StreamingEngine:
                     b, (1, out_hw[0], out_hw[1], x.shape[2]), method="linear", antialias=True
                 )
             img = b[0]
-            ring = jax.lax.dynamic_update_slice(ring, b, (idx, 0, 0, 0))
+            # first frame seeds EVERY ring slot (reference DataQueue copies
+            # the initial frame to all entries, camera_streamer_qt.py:67-69 —
+            # otherwise early CL steps would train on all-zero frames)
+            updated = jax.lax.dynamic_update_slice(ring, b, (idx, 0, 0, 0))
+            ring = jnp.where(seed_ring, jnp.broadcast_to(b, ring.shape), updated)
             x_hat = core.call(params, b, training=False)[0]
             state, norm, score, count = stream_score.stream_score_step(
                 StreamScoreState(maps, scalars), img, x_hat, alpha
@@ -196,7 +201,7 @@ class StreamingEngine:
 
         optimizer = self.model.optimizer
 
-        def cl_step(params, opt_state, stacked, rng, beta):
+        def cl_step(params, opt_state, stacked, rng):
             def loss_fn(p):
                 loss_dict, x_hat = core.compute_loss(
                     p, stacked, training=True, return_inf=True, rng=rng
@@ -243,6 +248,7 @@ class StreamingEngine:
         (self.ring, maps, scalars, norm_u8, rec_u8, score_count) = self._infer_score_j(
             self.model.params, self.ring, idx, jnp.asarray(frame_u8),
             self.score_state.maps, self.score_state.scalars, alpha,
+            jnp.bool_(self.ring_filled == 1),
         )
         self.score_state = StreamScoreState(maps, scalars)
         score_count = np.asarray(score_count)  # single small device->host fetch
@@ -299,9 +305,8 @@ class StreamingEngine:
         else:
             stacked = self.ring
         rng = self.model._next_rng()
-        beta = jnp.float32(self.model.beta)
         (self.model.params, self.model.opt_state, loss, _x_hat) = self._cl_step_j(
-            self.model.params, self.model.opt_state, stacked, rng, beta
+            self.model.params, self.model.opt_state, stacked, rng
         )
         self.cl_epochs += 1
         loss = {k: float(v) for k, v in loss.items()}
@@ -315,7 +320,14 @@ class StreamingEngine:
         self.model.set_learning_rate(lr)
 
     def set_img_noise(self, beta: float) -> None:
-        """GUI img-noise dial -> model.beta (reference :1331-1336)."""
+        """GUI img-noise dial -> model.beta (reference :1331-1336).
+
+        Parity note: in the reference, model.beta only fuzzes the encoder
+        input when encode() is called with training=True — and the training
+        loss path never does (abstract_cvae.py:139-143 calls encode without
+        training). So this dial is stored but has no effect on CL training,
+        exactly as in the reference.
+        """
         self.model.beta = beta
 
     # ------------------------------------------------------- state machine
