@@ -18,6 +18,7 @@ params/Adam-mu in bf16 and Adam-nu in f32 to fit single-chip HBM.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -115,6 +116,15 @@ def run_bench(batch_size: int, steps: int = 30, warmup: int = 5):
     return batch_size * steps / dt
 
 
+def _retry_in_fresh_process() -> bool:
+    """The tunneled TPU plugin occasionally fails to register at import; a
+    fresh process usually succeeds. Re-exec once (flagged via env)."""
+    if os.environ.get("BENCH_RETRIED"):
+        return False
+    os.environ["BENCH_RETRIED"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     # batch 512 OOMs with f32 Adam-nu on 16 GB v5e; 384 measured best
     # (amortizes the ~20 ms Adam update without spilling)
@@ -128,6 +138,11 @@ def main():
             msg = str(e)
             if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg or "exceeds" in msg:
                 continue
+            if "not in the list of known backends" in msg or "Unable to initialize backend" in msg:
+                import time as _time
+
+                _time.sleep(20)
+                _retry_in_fresh_process()
             raise
     if fps is None:
         raise RuntimeError("benchmark failed at all batch sizes")
