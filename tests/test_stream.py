@@ -297,3 +297,29 @@ def test_ring_seeded_with_first_frame():
     ring = np.asarray(eng.ring)
     near_zero_slots = int(np.sum(ring.mean(axis=(1, 2, 3)) < 0.01))
     assert near_zero_slots == 1
+
+
+def test_cdf_threshold_per_task(engine):
+    """anomaly_score_method 'cdf': threshold comes from the per-task score
+    CDF once warm, and new_task() resets it (BASELINE config #3)."""
+    engine.anomaly_settings = dict(
+        engine.anomaly_settings, anomaly_score_method="cdf", cdf_quantile=0.9
+    )
+    engine.new_task()
+    # cold: falls back to the fixed threshold
+    assert engine.current_threshold() == pytest.approx(
+        float(engine.anomaly_settings["anomaly_score_threshold"])
+    )
+    rng = np.random.RandomState(0)
+    engine._score_history.extend(rng.normal(0.0, 1.0, 200).tolist())
+    engine._cdf_dirty = 99
+    thr = engine.current_threshold()
+    # ~90th percentile of N(0,1) is ~1.28; the histogram CDF returns the
+    # right edge of the covering bin, so allow one bin of slack
+    assert 0.9 < thr < 2.3, thr
+    engine.new_task()
+    assert len(engine._score_history) == 0
+    assert engine.current_threshold() == pytest.approx(
+        float(engine.anomaly_settings["anomaly_score_threshold"])
+    )
+    engine.anomaly_settings = dict(engine.anomaly_settings, anomaly_score_method="zz_count")

@@ -139,6 +139,17 @@ class StreamingEngine:
         self.replay_buffer: Optional[jnp.ndarray] = None
         self.replay_buffer_paths: Optional[list] = None
 
+        # per-task CDF thresholding (BASELINE config #3): the reference ships
+        # CDFObject with no importers (SURVEY.md section 2 L6 — the intended
+        # per-task threshold mechanism); here anomaly_score_method 'cdf' keeps
+        # an empirical CDF over the recent score history and thresholds at
+        # cdf_quantile. new_task() resets it when the CL task switches.
+        from collections import deque
+
+        self._score_history: deque = deque(maxlen=1024)
+        self._cdf = None
+        self._cdf_dirty = 0
+
         # mutable dials (reference GUI spinboxes)
         self.enable_cont_learning = False
         self.enable_anomaly_state = True
@@ -269,6 +280,9 @@ class StreamingEngine:
 
         score_f = float(score)
         self.anomaly_score = score_f
+        if np.isfinite(score_f):
+            self._score_history.append(score_f)
+            self._cdf_dirty += 1
         self.check_anomalous_state()
         ma = self.anomaly_ma_weight * self.anomaly_score_ma + (1.0 - self.anomaly_ma_weight) * score_f
         if not np.isnan(ma):  # reference :1407-1408
@@ -339,10 +353,33 @@ class StreamingEngine:
         else:
             self.anomalous_state = False
 
+    def new_task(self) -> None:
+        """Continual-learning task boundary: reset the per-task score CDF and
+        the streaming EMA statistics so thresholds adapt to the new task."""
+        self._score_history.clear()
+        self._cdf = None
+        self._cdf_dirty = 0
+        self.score_state = stream_score.init_state(self.height, self.width)
+        self.anomaly_score_ma = 0.0
+
+    def current_threshold(self) -> float:
+        """Active anomaly threshold: fixed, or the per-task CDF quantile."""
+        threshold = float(self.anomaly_settings.get("anomaly_score_threshold"))
+        method = str(self.anomaly_settings.get("anomaly_score_method", "fixed"))
+        if method.startswith("cdf") and len(self._score_history) >= 32:
+            if self._cdf is None or self._cdf_dirty >= 16:
+                from trustedai_cl_vae_ad_tpu.anomaly.cdf import CDFObject
+
+                self._cdf = CDFObject(np.asarray(self._score_history))
+                self._cdf_dirty = 0
+            q = float(self.anomaly_settings.get("cdf_quantile", 0.995))
+            return float(self._cdf.get_value_by_prob(q))
+        return threshold
+
     def check_anomalous_state(self) -> None:
         """Threshold + hold-period state machine (reference :898-914)."""
         if self.anomaly_settings is not None:
-            threshold = float(self.anomaly_settings.get("anomaly_score_threshold"))
+            threshold = self.current_threshold()
             if self.anomaly_score > threshold:
                 self.toggle_anomalous_state(True)
             elif self.anomalous_state and self.anomalous_start_time is not None:
