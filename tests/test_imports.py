@@ -42,3 +42,14 @@ def test_import_subsystems():
     from trustedai_cl_vae_ad_tpu.stream import capture, engine  # noqa: F401
     from trustedai_cl_vae_ad_tpu.train import checkpoint, loop  # noqa: F401
     from trustedai_cl_vae_ad_tpu.utils import metrics, profiling  # noqa: F401
+
+
+def test_src_compat_shims():
+    """Reference-style imports keep working (drop-in compatibility)."""
+    from src.abstract_cvae import AbstractCVAE  # noqa: F401
+    from src.cdf_object import BSTProb, CDFObject  # noqa: F401
+    from src.data_loader import load_data  # noqa: F401
+    from src.kurtosis_global_cvae import KurtosisGlobalCVAE  # noqa: F401
+    from src.kurtosis_single_cvae import KurtosisSingleCVAE  # noqa: F401
+    from src.load_model import load_model_from_directory  # noqa: F401
+    from src.raite_loader import RaiteDataset  # noqa: F401
