@@ -23,8 +23,10 @@ def get_args():
                         help="cam_config.yml with camera_list + anomaly_settings")
     parser.add_argument("--cam-config-index", type=int, default=0)
     parser.add_argument("--model-dir", "-m", required=True, type=str, help="Model log dir")
-    parser.add_argument("--source", "-s", type=str, default=None,
-                        help="Override source: 'synthetic', dir, file, index, or URL")
+    parser.add_argument("--source", "-s", "--rtsp-override", "--rtsp-overide",
+                        dest="source", type=str, default=None,
+                        help="Override source: 'synthetic', dir, file, index, or URL "
+                             "(--rtsp-override mirrors the reference CLI)")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--continual-learning", "-c", action="store_true")
     parser.add_argument("--learning-rate", type=float, default=None)
