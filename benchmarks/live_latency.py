@@ -27,6 +27,7 @@ def main():
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--latent", type=int, default=2000)
     parser.add_argument("--host-resize", action="store_true")
+    parser.add_argument("--pipelined", action="store_true")
     args = parser.parse_args()
 
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
@@ -42,7 +43,8 @@ def main():
     }
     model = load_model_from_config(config)
     model.compile()
-    engine = StreamingEngine(model, config, host_resize=args.host_resize)
+    engine = StreamingEngine(model, config, host_resize=args.host_resize,
+                             pipelined=args.pipelined)
     engine.inference_period_ms = 0.0
 
     frame = np.random.RandomState(0).randint(

@@ -39,6 +39,8 @@ def get_args():
                         help="Pace frames at source fps (default: as fast as possible)")
     parser.add_argument("--host-resize", action="store_true",
                         help="Shrink frames on host before upload (thin TPU links)")
+    parser.add_argument("--pipelined", action="store_true",
+                        help="One-frame-lag pipelining: overlap fetch with compute")
     return parser.parse_args()
 
 
@@ -67,6 +69,7 @@ def main():
         anomaly_settings=anomaly_settings,
         model_cache_dir=args.model_cache_dir,
         host_resize=args.host_resize,
+        pipelined=args.pipelined,
     )
     if cam_info:
         engine.cam_info = cam_info
@@ -120,6 +123,10 @@ def main():
         print("Keyboard Interrupt")
     finally:
         source.release()
+        last = engine.flush() if engine.pipelined else None
+        if last is not None and stats_file:
+            stats_file.write(json.dumps({"frame": n, "score": last.score,
+                                         "score_ma": last.score_ma, "flushed": True}) + "\n")
         if engine.recording_flag:
             engine.terminate_recording()
         if stats_file:

@@ -323,3 +323,39 @@ def test_cdf_threshold_per_task(engine):
         float(engine.anomaly_settings["anomaly_score_threshold"])
     )
     engine.anomaly_settings = dict(engine.anomaly_settings, anomaly_score_method="zz_count")
+
+
+def test_pipelined_mode_lags_one_frame():
+    """pipelined=True returns frame N-1's result when frame N is submitted;
+    the sequence matches the unpipelined engine shifted by one."""
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+
+    config = {
+        "data": {"image_size": [8, 8, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4, "w_mse": 1.0,
+                 "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 2,
+                  "latent_dimensions": 4, "layers": [2]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3, "max_epochs": 1},
+    }
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (8, 8, 3), np.uint8) for _ in range(5)]
+
+    def run(pipelined):
+        model = load_model_from_config(config)
+        model.compile()
+        eng = StreamingEngine(model, config, pipelined=pipelined)
+        eng.inference_period_ms = 0.0
+        out = [eng.process_frame(f) for f in frames]
+        if pipelined:
+            out.append(eng.flush())
+        return [r.pixel_count if r else None for r in out], [
+            r.norm_err_u8.sum() if r else None for r in out
+        ]
+
+    counts_a, sums_a = run(False)
+    counts_b, sums_b = run(True)
+    assert counts_b[0] is None  # warmup
+    assert counts_b[1:] == counts_a  # shifted by one, flush returns the last
+    assert sums_b[1:] == sums_a

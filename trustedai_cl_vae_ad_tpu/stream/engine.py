@@ -112,6 +112,7 @@ class StreamingEngine:
         model_cache_dir: Optional[str] = None,
         autosave_period_s: float = 5 * 60.0,
         host_resize: bool = False,
+        pipelined: bool = False,
     ):
         self.model = model
         self.config = config
@@ -127,6 +128,11 @@ class StreamingEngine:
         # on-device antialias resize for a ~30x smaller host->device transfer
         # (6 MB 1080p -> 200 KB). Worth it when the TPU link is thin.
         self.host_resize = host_resize
+        # Pipelined mode: dispatch frame N, return frame N-1's (already
+        # computed) result — the device->host fetch overlaps the next frame's
+        # compute, hiding the dispatch roundtrip. Scores/state lag one frame.
+        self.pipelined = pipelined
+        self._pending = None
 
         size = config["data"]["image_size"]
         self.height, self.width, self.channels = int(size[0]), int(size[1]), int(size[2])
@@ -262,6 +268,11 @@ class StreamingEngine:
             jnp.bool_(self.ring_filled == 1),
         )
         self.score_state = StreamScoreState(maps, scalars)
+        if self.pipelined:
+            pending, self._pending = self._pending, (score_count, norm_u8, rec_u8)
+            if pending is None:
+                return None  # warmup: first frame's result arrives next call
+            score_count, norm_u8, rec_u8 = pending
         score_count = np.asarray(score_count)  # single small device->host fetch
         score, count = score_count[0], score_count[1]
         t_infer = time.perf_counter()
@@ -311,6 +322,31 @@ class StreamingEngine:
         }
         self.process_rate = 0.9 * self.timings["total_s"] + 0.1 * self.process_rate
         return result
+
+    def flush(self) -> Optional[FrameResult]:
+        """Pipelined mode: fetch the last in-flight frame's result."""
+        if not self.pipelined or self._pending is None:
+            return None
+        score_count, norm_u8, rec_u8 = self._pending
+        self._pending = None
+        score_count = np.asarray(score_count)
+        score_f = float(score_count[0])
+        self.anomaly_score = score_f
+        if np.isfinite(score_f):
+            self._score_history.append(score_f)
+            self._cdf_dirty += 1
+        self.check_anomalous_state()
+        ma = self.anomaly_ma_weight * self.anomaly_score_ma + (1.0 - self.anomaly_ma_weight) * score_f
+        if not np.isnan(ma):
+            self.anomaly_score_ma = ma
+        return FrameResult(
+            score=score_f,
+            score_ma=self.anomaly_score_ma,
+            pixel_count=float(score_count[1]),
+            anomalous=self.anomalous_state,
+            _norm_dev=norm_u8,
+            _rec_dev=rec_u8,
+        )
 
     def _do_cl_step(self) -> dict:
         """Gradient step on ring [+ replay] (reference :1319-1353)."""
