@@ -30,7 +30,7 @@ def main():
     from trustedai_cl_vae_ad_tpu.stream.capture import SyntheticSource
     from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
 
-    w, h, c = args.image_size
+    w, h, _c = args.image_size
     config = {
         "data": {"image_size": list(args.image_size)},
         "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4, "w_mse": 1.0,
@@ -57,7 +57,8 @@ def main():
     t0 = time.perf_counter()
     for task in range(args.tasks):
         engine.new_task()
-        src = SyntheticSource(width=96, height=72, n_frames=args.frames_per_task,
+        src = SyntheticSource(width=int(1.5 * h), height=int(1.5 * w),
+                              n_frames=args.frames_per_task,
                               seed=task * 7, motion=0.2 * task)
         for frame in src:
             engine.process_frame(frame)

@@ -123,10 +123,13 @@ def main():
         print("Keyboard Interrupt")
     finally:
         source.release()
-        last = engine.flush() if engine.pipelined else None
-        if last is not None and stats_file:
-            stats_file.write(json.dumps({"frame": n, "score": last.score,
-                                         "score_ma": last.score_ma, "flushed": True}) + "\n")
+        try:  # best-effort: a device error here must not skip cleanup below
+            last = engine.flush() if engine.pipelined else None
+            if last is not None and stats_file:
+                stats_file.write(json.dumps({"frame": n, "score": last.score,
+                                             "score_ma": last.score_ma, "flushed": True}) + "\n")
+        except Exception as e:
+            print(f"flush failed: {e}")
         if engine.recording_flag:
             engine.terminate_recording()
         if stats_file:

@@ -84,20 +84,29 @@ def test_load_missing_dir_raises(trained, tmp_path):
         load_model_from_directory(str(bad))
 
 
-def test_optimizer_restored_via_directory_loader(trained):
-    """The production path (load before compile) must still restore Adam
-    moments: load_model auto-compiles when an optimizer/ checkpoint exists."""
+def test_optimizer_restore_contract(trained):
+    """restore_optimizer=True compiles+restores Adam moments; the default
+    inference loaders never allocate optimizer state (it's ~8 GB on the
+    flagship); the streaming-engine loader uses the True path."""
     import jax
 
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
 
     _, _, d, _ = trained
+    # inference default: no optimizer allocation
     m2, _ = load_model_from_directory(d)
-    assert m2.optimizer is not None, "loader should have compiled to restore optimizer"
-    # restored moments are the trained ones, not a fresh zero init
+    assert m2.optimizer is None
+
+    # explicit CL-resume path: compiled + trained (nonzero) moments
+    m2.load_model(d, restore_optimizer=True)
+    assert m2.optimizer is not None
     mu2 = jax.tree_util.tree_leaves(m2.opt_state.inner_state[0].mu)
     assert any(np.abs(np.asarray(m)).max() > 0 for m in mu2)
-    # and a second loader instance restores the identical state
-    m3, _ = load_model_from_directory(d)
-    for a, b in zip(mu2, jax.tree_util.tree_leaves(m3.opt_state.inner_state[0].mu)):
+
+    # streaming-engine loader resumes the same state
+    from trustedai_cl_vae_ad_tpu.stream.engine import load_engine_from_directory
+
+    eng = load_engine_from_directory(d)
+    mu3 = jax.tree_util.tree_leaves(eng.model.opt_state.inner_state[0].mu)
+    for a, b in zip(mu2, mu3):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

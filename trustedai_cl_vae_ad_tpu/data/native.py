@@ -92,11 +92,14 @@ def available() -> bool:
     return _load() is not None
 
 
-def decode_png(path: str) -> Optional[np.ndarray]:
+def decode_png(path: str, max_pixels: int = 64 * 1024 * 1024) -> Optional[np.ndarray]:
     """Decode one PNG to RGB8 (native). None on failure/unsupported.
 
     A header-only IHDR probe supplies the dimensions, then exactly
-    w*h*3 bytes are allocated — no oversized scratch per decode.
+    w*h*3 bytes are allocated — no oversized scratch per decode. Dims beyond
+    ``max_pixels`` (or a corrupt header) return None rather than letting a
+    hostile IHDR drive a giant allocation (192 MB cap keeps w*h*3 < 2^31,
+    which the C out_cap int also requires).
     """
     lib = _load()
     if lib is None:
@@ -105,7 +108,7 @@ def decode_png(path: str) -> Optional[np.ndarray]:
     h = ctypes.c_int(0)
     if lib.fl_png_dims(path.encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
         return None
-    if w.value <= 0 or h.value <= 0:
+    if w.value <= 0 or h.value <= 0 or w.value * h.value > max_pixels:
         return None
     buf = np.empty(h.value * w.value * 3, np.uint8)
     rc = lib.fl_decode_png(

@@ -214,26 +214,31 @@ class VAEModel:
             opt_state=self.opt_state if include_optimizer else None,
         )
 
-    def load_model(self, model_path: str) -> None:
+    def load_model(self, model_path: str, restore_optimizer: Optional[bool] = None) -> None:
         """Restore weights (+ optimizer state if present) from a log dir.
 
         Mirrors abstract_cvae.py:95-106. Unlike the reference (which discards
         optimizer state and swaps whole Keras submodels), this restores params
-        in place and, when an optimizer/ checkpoint exists, restores Adam
-        moments too — fixing the reference's checkpoint gap (SURVEY.md
-        section 5.4). If the model is not compiled yet, the presence of an
-        optimizer/ checkpoint triggers compilation first so the moments are
-        actually restored (production loaders call load before compile).
+        in place and can restore Adam moments too — fixing the reference's
+        checkpoint gap (SURVEY.md section 5.4).
+
+        ``restore_optimizer``:
+          * None (default): restore moments only if the model is already
+            compiled — inference-only tools never allocate Adam state
+            (flagship moments are ~8 GB);
+          * True: compile if needed and restore moments (training/CL resume);
+          * False: params only.
         """
         import os as _os
 
         from trustedai_cl_vae_ad_tpu.train.checkpoint import restore_checkpoint
 
         has_opt_ckpt = _os.path.exists(_os.path.join(model_path, "optimizer"))
-        if self.optimizer is None and has_opt_ckpt:
+        if restore_optimizer is True and self.optimizer is None and has_opt_ckpt:
             self.compile()
+        want_opt = restore_optimizer is not False and self.optimizer is not None
         params, opt_state = restore_checkpoint(
-            model_path, self.params, self.opt_state if self.optimizer else None
+            model_path, self.params, self.opt_state if want_opt else None
         )
         self.params = params
         if opt_state is not None:

@@ -67,8 +67,11 @@ def _make_kernel(b1: float, b2: float, eps: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("b1", "b2", "eps"), donate_argnums=(0, 2, 3))
-def _pallas_leaf_update(p, g, m, v, lr, c1, c2, b1=0.9, b2=0.999, eps=1e-8):
+@functools.partial(
+    jax.jit, static_argnames=("b1", "b2", "eps", "interpret"), donate_argnums=(0, 2, 3)
+)
+def _pallas_leaf_update(p, g, m, v, lr, c1, c2, b1=0.9, b2=0.999, eps=1e-8,
+                        interpret=False):
     """One 2-D leaf, updated in its NATIVE shape with a 2-D grid.
 
     Reshaping to a canonical (n/1024, 1024) view is NOT free on TPU: the
@@ -95,7 +98,7 @@ def _pallas_leaf_update(p, g, m, v, lr, c1, c2, b1=0.9, b2=0.999, eps=1e-8):
         ),
         input_output_aliases={3: 0, 5: 1, 6: 2},  # p->p', m->m', v->v'
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
-        interpret=_INTERPRET,
+        interpret=interpret,
     )(
         jnp.reshape(lr.astype(jnp.float32), (1,)),
         jnp.reshape(c1, (1,)),
@@ -117,7 +120,10 @@ def apply(params, grads, state: AdamBF16State, learning_rate,
 
     def leaf(p, g, m, v):
         if use_pallas and p.ndim == 2 and p.size >= _PALLAS_MIN_ELEMS:
-            return _pallas_leaf_update(p, g, m, v, lr, c1, c2, b1=b1, b2=b2, eps=eps)
+            # interpret is part of the jit cache key (static arg): toggling the
+            # module flag cannot leave stale compiled/interpret kernels behind
+            return _pallas_leaf_update(p, g, m, v, lr, c1, c2, b1=b1, b2=b2, eps=eps,
+                                       interpret=_INTERPRET)
         return _adam_math(p, g, m, v, lr, c1, c2, b1, b2, eps)
 
     out = jax.tree_util.tree_map(leaf, params, grads, state.mu, state.nu)

@@ -53,7 +53,8 @@ def initialize_distributed(
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:
         msg = str(e).lower()
-        if "already" in msg:
+        # jax 0.9: "distributed.initialize should only be called once."
+        if "already" in msg or "once" in msg or "only be called" in msg:
             return  # initialized earlier in this process: fine
         # single-process run (no cluster env): fine; backend-already-up is NOT
         if "backend" in msg or "xla" in msg:

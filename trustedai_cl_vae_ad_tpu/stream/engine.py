@@ -202,9 +202,14 @@ class StreamingEngine:
             img = b[0]
             # first frame seeds EVERY ring slot (reference DataQueue copies
             # the initial frame to all entries, camera_streamer_qt.py:67-69 —
-            # otherwise early CL steps would train on all-zero frames)
-            updated = jax.lax.dynamic_update_slice(ring, b, (idx, 0, 0, 0))
-            ring = jnp.where(seed_ring, jnp.broadcast_to(b, ring.shape), updated)
+            # otherwise early CL steps would train on all-zero frames).
+            # lax.cond keeps the steady-state path a single-slot update
+            # instead of a full-ring select every frame.
+            ring = jax.lax.cond(
+                seed_ring,
+                lambda: jnp.broadcast_to(b, ring.shape),
+                lambda: jax.lax.dynamic_update_slice(ring, b, (idx, 0, 0, 0)),
+            )
             x_hat = core.call(params, b, training=False)[0]
             state, norm, score, count = stream_score.stream_score_step(
                 StreamScoreState(maps, scalars), img, x_hat, alpha
@@ -268,11 +273,14 @@ class StreamingEngine:
             jnp.bool_(self.ring_filled == 1),
         )
         self.score_state = StreamScoreState(maps, scalars)
+        record_frame = frame_u8
         if self.pipelined:
-            pending, self._pending = self._pending, (score_count, norm_u8, rec_u8)
+            # keep the raw frame with its in-flight result so recording pairs
+            # frame N-1's image with frame N-1's maps/score (not frame N's)
+            pending, self._pending = self._pending, (score_count, norm_u8, rec_u8, frame_u8)
             if pending is None:
                 return None  # warmup: first frame's result arrives next call
-            score_count, norm_u8, rec_u8 = pending
+            score_count, norm_u8, rec_u8, record_frame = pending
         score_count = np.asarray(score_count)  # single small device->host fetch
         score, count = score_count[0], score_count[1]
         t_infer = time.perf_counter()
@@ -310,7 +318,7 @@ class StreamingEngine:
             loss=loss,
         )
 
-        self._maybe_record(frame_u8, result, now)
+        self._maybe_record(record_frame, result, now)
         self._maybe_autosave(now)
 
         t_end = time.perf_counter()
@@ -327,7 +335,7 @@ class StreamingEngine:
         """Pipelined mode: fetch the last in-flight frame's result."""
         if not self.pipelined or self._pending is None:
             return None
-        score_count, norm_u8, rec_u8 = self._pending
+        score_count, norm_u8, rec_u8, record_frame = self._pending
         self._pending = None
         score_count = np.asarray(score_count)
         score_f = float(score_count[0])
@@ -339,7 +347,7 @@ class StreamingEngine:
         ma = self.anomaly_ma_weight * self.anomaly_score_ma + (1.0 - self.anomaly_ma_weight) * score_f
         if not np.isnan(ma):
             self.anomaly_score_ma = ma
-        return FrameResult(
+        result = FrameResult(
             score=score_f,
             score_ma=self.anomaly_score_ma,
             pixel_count=float(score_count[1]),
@@ -347,6 +355,8 @@ class StreamingEngine:
             _norm_dev=norm_u8,
             _rec_dev=rec_u8,
         )
+        self._maybe_record(record_frame, result, time.monotonic())
+        return result
 
     def _do_cl_step(self) -> dict:
         """Gradient step on ring [+ replay] (reference :1319-1353)."""
@@ -589,7 +599,11 @@ def load_engine_from_directory(log_dir: str, **kwargs) -> StreamingEngine:
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
 
     model, config = load_model_from_directory(log_dir)
-    model.compile()
+    # CL resume: restore Adam moments when checkpointed (compiles as needed);
+    # an unconditional compile() here would re-init and wipe them
+    model.load_model(log_dir, restore_optimizer=True)
+    if model.optimizer is None:
+        model.compile()
     engine = StreamingEngine(model, config, cam_info=config.get("cam_info"), **kwargs)
     replay_csv = os.path.join(log_dir, "replay_buffer_paths.csv")
     if os.path.exists(replay_csv):
