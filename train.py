@@ -13,6 +13,7 @@ device-prefetched ingest, Orbax checkpoints (weights + optimizer state).
 
 import argparse
 
+import trustedai_cl_vae_ad_tpu  # noqa: F401  (applies the TCVAE_PLATFORM override)
 import jax
 
 
@@ -21,6 +22,11 @@ def get_args():
     parser.add_argument("config_filename", type=str, help="YAML configuration file")
     parser.add_argument("--dry-run", action="store_true", help="Quit before executing training")
     parser.add_argument("--no-parallel", action="store_true", help="Disable data-parallel mesh")
+    parser.add_argument(
+        "--resume", type=str, default=None, metavar="LOGDIR",
+        help="Resume from a previous log dir (weights AND Adam moments — a "
+             "capability the reference lacks: it re-inits the optimizer on load)",
+    )
     return parser.parse_args()
 
 
@@ -40,6 +46,9 @@ def main():
 
     data = load_data(config)
     model = load_model_from_config(config)
+    if args.resume:
+        print(f"Resuming from: {args.resume}")
+        model.load_model(args.resume, restore_optimizer=True)
     if args.dry_run:
         return
     model = train_model(config, model, data, parallel=not args.no_parallel)
