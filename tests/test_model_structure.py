@@ -126,3 +126,28 @@ def test_reparameterize_semantics(tiny_config):
     np.testing.assert_allclose(np.asarray(z_eval), [[1.25, 1.75]], rtol=1e-6)
     z_train = m.reparameterize(mean, logvar, training=True, rng=jax.random.PRNGKey(0))
     assert not np.allclose(np.asarray(z_train), np.asarray(z_eval))
+
+
+def test_precision_knob(small_config):
+    """training.precision selects bf16/mixed/f32 compute+param dtypes."""
+    import jax
+    import jax.numpy as jnp
+
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    for precision, (dt, pdt) in {
+        "float32": (jnp.float32, jnp.float32),
+        "bfloat16": (jnp.bfloat16, jnp.bfloat16),
+        "mixed": (jnp.bfloat16, jnp.float32),
+    }.items():
+        cfg = dict(small_config)
+        cfg["training"] = dict(cfg["training"], precision=precision)
+        m = load_model_from_config(cfg)
+        assert m.core.dtype == dt and m.core.param_dtype == pdt
+        leaf = jax.tree_util.tree_leaves(m.params)[0]
+        assert leaf.dtype == pdt
+        if precision == "bfloat16":
+            m.compile()
+            x = np.random.RandomState(0).random((4, 64, 64, 3)).astype(np.float32)
+            loss = m.train_step(x)
+            assert np.isfinite(float(loss["loss"]))

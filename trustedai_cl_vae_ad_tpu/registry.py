@@ -48,11 +48,26 @@ def import_vae_based_on_type(vae_type: str | None):
 
 
 def load_model_from_config(config: dict):
-    """Build the stateful wrapper (fresh random params). load_model.py:70-72."""
+    """Build the stateful wrapper (fresh random params). load_model.py:70-72.
+
+    ``config['training']['precision']`` (new knob, default 'float32') selects
+    the compute/parameter dtype: 'bfloat16' is the TPU production mode used by
+    the benchmarks (f32 loss reductions either way); 'mixed' keeps f32 params
+    with bf16 compute.
+    """
+    import jax.numpy as jnp
+
     from trustedai_cl_vae_ad_tpu.models.wrapper import VAEModel
 
     core_cls = import_vae_based_on_type(config["model"].get("type"))
-    return VAEModel(core_cls(deepcopy(config)))
+    precision = str(config.get("training", {}).get("precision", "float32")).lower()
+    if precision in ("bfloat16", "bf16"):
+        dtype = param_dtype = jnp.bfloat16
+    elif precision == "mixed":
+        dtype, param_dtype = jnp.bfloat16, jnp.float32
+    else:
+        dtype = param_dtype = jnp.float32
+    return VAEModel(core_cls(deepcopy(config), dtype=dtype, param_dtype=param_dtype))
 
 
 def load_model_from_config_path(config_path: str):
