@@ -47,6 +47,10 @@ def main():
 
     model, config = load_model_from_directory(args.model_dir)
 
+    # the two-pass pipeline pairs artifacts with frames BY INDEX across
+    # separate iterations — deterministic order is required
+    config["data"]["shuffle"] = False
+
     train_data = load_data(config)
     data_scale = get_data_scale(model, config, train_data)
 

@@ -223,3 +223,31 @@ def test_fix_raite_groups(tmp_path):
     assert files == [str(good)]
     groups = split_by_match(files)
     assert ("camera-1", "match_2") in groups
+
+
+def test_saved_dataset_shuffle(tmp_path):
+    from trustedai_cl_vae_ad_tpu.data.saved_dataset import SavedDataset, save_dataset
+
+    rng = np.random.RandomState(0)
+    batches = [{"image": rng.randint(0, 255, (6, 4, 4, 3), np.uint8),
+                "filepath": [f"f{j}_{i}" for i in range(6)]} for j in range(3)]
+    save_dataset(str(tmp_path / "ds"), iter(batches), shard_size=6)
+
+    def order(ds):
+        return [p for b in ds for p in b["filepath"]]
+
+    plain = SavedDataset(str(tmp_path / "ds"), batch_size=4)
+    assert order(plain) == order(plain)  # deterministic
+
+    sh = SavedDataset(str(tmp_path / "ds"), batch_size=4, shuffle=True, seed=1)
+    e1, e2 = order(sh), order(sh)
+    assert sorted(e1) == sorted(e2) == sorted(order(plain))  # same items
+    assert e1 != e2  # reshuffled per epoch
+    # image/filepath pairing survives shuffling
+    lookup = {}
+    for b in plain:
+        for img, p in zip(b["image"], b["filepath"]):
+            lookup[p] = img
+    for b in SavedDataset(str(tmp_path / "ds"), batch_size=4, shuffle=True, seed=2):
+        for img, p in zip(b["image"], b["filepath"]):
+            np.testing.assert_array_equal(img, lookup[p])

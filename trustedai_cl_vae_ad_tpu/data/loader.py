@@ -118,12 +118,14 @@ def load_data(config: dict) -> dict:
         assert os.path.isdir(dataset_path)
         train_dir = os.path.join(dataset_path, "train")
         val_dir = os.path.join(dataset_path, "validation")
+        shuffle = bool(data_config.get("shuffle", True))  # fit(shuffle=True) parity
         if is_saved_dataset(dataset_path) and not os.path.exists(train_dir):
-            # single-split saved dataset: use it for both (anomaly-eval usage)
+            # single-split saved dataset: use it for both (anomaly-eval usage;
+            # deterministic order so scores align with frame indices)
             train_ds = SavedDataset(dataset_path, batch_size)
             val_ds: Optional[SavedDataset] = None
         else:
-            train_ds = SavedDataset(train_dir, batch_size)
+            train_ds = SavedDataset(train_dir, batch_size, shuffle=shuffle)
             val_ds = SavedDataset(val_dir, batch_size) if os.path.exists(val_dir) else None
         out = {"train": DeviceStream(train_ds, img_size)}
         out["val"] = DeviceStream(val_ds, img_size) if val_ds is not None else None

@@ -73,9 +73,16 @@ def save_dataset(
 
 
 class SavedDataset:
-    """Lazily stream batches from a saved dataset directory."""
+    """Lazily stream batches from a saved dataset directory.
 
-    def __init__(self, path: str, batch_size: int = 32):
+    ``shuffle=True`` reshuffles every epoch (a fresh permutation per
+    ``__iter__``): shard order is permuted and items are permuted within each
+    shard — an O(shard) -memory approximation of global shuffling, the same
+    trade tf.data's shuffle buffer makes (reference train.py:123 trains with
+    shuffle=True).
+    """
+
+    def __init__(self, path: str, batch_size: int = 32, shuffle: bool = False, seed: int = 0):
         assert os.path.exists(path), path
         index_path = os.path.join(path, INDEX_NAME)
         assert os.path.exists(index_path), f"not a saved dataset (no {INDEX_NAME}): {path}"
@@ -83,6 +90,8 @@ class SavedDataset:
             self.index = json.load(f)
         self.path = path
         self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
 
     def __len__(self):
         return (self.index["num_items"] + self.batch_size - 1) // self.batch_size
@@ -94,10 +103,17 @@ class SavedDataset:
     def __iter__(self) -> Iterator[dict]:
         carry_img: Optional[np.ndarray] = None
         carry_paths: list = []
-        for shard in self.index["shards"]:
+        shards = list(self.index["shards"])
+        if self.shuffle:
+            self._rng.shuffle(shards)
+        for shard in shards:
             with np.load(os.path.join(self.path, shard["file"]), allow_pickle=False) as z:
                 images = z["images"]
                 paths = [str(p) for p in z["filepaths"]]
+            if self.shuffle:
+                perm = self._rng.permutation(len(images))
+                images = images[perm]
+                paths = [paths[i] for i in perm]
             if carry_img is not None:
                 images = np.concatenate([carry_img, images], axis=0)
                 paths = carry_paths + paths
