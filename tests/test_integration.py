@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
 
 def test_veri_flow_build_train_tools(tmp_path):
     """image dirs -> VeRi builder -> saved dataset -> train_model -> latent
@@ -87,11 +89,11 @@ def test_decoder_generator_headless(tmp_path):
     model.save_model(str(d), include_optimizer=False)
 
     out = tmp_path / "decoded.png"
-    env = dict(os.environ, TCVAE_PLATFORM="cpu", PYTHONPATH=os.getcwd())
+    env = dict(os.environ, TCVAE_PLATFORM="cpu", PYTHONPATH=REPO_ROOT)
     result = subprocess.run(
-        [sys.executable, "decoder_generator_qt.py", str(d),
+        [sys.executable, os.path.join(REPO_ROOT, "decoder_generator_qt.py"), str(d),
          "--decode-z", "0.5,-0.5,0.1,0.0", "-o", str(out)],
-        capture_output=True, text=True, timeout=300, env=env,
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO_ROOT,
     )
     assert result.returncode == 0, result.stderr[-400:]
     assert os.path.getsize(out) > 0
@@ -103,10 +105,11 @@ def test_qt_shells_gate_cleanly():
 
     if camera_streamer_qt.HAVE_QT:
         pytest.skip("PyQt5 present; gating path not applicable")
-    env = dict(os.environ, TCVAE_PLATFORM="cpu", PYTHONPATH=os.getcwd())
+    env = dict(os.environ, TCVAE_PLATFORM="cpu", PYTHONPATH=REPO_ROOT)
     result = subprocess.run(
-        [sys.executable, "camera_streamer_qt.py", "configs/cam_config.yml"],
-        capture_output=True, text=True, timeout=120, env=env,
+        [sys.executable, os.path.join(REPO_ROOT, "camera_streamer_qt.py"),
+         os.path.join(REPO_ROOT, "configs/cam_config.yml")],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO_ROOT,
     )
     assert result.returncode == 2
     assert "camera_streamer.py" in result.stderr  # points at the headless CLI

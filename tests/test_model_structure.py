@@ -151,3 +151,12 @@ def test_precision_knob(small_config):
             x = np.random.RandomState(0).random((4, 64, 64, 3)).astype(np.float32)
             loss = m.train_step(x)
             assert np.isfinite(float(loss["loss"]))
+
+
+def test_precision_unknown_raises(small_config):
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    cfg = dict(small_config)
+    cfg["training"] = dict(cfg["training"], precision="float16")
+    with pytest.raises(ValueError, match="precision"):
+        load_model_from_config(cfg)

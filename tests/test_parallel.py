@@ -121,12 +121,43 @@ def test_graft_dryrun_smoke():
     import subprocess
     import sys
 
+    import os
+
+    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
     result = subprocess.run(
-        [sys.executable, "__graft_entry__.py"],
+        [sys.executable, os.path.join(repo_root, "__graft_entry__.py")],
         capture_output=True,
         text=True,
         timeout=600,
-        cwd=".",
+        cwd=repo_root,
     )
     assert result.returncode == 0, result.stderr[-500:]
     assert "dryrun_multichip ok" in result.stdout
+
+def test_place_on_mesh_preserves_state(setup):
+    """Resume-then-parallel: moving a compiled model onto a mesh keeps its
+    params and Adam moments bit-identical (train.py --resume + dp)."""
+    import jax
+    import numpy as np
+
+    from trustedai_cl_vae_ad_tpu.models import VAEModel
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
+
+    core, _, _ = setup
+    model = VAEModel(core)
+    model.compile()
+    x = np.random.RandomState(0).random((8, 16, 16, 3)).astype(np.float32)
+    model.train_step(x)
+    params_before = jax.device_get(model.params)
+    mu_before = jax.device_get(model.opt_state.inner_state[0].mu)
+
+    model.place_on_mesh(make_mesh())
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(jax.device_get(model.params))):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree_util.tree_leaves(mu_before),
+                    jax.tree_util.tree_leaves(jax.device_get(model.opt_state.inner_state[0].mu))):
+        np.testing.assert_array_equal(a, b)
+    # and training continues on the mesh
+    loss = model.train_step(x)
+    assert np.isfinite(float(loss["loss"]))

@@ -44,10 +44,19 @@ def main():
     stamp_logdir(config)
     print(f"Log dir: {config['logdir']}")
 
+    # training shuffles per epoch (reference fit(shuffle=True)); the analysis
+    # CLIs use load_data's deterministic default
+    config["data"].setdefault("shuffle", True)
+
     data = load_data(config)
     model = load_model_from_config(config)
     if args.resume:
+        import os
+
         print(f"Resuming from: {args.resume}")
+        if not os.path.exists(os.path.join(args.resume, "optimizer")):
+            print("WARNING: no optimizer/ checkpoint in the resume dir — "
+                  "weights restored, Adam moments start fresh")
         model.load_model(args.resume, restore_optimizer=True)
     if args.dry_run:
         return

@@ -118,11 +118,16 @@ def load_data(config: dict) -> dict:
         assert os.path.isdir(dataset_path)
         train_dir = os.path.join(dataset_path, "train")
         val_dir = os.path.join(dataset_path, "validation")
-        shuffle = bool(data_config.get("shuffle", True))  # fit(shuffle=True) parity
+        # Deterministic by default: the index-keyed analysis tools (anomaly
+        # two-pass, reconstruction dumps, similarity) pair results with frames
+        # by position across iterations. The TRAINING driver opts in
+        # (train.py sets data.shuffle, mirroring the reference's
+        # fit(shuffle=True) which also shuffles only in the fit path).
+        shuffle = bool(data_config.get("shuffle", False))
         if is_saved_dataset(dataset_path) and not os.path.exists(train_dir):
-            # single-split saved dataset: use it for both (anomaly-eval usage;
-            # deterministic order so scores align with frame indices)
-            train_ds = SavedDataset(dataset_path, batch_size)
+            # single-split saved dataset: used both for training and as the
+            # anomaly-eval input
+            train_ds = SavedDataset(dataset_path, batch_size, shuffle=shuffle)
             val_ds: Optional[SavedDataset] = None
         else:
             train_ds = SavedDataset(train_dir, batch_size, shuffle=shuffle)

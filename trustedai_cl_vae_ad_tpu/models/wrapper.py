@@ -93,6 +93,20 @@ class VAEModel:
             self.opt_state = self.optimizer.init(self.params)
         self._build_train_jits()
 
+    def place_on_mesh(self, mesh) -> None:
+        """Move an already-compiled model onto a device mesh WITHOUT touching
+        its state (replicates params and the existing optimizer moments, then
+        rebuilds the sharded train step). Used when resuming a checkpoint into
+        a data-parallel run: a fresh compile(mesh=...) would re-init Adam."""
+        from trustedai_cl_vae_ad_tpu.parallel.mesh import replicate
+
+        self.mesh = mesh
+        self.params = replicate(self.params, mesh)
+        if self.opt_state is not None:
+            self.opt_state = replicate(self.opt_state, mesh)
+        if self.optimizer is not None:
+            self._build_train_jits()
+
     # -- rng ----------------------------------------------------------------------
     def _next_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)

@@ -65,8 +65,13 @@ def load_model_from_config(config: dict):
         dtype = param_dtype = jnp.bfloat16
     elif precision == "mixed":
         dtype, param_dtype = jnp.bfloat16, jnp.float32
-    else:
+    elif precision in ("float32", "f32", "fp32"):
         dtype = param_dtype = jnp.float32
+    else:
+        raise ValueError(
+            f"Unknown training.precision {precision!r}: "
+            f"use float32, bfloat16, or mixed"
+        )
     return VAEModel(core_cls(deepcopy(config), dtype=dtype, param_dtype=param_dtype))
 
 

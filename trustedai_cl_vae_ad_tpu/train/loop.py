@@ -54,13 +54,17 @@ def train_model(
     if writer is None:
         writer = MetricsWriter(logdir)
 
-    if model.optimizer is None:
-        mesh = None
-        if parallel and len(jax.local_devices()) > 1:
-            from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
+    mesh = None
+    if parallel and len(jax.local_devices()) > 1:
+        from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh()
+        mesh = make_mesh()
+    if model.optimizer is None:
         model.compile(mesh=mesh)
+    elif mesh is not None and model.mesh is None:
+        # resumed/pre-compiled model joining a data-parallel run: replicate
+        # its existing state (a fresh compile would wipe restored Adam moments)
+        model.place_on_mesh(mesh)
 
     step = 0
     try:
