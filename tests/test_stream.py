@@ -359,3 +359,24 @@ def test_pipelined_mode_lags_one_frame():
     assert counts_b[0] is None  # warmup
     assert counts_b[1:] == counts_a  # shifted by one, flush returns the last
     assert sums_b[1:] == sums_a
+
+
+def test_opencv_source_video_file(tmp_path):
+    """OpenCVSource plays a video file (the reference's local-stream path)."""
+    cv2 = pytest.importorskip("cv2")
+
+    from trustedai_cl_vae_ad_tpu.stream.capture import OpenCVSource, make_source
+
+    path = str(tmp_path / "clip.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (32, 24))
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        writer.write(rng.randint(0, 255, (24, 32, 3), np.uint8))
+    writer.release()
+
+    src = make_source(path, fps=10)
+    assert isinstance(src, OpenCVSource)
+    frames = list(src)
+    src.release()
+    assert len(frames) == 5
+    assert frames[0].shape == (24, 32, 3)

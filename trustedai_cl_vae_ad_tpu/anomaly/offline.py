@@ -21,7 +21,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import csv
 import os
-from typing import Iterable, Optional
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from trustedai_cl_vae_ad_tpu.data import ingest
-from trustedai_cl_vae_ad_tpu.data.pipeline import CachedDataset, MappedDataset
+from trustedai_cl_vae_ad_tpu.data.pipeline import MappedDataset
 from trustedai_cl_vae_ad_tpu.data.raite import RaiteDataset
 from trustedai_cl_vae_ad_tpu.data.saved_dataset import SavedDataset, is_saved_dataset
 

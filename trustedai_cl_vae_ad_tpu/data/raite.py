@@ -15,9 +15,7 @@ on-device (data/ingest.py). The reference's range(2)-interleave trick
 from __future__ import annotations
 
 import time
-from typing import Iterator, Optional
-
-import numpy as np
+from typing import Iterator
 
 from trustedai_cl_vae_ad_tpu.data.coco import load_coco_index
 from trustedai_cl_vae_ad_tpu.data.pipeline import (

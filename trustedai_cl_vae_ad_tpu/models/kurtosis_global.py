@@ -18,7 +18,6 @@ fused Pallas kernel on TPU and a jnp fallback elsewhere.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE

@@ -17,7 +17,6 @@ surface on top of jit-compiled pure functions:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -20,7 +20,6 @@ two-pass forward.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

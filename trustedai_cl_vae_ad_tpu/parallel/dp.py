@@ -10,8 +10,7 @@ mesh; per-host ingest feeds only the local shard (data/ingest.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Tuple
+from typing import Callable
 
 import jax
 import optax

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import numpy as np
 
@@ -123,6 +123,9 @@ class OpenCVSource(FrameSource):
         self.url = url
         self.fps = fps
         self.max_backoff_s = max_backoff_s
+        # a local FILE that stops returning frames has ENDED — reconnecting
+        # would replay it forever; only live sources (RTSP/webcam) reconnect
+        self._is_file = isinstance(url, str) and os.path.isfile(url)
         self.cap = None
         self._connect()
 
@@ -156,6 +159,8 @@ class OpenCVSource(FrameSource):
                 return None
         ok, frame = self.cap.read()
         if not ok:
+            if self._is_file:
+                return None  # end of file
             ts = time.strftime("%Y%m%d-%H%M%S")
             print(f"{ts}: Failed to read capture device: {self.url}")
             if not self.negotiate_connection():

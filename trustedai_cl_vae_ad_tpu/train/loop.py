@@ -15,7 +15,7 @@ overlaps device compute.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, Optional
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp
