@@ -251,3 +251,31 @@ def test_saved_dataset_shuffle(tmp_path):
     for b in SavedDataset(str(tmp_path / "ds"), batch_size=4, shuffle=True, seed=2):
         for img, p in zip(b["image"], b["filepath"]):
             np.testing.assert_array_equal(img, lookup[p])
+
+
+def test_virat_frame_extraction(tmp_path):
+    """--extract-frames: video -> trainable saved dataset (the reference
+    stores annotations only)."""
+    cv2 = pytest.importorskip("cv2")
+    from trustedai_cl_vae_ad_tpu.data.builders import virat
+    from trustedai_cl_vae_ad_tpu.data.saved_dataset import SavedDataset
+
+    videos = tmp_path / "videos_original"
+    (tmp_path / "annotations").mkdir()
+    videos.mkdir()
+    path = str(videos / "VIRAT_S_010203_01_000100_000200.mp4")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (32, 24))
+    rng = np.random.RandomState(0)
+    for _ in range(12):
+        writer.write(rng.randint(0, 255, (24, 32, 3), np.uint8))
+    writer.release()
+
+    meta = virat.load_meta_data(str(tmp_path))
+    out = tmp_path / "built"
+    index = virat.extract_frames(meta, str(out), frame_stride=4)
+    assert index is not None and index["num_items"] == 3  # frames 0, 4, 8
+    ds = SavedDataset(str(out / "train"), batch_size=2)
+    batches = list(ds)
+    assert sum(b["image"].shape[0] for b in batches) == 3
+    assert batches[0]["filepath"][0].startswith("VIRAT_S_010203_01_000100_000200#")
+    assert batches[0]["image"].shape[1:] == (24, 32, 3)

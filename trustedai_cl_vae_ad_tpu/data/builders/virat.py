@@ -23,6 +23,8 @@ from __future__ import annotations
 import json
 import os
 from collections import defaultdict
+
+import numpy as np
 from typing import Iterator, Optional
 
 
@@ -224,6 +226,62 @@ def create_dataset(meta_data: dict, output_path: str, shard_size: int = 50000) -
     with open(os.path.join(output_path, "index.json"), "w") as f:
         json.dump(index, f, indent=1)
     return index
+
+
+def extract_frames(
+    meta_data: dict,
+    output_path: str,
+    frame_stride: int = 30,
+    max_frames_per_video: Optional[int] = None,
+    batch_size: int = 32,
+) -> Optional[dict]:
+    """Decode video frames into a saved dataset (train/ split layout).
+
+    The reference intentionally stores NO pixels (build_virat_dataset.py:300
+    commented out), which leaves its VIRAT records untrainable. This extracts
+    every ``frame_stride``-th frame of each video into the npz saved-dataset
+    format, so the continual-learning stream (BASELINE config #3) can train
+    on actual VIRAT imagery. Filepaths record ``<basename>#<frame_id>``.
+    """
+    try:
+        import cv2
+    except ImportError:
+        print("cv2 unavailable; cannot extract VIRAT frames")
+        return None
+
+    from trustedai_cl_vae_ad_tpu.data.saved_dataset import save_dataset
+
+    def batches():
+        buf_imgs, buf_paths = [], []
+        for basename, entry in meta_data.items():
+            video_path = entry.get("video_path")
+            if video_path is None or not os.path.isfile(video_path):
+                continue
+            cap = cv2.VideoCapture(video_path)
+            if not cap.isOpened():
+                print(f"Failed to open video: {video_path}")
+                continue
+            frame_id = 0
+            taken = 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                if frame_id % frame_stride == 0:
+                    buf_imgs.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                    buf_paths.append(f"{basename}#{frame_id}")
+                    taken += 1
+                    if len(buf_imgs) >= batch_size:
+                        yield {"image": np.stack(buf_imgs), "filepath": buf_paths}
+                        buf_imgs, buf_paths = [], []
+                    if max_frames_per_video and taken >= max_frames_per_video:
+                        break
+                frame_id += 1
+            cap.release()
+        if buf_imgs:
+            yield {"image": np.stack(buf_imgs), "filepath": buf_paths}
+
+    return save_dataset(os.path.join(output_path, "train"), batches())
 
 
 class ViratFrameDataset:
