@@ -279,3 +279,18 @@ def test_virat_frame_extraction(tmp_path):
     assert sum(b["image"].shape[0] for b in batches) == 3
     assert batches[0]["filepath"][0].startswith("VIRAT_S_010203_01_000100_000200#")
     assert batches[0]["image"].shape[1:] == (24, 32, 3)
+
+
+def test_raite_epoch_benchmark(raite_dir, capsys):
+    """The loader's epoch-walk benchmark harness (raite_loader.py:185-223)."""
+    from trustedai_cl_vae_ad_tpu.data.raite import RaiteDataset, benchmark_epochs
+
+    db = RaiteDataset(
+        str(raite_dir / "train" / "labels.json"),
+        str(raite_dir / "test" / "labels.json"),
+        batchsize=4,
+    )
+    dt = benchmark_epochs(db.train_data, num_epochs=2)
+    assert dt > 0
+    out = capsys.readouterr().out
+    assert "frames/s" in out

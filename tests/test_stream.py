@@ -380,3 +380,12 @@ def test_opencv_source_video_file(tmp_path):
     src.release()
     assert len(frames) == 5
     assert frames[0].shape == (24, 32, 3)
+
+
+def test_engine_timings_populated(engine):
+    """Per-phase timing EMA (reference process_rate, :1111-1139 parity)."""
+    frame = np.random.RandomState(9).randint(0, 255, (20, 24, 3), np.uint8)
+    engine.process_frame(frame)
+    assert set(engine.timings) == {"infer_s", "cl_s", "record_s", "total_s"}
+    assert engine.timings["total_s"] > 0
+    assert engine.process_rate > 0
