@@ -46,6 +46,11 @@ constexpr int kErrFormat = -2;
 constexpr int kErrInflate = -3;
 constexpr int kErrUnsupported = -4;
 constexpr int kErrTooSmall = -5;
+constexpr int kErrExcept = -6;
+
+// Matches the Python decode_png path's IHDR probe cap (data/native.py): a
+// hostile IHDR must not drive a multi-GB allocation.
+constexpr int64_t kMaxPixels = 64LL * 1024 * 1024;
 
 struct Image {
   int width = 0;
@@ -103,6 +108,7 @@ int decode_png_bytes(const uint8_t* data, size_t size, Image* out) {
     pos += 12 + len;
   }
   if (width <= 0 || height <= 0 || idat.empty()) return kErrFormat;
+  if (int64_t(width) * int64_t(height) > kMaxPixels) return kErrUnsupported;
 
   const int channels = (color_type == 2) ? 3
                        : (color_type == 6) ? 4
@@ -119,8 +125,13 @@ int decode_png_bytes(const uint8_t* data, size_t size, Image* out) {
   zs.next_out = raw.data();
   zs.avail_out = uInt(raw.size());
   int zret = inflate(&zs, Z_FINISH);
+  const size_t inflated = zs.total_out;
   inflateEnd(&zs);
-  if (zret != Z_STREAM_END && zret != Z_OK) return kErrInflate;
+  // A truncated IDAT stream leaves zret == Z_OK (or Z_BUF_ERROR) with the
+  // output short; the undecoded remainder would silently load as black
+  // scanlines. Require a complete stream that filled every scanline, like
+  // cv2's imread->None contract for corrupt files.
+  if (zret != Z_STREAM_END || inflated != raw.size()) return kErrInflate;
 
   // Per-scanline unfiltering (filters 0-4).
   std::vector<uint8_t> cur(stride), prev(stride, 0);
@@ -330,10 +341,18 @@ int fl_decode_batch(void* pool_ptr, const char** paths, int n, unsigned char* ou
 
   for (int i = 0; i < n; ++i) {
     pool->Submit([&, i] {
-      Image img;
-      const int rc = decode_png_file(paths[i], &img);
+      // An escaping exception (e.g. std::bad_alloc on a hostile IHDR) would
+      // cross the worker-thread boundary and std::terminate the whole
+      // process; contain it and flag the frame as failed instead.
+      int rc;
+      try {
+        Image img;
+        rc = decode_png_file(paths[i], &img);
+        if (rc == 0) place_resized(img, out + size_t(i) * frame_bytes, frame_h, frame_w);
+      } catch (...) {
+        rc = kErrExcept;
+      }
       if (rc == 0) {
-        place_resized(img, out + size_t(i) * frame_bytes, frame_h, frame_w);
         ok_flags[i] = 1;
       } else {
         std::memset(out + size_t(i) * frame_bytes, 0, frame_bytes);

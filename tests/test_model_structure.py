@@ -160,3 +160,27 @@ def test_precision_unknown_raises(small_config):
     cfg["training"] = dict(cfg["training"], precision="float16")
     with pytest.raises(ValueError, match="precision"):
         load_model_from_config(cfg)
+
+
+def test_wrapper_encode_training_adds_input_noise(small_config):
+    """encode(x, training=True) must fuzz the input with N(0, beta) like the
+    reference (abstract_cvae.py:115-118) instead of silently ignoring the
+    flag (ADVICE round 1)."""
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE
+    from trustedai_cl_vae_ad_tpu.models.wrapper import VAEModel
+
+    model = VAEModel(KurtosisGlobalCVAE(dict(small_config)))
+    x = np.random.RandomState(0).random((2, 64, 64, 3)).astype(np.float32)
+
+    mean_eval, logvar_eval = model.encode(x)
+    mean_eval2, _ = model.encode(x, training=False)
+    np.testing.assert_array_equal(np.asarray(mean_eval), np.asarray(mean_eval2))
+
+    model.beta = 0.5
+    mean_tr, _ = model.encode(x, training=True)
+    assert not np.allclose(np.asarray(mean_tr), np.asarray(mean_eval))
+
+    # beta == 0: the fuzz term vanishes, training == eval exactly
+    model.beta = 0.0
+    mean_tr0, logvar_tr0 = model.encode(x, training=True)
+    np.testing.assert_allclose(np.asarray(mean_tr0), np.asarray(mean_eval), rtol=1e-6)

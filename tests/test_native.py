@@ -59,6 +59,73 @@ def test_batch_decode(native_mod, tmp_path):
     assert (out[6] == 0).all()
 
 
+def _png_chunks(data: bytes):
+    """Yield (offset, length, type, body) for each chunk of a PNG byte string."""
+    pos = 8
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        yield pos, length, ctype, data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+
+
+def test_truncated_idat_rejected(native_mod, tmp_path):
+    """A PNG whose IDAT stream is cut short must fail (ok=0), not load as a
+    partially-black frame reported as a successful decode."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 255, (24, 32, 3), np.uint8)
+    p = tmp_path / "good.png"
+    Image.fromarray(img).save(p)
+    data = p.read_bytes()
+
+    # rebuild the file with the IDAT body truncated to half its length
+    out = bytearray(data[:8])
+    for _off, _length, ctype, body in _png_chunks(data):
+        if ctype == b"IDAT":
+            body = body[: len(body) // 2]
+        out += struct.pack(">I", len(body)) + ctype + body
+        out += struct.pack(">I", zlib.crc32(ctype + body))
+    trunc = tmp_path / "trunc.png"
+    trunc.write_bytes(bytes(out))
+
+    assert native_mod.decode_png(str(trunc)) is None
+    batch, ok = native_mod.decode_batch([str(p), str(trunc)], (24, 32))
+    assert ok[0] and not ok[1]
+    assert (batch[1] == 0).all()
+
+
+def test_hostile_ihdr_dims_rejected(native_mod, tmp_path):
+    """A corrupt IHDR claiming giant dimensions must be rejected by the native
+    batch path (pixel cap), not drive a multi-GB allocation that escapes the
+    worker pool as std::bad_alloc and kills the process."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", zlib.crc32(ctype + body)
+        )
+
+    # 1e6 x 1e6 RGB header (3e12 pixels) with a tiny bogus IDAT
+    ihdr = struct.pack(">IIBBBBB", 1_000_000, 1_000_000, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+        + chunk(b"IEND", b"")
+    )
+    p = tmp_path / "hostile.png"
+    p.write_bytes(data)
+
+    assert native_mod.decode_png(str(p)) is None
+    batch, ok = native_mod.decode_batch([str(p)], (24, 32))
+    assert not ok[0]
+    assert (batch[0] == 0).all()
+
+
 def test_decode_chain_uses_native_or_cv2(tmp_path):
     from trustedai_cl_vae_ad_tpu.data.pipeline import decode_image_rgb
 

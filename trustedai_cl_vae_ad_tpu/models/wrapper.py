@@ -116,6 +116,11 @@ class VAEModel:
         core = self.core
 
         self._encode_j = jax.jit(lambda p, x: core.encode(p, x))
+        # training=True adds N(0, beta) input fuzz (abstract_cvae.py:115-118);
+        # beta is traced so re-dialing it never recompiles
+        self._encode_train_j = jax.jit(
+            lambda p, x, rng, beta: core.encode(p, x, training=True, rng=rng, beta=beta)
+        )
         self._decode_sig_j = jax.jit(lambda p, z: core.decode(p, z, apply_sigmoid=True))
         self._decode_raw_j = jax.jit(lambda p, z: core.decode(p, z, apply_sigmoid=False))
         self._call_j = jax.jit(
@@ -158,7 +163,15 @@ class VAEModel:
 
     # -- reference API surface (abstract_cvae.py:109-178) --------------------------
     def encode(self, x, training: bool = False):
+        """Split encoder output into (mean, logvar) (abstract_cvae.py:115-122).
+
+        With ``training=True`` the input is fuzzed with N(0, beta) noise
+        exactly as the reference's encode does — previously this argument was
+        silently dropped, diverging for src/ shim users (ADVICE round 1).
+        """
         x = jnp.asarray(x, jnp.float32)
+        if training:
+            return self._encode_train_j(self.params, x, self._next_rng(), self._beta)
         return self._encode_j(self.params, x)
 
     def reparameterize(self, mean, logvar, training: bool = False):

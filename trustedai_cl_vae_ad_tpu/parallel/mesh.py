@@ -98,12 +98,33 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, sharding)
 
 
+_pad_warned = False
+
+
 def shard_batch(batch, mesh: Mesh, pad: bool = True):
     """Device_put a host batch with leading-axis sharding; optionally pad the
-    batch up to a multiple of the data-axis size (repeating the last row)."""
+    batch up to a multiple of the data-axis size (repeating the last row).
+
+    Semantic caveat (vs the reference's exact single-device batch
+    reductions): padded rows are REAL duplicated frames that enter the
+    MSE/moment statistics, slightly biasing the loss of an epoch-final ragged
+    batch toward the repeated frame. This only affects remainder batches
+    (at most (n_data-1) duplicated rows); a warning is printed the first time
+    it happens. Size batches as a multiple of the data-axis (or drop the
+    remainder batch) when exact parity matters.
+    """
+    global _pad_warned
     batch = np.asarray(batch)
     n_data = mesh.shape[DATA_AXIS]
     if pad and batch.shape[0] % n_data != 0:
         extra = n_data - (batch.shape[0] % n_data)
+        if not _pad_warned:
+            print(
+                f"shard_batch: padding ragged batch {batch.shape[0]} -> "
+                f"{batch.shape[0] + extra} by repeating the last frame "
+                f"(biases this batch's loss stats; size batches as a multiple "
+                f"of data={n_data} for exact parity)"
+            )
+            _pad_warned = True
         batch = np.concatenate([batch, np.repeat(batch[-1:], extra, axis=0)], axis=0)
     return jax.device_put(batch, batch_sharding(mesh))
