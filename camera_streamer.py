@@ -22,7 +22,7 @@ def get_args():
     parser.add_argument("cam_config", type=str, nargs="?", default=None,
                         help="cam_config.yml with camera_list + anomaly_settings")
     parser.add_argument("--cam-config-index", type=int, default=0)
-    parser.add_argument("--model-dir", "-m", required=True, type=str, help="Model log dir")
+    parser.add_argument("--model-dir", "-m", type=str, default=None, help="Model log dir")
     parser.add_argument("--source", "-s", "--rtsp-override", "--rtsp-overide",
                         dest="source", type=str, default=None,
                         help="Override source: 'synthetic', dir, file, index, or URL "
@@ -41,14 +41,38 @@ def get_args():
                         help="Shrink frames on host before upload (thin TPU links)")
     parser.add_argument("--pipelined", action="store_true",
                         help="One-frame-lag pipelining: overlap fetch with compute")
-    return parser.parse_args()
+    parser.add_argument("--metrics-dir", type=str, default=None,
+                        help="Write CL-epoch losses + anomaly scores to "
+                             "<dir>/metrics.jsonl (+TensorBoard). Defaults to "
+                             "<model-cache-dir>/metrics when CL is enabled.")
+    parser.add_argument("--combine-datasets", nargs="+", metavar="SRC",
+                        help="Merge recorded dataset dirs (labels.json images "
+                             "concatenated) into --combine-dest and exit "
+                             "(reference GUI combine action)")
+    parser.add_argument("--combine-dest", type=str, default=None)
+    args = parser.parse_args()
+    if args.combine_datasets and not args.combine_dest:
+        parser.error("--combine-datasets requires --combine-dest")
+    if not args.combine_datasets and not args.model_dir:
+        parser.error("--model-dir/-m is required (except with --combine-datasets)")
+    return args
 
 
 def main():
     args = get_args()
 
     from trustedai_cl_vae_ad_tpu.stream.capture import make_source
-    from trustedai_cl_vae_ad_tpu.stream.engine import load_cam_config, load_engine_from_directory
+    from trustedai_cl_vae_ad_tpu.stream.engine import (
+        combine_datasets,
+        load_cam_config,
+        load_engine_from_directory,
+    )
+
+    if args.combine_datasets:
+        os.makedirs(args.combine_dest, exist_ok=True)
+        out = combine_datasets(args.combine_datasets, args.combine_dest)
+        print(f"Combined {len(args.combine_datasets)} datasets -> {out}")
+        return
 
     anomaly_settings = None
     cam_info = None
@@ -64,12 +88,22 @@ def main():
     if source_spec is None:
         source_spec = "synthetic"
 
+    metrics = None
+    metrics_dir = args.metrics_dir
+    if metrics_dir is None and args.continual_learning:
+        metrics_dir = os.path.join(args.model_cache_dir, "metrics")
+    if metrics_dir:
+        from trustedai_cl_vae_ad_tpu.utils.metrics import MetricsWriter
+
+        metrics = MetricsWriter(metrics_dir)
+
     engine = load_engine_from_directory(
         args.model_dir,
         anomaly_settings=anomaly_settings,
         model_cache_dir=args.model_cache_dir,
         host_resize=args.host_resize,
         pipelined=args.pipelined,
+        metrics=metrics,
     )
     if cam_info:
         engine.cam_info = cam_info
@@ -134,6 +168,8 @@ def main():
             engine.terminate_recording()
         if stats_file:
             stats_file.close()
+        if metrics is not None:
+            metrics.close()
 
     if latencies:
         import numpy as np

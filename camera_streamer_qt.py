@@ -7,8 +7,10 @@ the headless camera_streamer.py). GUI parity with the reference
 camera_streamer_qt.py:116-1502: stream + error view panes, view-mode menu
 (reconstruction / JET heatmap / overlay / raw error), continual-learning
 toggle, learning-rate and img-noise mantissa/exponent dials, EMA dials,
-replay-buffer load, record start/stop, model load/save, anomalous-state
-indicator, 5-minute autosave.
+replay-buffer load, record start/stop + record-period dial (:247-249),
+model load/save, dataset-combine action (:798-850), per-phase timing
+readout (:1111-1139), anomalous-state visual indicator (:898-914),
+5-minute autosave, CL-epoch metric persistence (:1410-1416).
 
 Requires PyQt5 (not present in every deployment; the headless CLI
 ``camera_streamer.py`` covers all non-GUI capability).
@@ -115,7 +117,18 @@ if HAVE_QT:
             self.save_model_btn.clicked.connect(self._save_model_dialog)
             self.replay_btn = QPushButton("Load Replay Buffer")
             self.replay_btn.clicked.connect(self._load_replay_dialog)
+            self.combine_btn = QPushButton("Combine Datasets")
+            self.combine_btn.clicked.connect(self._combine_datasets_dialog)
             self.anomaly_lbl = QLabel("AS: n/a")
+            self.anomaly_lbl.setAutoFillBackground(True)
+            self.timing_lbl = QLabel("timings: n/a")
+
+            # recording cadence dial (reference :247-249: 500 ms timer)
+            self.record_period = QDoubleSpinBox()
+            self.record_period.setRange(0.05, 60.0)
+            self.record_period.setValue(0.5)
+            self.record_period.setSuffix(" s")
+            self.record_period.valueChanged.connect(self._record_period_changed)
 
             # lr mantissa/exponent dials (reference :406-417)
             self.lr_man = QDoubleSpinBox()
@@ -137,14 +150,17 @@ if HAVE_QT:
             panes.addWidget(self.stream_label)
             panes.addWidget(self.error_label)
             controls = QHBoxLayout()
-            for w in (self.view_mode, self.cl_checkbox, self.record_btn, self.load_model_btn,
-                      self.save_model_btn, self.replay_btn, QLabel("lr:"), self.lr_man,
+            for w in (self.view_mode, self.cl_checkbox, self.record_btn,
+                      QLabel("rec period:"), self.record_period, self.load_model_btn,
+                      self.save_model_btn, self.replay_btn, self.combine_btn,
+                      QLabel("lr:"), self.lr_man,
                       self.lr_exp, QLabel("noise:"), self.noise_man, self.noise_exp,
                       self.anomaly_lbl):
                 controls.addWidget(w)
             layout = QVBoxLayout()
             layout.addLayout(panes)
             layout.addLayout(controls)
+            layout.addWidget(self.timing_lbl)
             main = QWidget()
             main.setLayout(layout)
             self.setCentralWidget(main)
@@ -152,10 +168,18 @@ if HAVE_QT:
 
         # ------------------------------------------------------------ engine
         def load_engine(self, model_dir):
+            import os
+
+            from trustedai_cl_vae_ad_tpu.utils.metrics import MetricsWriter
+
+            # CL epochs are persisted (loss dict + anomaly scores), matching
+            # the reference's TensorBoard CallbackList (:1410-1416)
+            metrics = MetricsWriter(os.path.join(self.model_cache_dir, "metrics"))
             self.engine = load_engine_from_directory(
                 model_dir,
                 anomaly_settings=self.anomaly_settings,
                 model_cache_dir=self.model_cache_dir,
+                metrics=metrics,
             )
             self.engine.cam_info = self.cam_info
 
@@ -200,6 +224,34 @@ if HAVE_QT:
             d = QFileDialog.getExistingDirectory(self, "Select Save Directory")
             if d:
                 self.engine.save_model_to_dir_by_date(d)
+
+        def _record_period_changed(self, value):
+            if self.engine:
+                self.engine.record_period_ms = float(value) * 1000.0
+
+        def _combine_datasets_dialog(self):
+            """Merge recorded dataset dirs (reference :798-850): pick source
+            dirs one at a time (empty cancel ends the list), then the dest."""
+            from trustedai_cl_vae_ad_tpu.stream.engine import combine_datasets
+
+            srcs = []
+            while True:
+                d = QFileDialog.getExistingDirectory(
+                    self, f"Source dataset #{len(srcs) + 1} (cancel to finish)"
+                )
+                if not d:
+                    break
+                srcs.append(d)
+            if not srcs:
+                return
+            dest = QFileDialog.getExistingDirectory(self, "Destination directory")
+            if not dest:
+                return
+            try:
+                out = combine_datasets(srcs, dest)
+                QMessageBox.information(None, "Combined", f"Merged labels: {out}")
+            except Exception as e:
+                QMessageBox.critical(None, "Combine failed", str(e))
 
         def _load_replay_dialog(self):
             if not self.engine:
@@ -250,6 +302,22 @@ if HAVE_QT:
             self.anomaly_lbl.setText(
                 f"AS: {result.score: 1.4f}, MA: {result.score_ma: 1.4f}{marker}"
             )
+            # visual anomalous-state indicator (reference :898-914 drives a
+            # UI state change, not just a text marker)
+            self.anomaly_lbl.setStyleSheet(
+                "background-color: #cc2222; color: white; font-weight: bold;"
+                if result.anomalous
+                else ""
+            )
+            t = self.engine.timings
+            if t:
+                self.timing_lbl.setText(
+                    f"timings: infer {t['infer_s'] * 1e3:.1f} ms | "
+                    f"cl {t['cl_s'] * 1e3:.1f} ms | "
+                    f"record {t['record_s'] * 1e3:.1f} ms | "
+                    f"total {t['total_s'] * 1e3:.1f} ms | "
+                    f"process_rate {self.engine.process_rate * 1e3:.1f} ms"
+                )
 
 
 def main():

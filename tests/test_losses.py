@@ -142,3 +142,55 @@ def test_training_reduces_loss(small_config):
     for _ in range(30):
         last = float(model.train_step(x)["loss"])
     assert last < first
+
+
+def test_weighted_loss_masks_padding_exactly(small_config):
+    """compute_loss(padded_x, weights) must equal compute_loss(valid_x) for
+    every metric: weight-0 rows drop out of ALL batch statistics. This is
+    what lets the CL step pad the replay buffer to a fixed capacity without
+    changing the training math (stream/engine.py)."""
+    import jax
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE, KurtosisSingleCVAE
+
+    cfg = dict(small_config)
+    rng = np.random.RandomState(11)
+    n_valid, n_pad = 6, 10
+    x = rng.random((n_valid, 64, 64, 3)).astype(np.float32)
+    x_padded = np.concatenate(
+        [x, np.zeros((n_pad, 64, 64, 3), np.float32)], axis=0
+    )
+    w = np.concatenate([np.ones(n_valid), np.zeros(n_pad)]).astype(np.float32)
+
+    for cls in (KurtosisGlobalCVAE, KurtosisSingleCVAE):
+        core = cls(dict(cfg))
+        params = core.init(jax.random.PRNGKey(0))
+        ref = core.compute_loss(params, x, training=False)
+        got = core.compute_loss(params, x_padded, training=False, weights=w)
+        assert set(ref) == set(got)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-4, atol=1e-6,
+                err_msg=f"{cls.__name__}.{k}",
+            )
+
+
+def test_weighted_loss_all_ones_matches_unweighted(small_config):
+    """weights=ones must reproduce the unweighted path (same shapes/rng)."""
+    import jax
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE, KurtosisSingleCVAE
+
+    rng = np.random.RandomState(12)
+    x = rng.random((8, 64, 64, 3)).astype(np.float32)
+    w = np.ones(8, np.float32)
+    key = jax.random.PRNGKey(3)
+
+    for cls in (KurtosisGlobalCVAE, KurtosisSingleCVAE):
+        core = cls(dict(small_config))
+        params = core.init(jax.random.PRNGKey(1))
+        ref = core.compute_loss(params, x, training=True, rng=key)
+        got = core.compute_loss(params, x, training=True, rng=key, weights=w)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-7,
+                err_msg=f"{cls.__name__}.{k}",
+            )

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE
-from trustedai_cl_vae_ad_tpu.ops.moments import global_moments
+from trustedai_cl_vae_ad_tpu.ops.moments import global_moments, global_moments_weighted
 
 
 def divide_no_nan(num, den):
@@ -53,31 +53,70 @@ class KurtosisGlobalCVAE(AbstractCVAE):
             jnp.mean(-0.5 * (((sample - mean) ** 2.0) * jnp.exp(-logvar) + logvar + log2pi), axis=raxis)
         )
 
-    def compute_loss(self, params, x, training=False, return_inf=False, rng=None):
-        """kurtosis_global_cvae.py:40-110 (compute_loss_new)."""
+    def compute_loss(self, params, x, training=False, return_inf=False, rng=None,
+                     weights=None):
+        """kurtosis_global_cvae.py:40-110 (compute_loss_new).
+
+        ``weights`` (B,) optionally masks rows out of EVERY batch statistic
+        (weight-0 rows contribute nothing); with all-ones weights this equals
+        the unweighted path (tests/test_losses.py). Used by the CL step to pad
+        the replay buffer to a fixed capacity without retracing per size.
+        """
         x_hat_prob, z, mean, logvar = self.call_detailed(params, x, training, rng)
 
-        # Entropy diagnostic: softmax over the whole tensor, as in reference.
-        x_logit = jnp.log(jnp.exp(x) / jnp.sum(jnp.exp(x)))
-        likelihood_cross_entropy = -jnp.mean(x_hat_prob * x_logit)
+        if weights is None:
+            # Entropy diagnostic: softmax over the whole tensor, as in reference.
+            x_logit = jnp.log(jnp.exp(x) / jnp.sum(jnp.exp(x)))
+            likelihood_cross_entropy = -jnp.mean(x_hat_prob * x_logit)
 
-        mse = jnp.mean((x - x_hat_prob) ** 2)
+            mse = jnp.mean((x - x_hat_prob) ** 2)
 
-        # Global latent statistics (fused on TPU).
-        z_mean, z_var, z_skew, z_kurtosis = global_moments(z)
-        z_std = jnp.sqrt(z_var)
+            # Global latent statistics (fused on TPU).
+            z_mean, z_var, z_skew, z_kurtosis = global_moments(z)
+            z_std = jnp.sqrt(z_var)
 
-        x_std = jnp.std(x, axis=0)
-        x_hat_std = jnp.std(x_hat_prob, axis=0)
-        x_std_loss = jnp.mean((x_std - x_hat_std) ** 2)
+            x_std = jnp.std(x, axis=0)
+            x_hat_std = jnp.std(x_hat_prob, axis=0)
+            x_std_loss = jnp.mean((x_std - x_hat_std) ** 2)
+
+            kl_div_gaus = self.kl_divergence_gaussian(mean, logvar)
+            z_l1_reg = jnp.mean(jnp.abs(z))
+            r_min = jnp.min(x_hat_prob)
+            r_max = jnp.max(x_hat_prob)
+        else:
+            w = jnp.asarray(weights, jnp.float32)
+            wx = w[:, None, None, None]
+            wsum = jnp.sum(w)
+            n_el = wsum * (x.shape[1] * x.shape[2] * x.shape[3])
+
+            x_logit = jnp.log(jnp.exp(x) / jnp.sum(wx * jnp.exp(x)))
+            likelihood_cross_entropy = -jnp.sum(wx * x_hat_prob * x_logit) / n_el
+
+            mse = jnp.sum(wx * (x - x_hat_prob) ** 2) / n_el
+
+            z_mean, z_var, z_skew, z_kurtosis = global_moments_weighted(z, w)
+            z_std = jnp.sqrt(z_var)
+
+            # weighted population std over the batch axis (ddof=0, as tf/jnp)
+            x_wmean = jnp.sum(wx * x, axis=0) / wsum
+            x_std = jnp.sqrt(jnp.sum(wx * (x - x_wmean) ** 2, axis=0) / wsum)
+            xh_wmean = jnp.sum(wx * x_hat_prob, axis=0) / wsum
+            x_hat_std = jnp.sqrt(jnp.sum(wx * (x_hat_prob - xh_wmean) ** 2, axis=0) / wsum)
+            x_std_loss = jnp.mean((x_std - x_hat_std) ** 2)
+
+            wl = w[:, None]
+            kl_div_gaus = 0.5 * jnp.sum(
+                wl * jnp.abs(1.0 + logvar**2 - mean**2 - jnp.exp(logvar**2))
+            )
+            z_l1_reg = jnp.sum(wl * jnp.abs(z)) / (wsum * z.shape[1])
+            valid = wx > 0
+            r_min = jnp.min(jnp.where(valid, x_hat_prob, jnp.inf))
+            r_max = jnp.max(jnp.where(valid, x_hat_prob, -jnp.inf))
 
         mean_loss = z_mean**2  # computed, not optimized (metric only)
         var_loss = jnp.abs(1.0 - z_var)
         z_skew_loss = jnp.abs(z_skew)
         z_kurtosis_loss = jnp.abs(self.kurtosis_target - z_kurtosis)
-
-        kl_div_gaus = self.kl_divergence_gaussian(mean, logvar)
-        z_l1_reg = jnp.mean(jnp.abs(z))
 
         loss = (
             self.w_mse * mse
@@ -94,8 +133,8 @@ class KurtosisGlobalCVAE(AbstractCVAE):
             "skew_loss": z_skew_loss,
             "z_kurtosis_loss": z_kurtosis_loss,
             "z_kurtosis": z_kurtosis,
-            "r_min": jnp.min(x_hat_prob),
-            "r_max": jnp.max(x_hat_prob),
+            "r_min": r_min,
+            "r_max": r_max,
             "cross_entropy": likelihood_cross_entropy,
             "kl_div": kl_div_gaus,
             "x_std_loss": x_std_loss,

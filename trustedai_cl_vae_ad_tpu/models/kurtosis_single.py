@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE
-from trustedai_cl_vae_ad_tpu.ops.moments import perdim_moments
+from trustedai_cl_vae_ad_tpu.ops.moments import perdim_moments, perdim_moments_weighted
 
 
 class KurtosisSingleCVAE(AbstractCVAE):
@@ -28,24 +28,51 @@ class KurtosisSingleCVAE(AbstractCVAE):
         self.w_skew = float(loss_config["w_skew"])
         self.w_z_l1_reg = float(loss_config["w_z_l1_reg"])
 
-    def compute_loss(self, params, x, training=False, return_inf=False, rng=None):
-        """kurtosis_single_cvae.py:25-77."""
+    def compute_loss(self, params, x, training=False, return_inf=False, rng=None,
+                     weights=None):
+        """kurtosis_single_cvae.py:25-77.
+
+        ``weights`` (B,) optionally masks rows out of every batch statistic
+        (see KurtosisGlobalCVAE.compute_loss); all-ones == unweighted.
+        """
         x_hat_prob, z, _, _ = self.call_detailed(params, x, training, rng)
 
-        mse = jnp.mean((x - x_hat_prob) ** 2)
+        if weights is None:
+            mse = jnp.mean((x - x_hat_prob) ** 2)
 
-        x_std = jnp.std(x, axis=0)
-        x_hat_std = jnp.std(x_hat_prob, axis=0)
-        x_std_loss = jnp.mean((x_std - x_hat_std) ** 2)
+            x_std = jnp.std(x, axis=0)
+            x_hat_std = jnp.std(x_hat_prob, axis=0)
+            x_std_loss = jnp.mean((x_std - x_hat_std) ** 2)
 
-        # Per-dimension latent statistics (fused on TPU).
-        z_meu, _, z_skew, z_kurtosis = perdim_moments(z)
+            # Per-dimension latent statistics (fused on TPU).
+            z_meu, _, z_skew, z_kurtosis = perdim_moments(z)
+            z_l1_reg = jnp.mean(jnp.abs(z))
+            r_min = jnp.min(x_hat_prob)
+            r_max = jnp.max(x_hat_prob)
+        else:
+            w = jnp.asarray(weights, jnp.float32)
+            wx = w[:, None, None, None]
+            wsum = jnp.sum(w)
+            n_el = wsum * (x.shape[1] * x.shape[2] * x.shape[3])
+
+            mse = jnp.sum(wx * (x - x_hat_prob) ** 2) / n_el
+
+            x_wmean = jnp.sum(wx * x, axis=0) / wsum
+            x_std = jnp.sqrt(jnp.sum(wx * (x - x_wmean) ** 2, axis=0) / wsum)
+            xh_wmean = jnp.sum(wx * x_hat_prob, axis=0) / wsum
+            x_hat_std = jnp.sqrt(jnp.sum(wx * (x_hat_prob - xh_wmean) ** 2, axis=0) / wsum)
+            x_std_loss = jnp.mean((x_std - x_hat_std) ** 2)
+
+            z_meu, _, z_skew, z_kurtosis = perdim_moments_weighted(z, w)
+            z_l1_reg = jnp.sum(w[:, None] * jnp.abs(z)) / (wsum * z.shape[1])
+            valid = wx > 0
+            r_min = jnp.min(jnp.where(valid, x_hat_prob, jnp.inf))
+            r_max = jnp.max(jnp.where(valid, x_hat_prob, -jnp.inf))
 
         z_kurtosis_loss = jnp.mean((z_kurtosis - self.kurtosis_target) ** 2)
         z_skew_loss = jnp.mean(z_skew**2)
 
         z_l2_reg = jnp.sqrt(jnp.sum(z_meu**2))
-        z_l1_reg = jnp.mean(jnp.abs(z))
 
         loss = (
             self.w_mse * mse
@@ -62,8 +89,8 @@ class KurtosisSingleCVAE(AbstractCVAE):
             "skew_loss": z_skew_loss,
             "z_kurtosis_loss": z_kurtosis_loss,
             "z_kurtosis": jnp.sqrt(jnp.mean(z_kurtosis**2)),
-            "r_min": jnp.min(x_hat_prob),
-            "r_max": jnp.max(x_hat_prob),
+            "r_min": r_min,
+            "r_max": r_max,
             "x_std_loss": x_std_loss,
         }
         if return_inf:

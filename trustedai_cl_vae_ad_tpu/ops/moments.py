@@ -234,6 +234,48 @@ def _perdim_bwd(res, g):
 perdim_moments.defvjp(_perdim_fwd, _perdim_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Weighted (masked) variants
+#
+# Used by the continual-learning step to pad the replay buffer to a FIXED
+# capacity without retracing per replay size (stream/engine.py): padded rows
+# carry weight 0 and drop out of every statistic exactly. With all-ones
+# weights these reduce to the unweighted formulas. Pure jnp (autodiff
+# handles the backward); CL batches are small, so no kernel needed.
+# ---------------------------------------------------------------------------
+
+def global_moments_weighted(z: Array, w: Array) -> Tuple[Array, Array, Array, Array]:
+    """Global moments of z's rows weighted by w (B,): (mean, var, skew, kurt)."""
+    z = z.astype(jnp.float32)
+    w = w.astype(jnp.float32)[:, None]
+    n = jnp.sum(w) * z.shape[1]
+    m = jnp.sum(w * z) / n
+    zc = z - m
+    var = jnp.sum(w * zc * zc) / n
+    std = jnp.sqrt(var)
+    zs = _safe_div(zc, std)
+    zs2 = zs * zs
+    skew = jnp.sum(w * zs2 * zs) / n
+    kurt = jnp.sum(w * zs2 * zs2) / n
+    return m, var, skew, kurt
+
+
+def perdim_moments_weighted(z: Array, w: Array) -> Tuple[Array, Array, Array, Array]:
+    """Per-dim moments over axis 0 with row weights w (B,): each (L,)."""
+    z = z.astype(jnp.float32)
+    w = w.astype(jnp.float32)[:, None]
+    n = jnp.sum(w)
+    m = jnp.sum(w * z, axis=0) / n
+    zc = z - m[None, :]
+    var = jnp.sum(w * zc * zc, axis=0) / n
+    std = jnp.sqrt(var)
+    zs = _safe_div(zc, std[None, :])
+    zs2 = zs * zs
+    skew = jnp.sum(w * zs2 * zs, axis=0) / n
+    kurt = jnp.sum(w * zs2 * zs2, axis=0) / n
+    return m, var, skew, kurt
+
+
 # Expose the jnp reference for validation tests.
 global_moments_reference = _global_moments_jnp
 perdim_moments_reference = _perdim_moments_jnp

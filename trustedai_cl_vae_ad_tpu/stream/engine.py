@@ -113,6 +113,8 @@ class StreamingEngine:
         autosave_period_s: float = 5 * 60.0,
         host_resize: bool = False,
         pipelined: bool = False,
+        metrics=None,
+        replay_capacity: int = 256,
     ):
         self.model = model
         self.config = config
@@ -142,8 +144,21 @@ class StreamingEngine:
         self.ring_idx = 0
         self.ring_filled = 0
         self.score_state: StreamScoreState = stream_score.init_state(self.height, self.width)
+        # Replay buffer is held PADDED to a fixed capacity with a row-validity
+        # weight vector: the CL step's jit shape is then independent of how
+        # many images a loaded replay file contains, so loading/replacing a
+        # replay buffer mid-stream never retraces (at 90-200 s per compile on
+        # a tunneled runtime, a retrace stalls the stream). Weight-0 rows drop
+        # out of every loss statistic exactly (compute_loss weights=...).
+        self.replay_capacity = int(replay_capacity)
         self.replay_buffer: Optional[jnp.ndarray] = None
+        self.replay_n = 0
         self.replay_buffer_paths: Optional[list] = None
+
+        # CL metric persistence (reference TensorBoard CallbackList epoch
+        # logging, camera_streamer_qt.py:160-168, :1410-1416): each CL epoch's
+        # loss dict + anomaly_score/anomaly_score_ma lands in the writer.
+        self.metrics = metrics
 
         # per-task CDF thresholding (BASELINE config #3): the reference ships
         # CDFObject with no importers (SURVEY.md section 2 L6 — the intended
@@ -223,10 +238,11 @@ class StreamingEngine:
 
         optimizer = self.model.optimizer
 
-        def cl_step(params, opt_state, stacked, rng):
+        def cl_step(params, opt_state, stacked, weights, rng):
             def loss_fn(p):
                 loss_dict, x_hat = core.compute_loss(
-                    p, stacked, training=True, return_inf=True, rng=rng
+                    p, stacked, training=True, return_inf=True, rng=rng,
+                    weights=weights,
                 )
                 return loss_dict["loss"], (loss_dict, x_hat)
 
@@ -359,14 +375,24 @@ class StreamingEngine:
         return result
 
     def _do_cl_step(self) -> dict:
-        """Gradient step on ring [+ replay] (reference :1319-1353)."""
+        """Gradient step on ring [+ replay] (reference :1319-1353).
+
+        The replay buffer is capacity-padded; padded rows carry weight 0 and
+        contribute to no statistic, so the jitted step has exactly two shapes
+        ever: (ring,) and (ring + capacity,) — replay size changes don't
+        retrace.
+        """
         if self.replay_buffer is not None:
             stacked = jnp.concatenate([self.ring, self.replay_buffer], axis=0)
+            weights = np.zeros(stacked.shape[0], np.float32)
+            weights[: self.RING_SIZE + self.replay_n] = 1.0
+            weights = jnp.asarray(weights)
         else:
             stacked = self.ring
+            weights = jnp.ones(self.RING_SIZE, jnp.float32)
         rng = self.model._next_rng()
         (self.model.params, self.model.opt_state, loss, _x_hat) = self._cl_step_j(
-            self.model.params, self.model.opt_state, stacked, rng
+            self.model.params, self.model.opt_state, stacked, weights, rng
         )
         self.cl_epochs += 1
         loss = {k: float(v) for k, v in loss.items()}
@@ -374,6 +400,8 @@ class StreamingEngine:
         loss["anomaly_score_ma"] = self.anomaly_score_ma
         self.last_epoch_loss = loss
         self.model_changed_flag = True
+        if self.metrics is not None:
+            self.metrics.log(self.cl_epochs, loss, prefix="cl/")
         return loss
 
     def set_learning_rate(self, lr: float) -> None:
@@ -466,10 +494,20 @@ class StreamingEngine:
             ok_paths.append(os.path.abspath(p))
         if not ok_paths:
             return 0
-        self.replay_buffer = jnp.asarray(np.stack(imgs), jnp.float32)
+        n = len(ok_paths)
+        if n > self.replay_capacity:
+            # grow in RING_SIZE buckets so repeated oversized loads converge
+            # to few distinct shapes
+            self.replay_capacity = -(-n // self.RING_SIZE) * self.RING_SIZE
+        buf = np.zeros(
+            (self.replay_capacity, self.height, self.width, self.channels), np.float32
+        )
+        buf[:n] = np.stack(imgs)
+        self.replay_buffer = jnp.asarray(buf)
+        self.replay_n = n
         self.replay_buffer_paths = ok_paths
-        print(f"Replay Buffer Loaded: {len(ok_paths)} images")
-        return len(ok_paths)
+        print(f"Replay Buffer Loaded: {n} images (capacity {self.replay_capacity})")
+        return n
 
     # -------------------------------------------------------------- recording
     def begin_recording(self, record_dir: str) -> str:
