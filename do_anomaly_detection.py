@@ -60,9 +60,12 @@ def main():
     config["data"]["dataset_path"] = args.dataset_path
     evaluation_data = load_data(config)
 
+    # artifact PNGs stream to disk batch-by-batch (host memory stays
+    # O(batch) on large eval sets); --histogram-only skips them entirely
     anomaly_results = evaluate_anomalies(
         model, config, evaluation_data, data_scale, args.anomaly_threshold,
-        keep_maps=not args.histogram_only,
+        keep_maps=False,
+        artifact_path=None if args.histogram_only else args.output_path,
     )
     output_anomalies(
         evaluation_data, anomaly_results, data_scale, args.output_path,

@@ -26,17 +26,10 @@ def get_args():
     return parser.parse_args()
 
 
-def _save_png(path, arr, mode):
-    from PIL import Image
+def _save_png(path, arr, mode=None):
+    from trustedai_cl_vae_ad_tpu.viz.plots import save_rgb
 
-    Image.fromarray(arr, mode=mode).save(path)
-
-
-def _jet_overlay(orig_u8, err_u8):
-    from trustedai_cl_vae_ad_tpu.anomaly.offline import _jet_heatmap
-
-    heatmap = _jet_heatmap(err_u8)
-    return (0.5 * heatmap + 0.5 * orig_u8).astype(np.uint8)
+    save_rgb(arr, path)
 
 
 def process_train_val_reconstructions(log_dir: str, model, config: dict, data: dict) -> None:
@@ -90,11 +83,13 @@ def process_train_val_reconstructions(log_dir: str, model, config: dict, data: d
             scale = (emax - emin) if emax > emin else 1.0
             with cf.ThreadPoolExecutor(max_workers=8) as pool:
                 futs = []
+                from trustedai_cl_vae_ad_tpu.viz.plots import overlay_heatmap
+
                 for k, m in err_maps.items():
                     err_u8 = np.clip(np.round(255.0 * (m - emin) / scale), 0, 255).astype(np.uint8)
-                    futs.append(pool.submit(_save_png, os.path.join(err_dir, f"{k}.png"), err_u8, "L"))
-                    overlay = _jet_overlay(origs[k], err_u8)
-                    futs.append(pool.submit(_save_png, os.path.join(heat_dir, f"{k}.png"), overlay, "RGB"))
+                    futs.append(pool.submit(_save_png, os.path.join(err_dir, f"{k}.png"), err_u8))
+                    overlay = overlay_heatmap(err_u8, origs[k])
+                    futs.append(pool.submit(_save_png, os.path.join(heat_dir, f"{k}.png"), overlay))
                 for f in futs:
                     f.result()
         return rec_err
@@ -108,22 +103,18 @@ def process_train_val_reconstructions(log_dir: str, model, config: dict, data: d
         with open(os.path.join(log_dir, "val_reconstruction_error.json"), "w") as f:
             json.dump(val_err, f)
 
-    import matplotlib
+    from trustedai_cl_vae_ad_tpu.viz.plots import histogram
 
-    matplotlib.use("agg")
-    import matplotlib.pyplot as plt
-
-    fig, ax = plt.subplots(1, 1)
-    fig.suptitle("Reconstruction Error Histogram")
-    ax.hist(list(train_err.values()), label="train", bins="auto")
+    series = {"train": np.asarray(list(train_err.values()))}
     if val_err:
-        ax.hist(list(val_err.values()), label="val", bins="auto")
-    ax.set_ylabel("Counts")
-    ax.set_xlabel("Reconstruction Error (MSE)")
-    ax.grid()
-    ax.legend()
-    fig.savefig(os.path.join(log_dir, "reconstruction_hist.png"))
-    plt.close(fig)
+        series["val"] = np.asarray(list(val_err.values()))
+    histogram(
+        os.path.join(log_dir, "reconstruction_hist.png"),
+        series,
+        "Reconstruction Error Histogram",
+        xlabel="Reconstruction Error (MSE)",
+        ylabel="Counts",
+    )
 
 
 def main():

@@ -70,6 +70,50 @@ def test_output_artifacts(tiny_model, tmp_path):
     assert zs == sorted(zs, reverse=True)
 
 
+def test_streamed_artifacts_match_accumulated(tiny_model, tmp_path):
+    """artifact_path mode (O(batch) host memory) must produce the same
+    artifact set and CSV ordering as the legacy accumulate-everything path."""
+    import csv
+
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import (
+        evaluate_anomalies,
+        get_data_scale,
+        output_anomalies,
+    )
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    model, config = tiny_model
+    data = load_data(config)
+    scale = get_data_scale(model, config, data)
+
+    out_s = tmp_path / "streamed"
+    out_s.mkdir()
+    results_s = evaluate_anomalies(
+        model, config, data, scale, 3.0, keep_maps=False, artifact_path=str(out_s)
+    )
+    assert "rec" not in results_s  # no whole-set maps held in RAM
+    assert len(results_s["orig_paths"]) == 16
+    output_anomalies(data, results_s, scale, str(out_s), 3.0)
+
+    out_a = tmp_path / "accumulated"
+    out_a.mkdir()
+    results_a = evaluate_anomalies(model, config, data, scale, 3.0)
+    output_anomalies(data, results_a, scale, str(out_a), 3.0)
+
+    for sub in ("err", "heatmap", "overlay", "rec", "orig"):
+        fs = sorted(p.name for p in (out_s / sub).glob("*.png"))
+        fa = sorted(p.name for p in (out_a / sub).glob("*.png"))
+        assert fs == fa and len(fs) == 16
+        for name in fs:  # byte-identical artifact PNGs
+            assert (out_s / sub / name).read_bytes() == (out_a / sub / name).read_bytes()
+
+    def rows(p):
+        with open(p / "anomaly_list.csv") as f:
+            return [(r[0].split("/")[-1], float(r[1])) for r in list(csv.reader(f))[1:]]
+
+    assert rows(out_s) == rows(out_a)
+
+
 def test_histogram_only(tiny_model, tmp_path):
     from trustedai_cl_vae_ad_tpu.anomaly.offline import (
         evaluate_anomalies,

@@ -133,15 +133,77 @@ def test_load_data_synthetic():
     assert sum(np.asarray(b["image"]).shape[0] for b in data["train"]) == 10
 
 
-def test_load_data_unknown_raises():
+def test_load_data_catalog_without_tfds_raises():
     from trustedai_cl_vae_ad_tpu.data.loader import load_data
 
     config = {
         "data": {"dataset": "imagenet2012", "image_size": [8, 8, 3]},
         "training": {"batch_size": 4},
     }
-    with pytest.raises(ValueError, match="TFDS"):
+    try:
+        import tensorflow_datasets  # noqa: F401
+
+        pytest.skip("tfds installed here; covered by the stub test")
+    except ImportError:
+        pass
+    with pytest.raises(ValueError, match="tensorflow_datasets"):
         load_data(config)
+
+
+def test_load_data_no_dataset_raises():
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    with pytest.raises(ValueError, match="No dataset configured"):
+        load_data({"data": {"image_size": [8, 8, 3]}, "training": {"batch_size": 4}})
+
+
+def test_load_data_catalog_with_stubbed_tfds(monkeypatch):
+    """The reference's stock config.yml (dataset: imagenet2012) must load when
+    tfds is importable (reference data_loader.py:79-90): examples are resized
+    per-example to the target size, batched, normalized on device."""
+    import sys
+    import types
+
+    class FakeTFDS:
+        def __init__(self, n):
+            rng = np.random.RandomState(0)
+            # variable-sized uint8 images, like a real catalog
+            self.examples = [
+                {"image": rng.randint(0, 255, (10 + i, 12, 3), np.uint8),
+                 "label": i}
+                for i in range(n)
+            ]
+
+        def as_numpy_iterator(self):
+            return iter(self.examples)
+
+    calls = {}
+
+    def fake_load(name, split=None, shuffle_files=False, download=True, data_dir=None,
+                  **kw):
+        calls[split] = dict(name=name, download=download)
+        return FakeTFDS(10 if split == "train" else 4)
+
+    mod = types.ModuleType("tensorflow_datasets")
+    mod.load = fake_load
+    monkeypatch.setitem(sys.modules, "tensorflow_datasets", mod)
+
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    config = {
+        "data": {"dataset": "imagenet2012", "image_size": [8, 8, 3]},
+        "training": {"batch_size": 4},
+    }
+    data = load_data(config)
+    assert calls["train"]["name"] == "imagenet2012"
+    assert calls["train"]["download"] is False  # reference parity
+    batches = [np.asarray(b["image"]) for b in data["train"]]
+    assert sum(b.shape[0] for b in batches) == 10
+    # device stream output: f32 [0,1] at the target size
+    assert batches[0].shape == (4, 8, 8, 3)
+    assert batches[0].dtype == np.float32
+    assert 0.0 <= batches[0].min() and batches[0].max() <= 1.0
+    assert sum(np.asarray(b["image"]).shape[0] for b in data["val"]) == 4
 
 
 def _resize_antialias_reference(x: np.ndarray, out_hw) -> np.ndarray:

@@ -42,6 +42,55 @@ class DeviceStream:
         return len(self.source)
 
 
+class TFDSCatalogDataset:
+    """Catalog datasets via tensorflow_datasets (reference data_loader.py:79-84:
+    ``tfds.load(dataset_name, split, shuffle_files=True, download=False)``).
+
+    Examples are resized to the target image size per-example on host (the
+    reference also resizes per-example before batching — catalog images vary
+    in size), then batched; normalization stays on device (data/ingest.py).
+    Requires tensorflow_datasets to be importable and the dataset to be
+    already downloaded (download=False, as the reference).
+    """
+
+    def __init__(self, name: str, split: str, image_size, batch_size: int,
+                 data_dir: Optional[str] = None):
+        import tensorflow_datasets as tfds
+
+        self.ds = tfds.load(
+            name, split=split, shuffle_files=True, download=False, data_dir=data_dir
+        )
+        self.image_size = list(image_size)
+        self.batch_size = int(batch_size)
+
+    def __iter__(self):
+        from PIL import Image
+
+        h, w = self.image_size[0], self.image_size[1]
+        batch = []
+
+        def emit():
+            out = {"image": np.stack(batch)}
+            batch.clear()
+            return out
+
+        it = self.ds.as_numpy_iterator() if hasattr(self.ds, "as_numpy_iterator") else iter(self.ds)
+        for ex in it:
+            img = ex["image"] if isinstance(ex, dict) else ex[0]
+            img = np.asarray(img)
+            if img.shape[:2] != (h, w):
+                img = np.asarray(
+                    Image.fromarray(img).resize((w, h), Image.BILINEAR)
+                )
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            batch.append(img.astype(np.uint8))
+            if len(batch) == self.batch_size:
+                yield emit()
+        if batch:
+            yield emit()
+
+
 class SyntheticDataset:
     """Deterministic noise frames for tests/benchmarks (no tfds in env)."""
 
@@ -144,8 +193,30 @@ def load_data(config: dict) -> dict:
             "val": DeviceStream(SyntheticDataset(n_val, img_size, batch_size, seed=1), img_size),
         }
 
+    if dataset_name is not None:
+        # catalog branch (reference data_loader.py:79-84, config.yml ships
+        # with dataset: imagenet2012): tfds when importable, clear error
+        # otherwise
+        try:
+            import tensorflow_datasets  # noqa: F401
+        except ImportError as e:
+            raise ValueError(
+                f"Catalog dataset {dataset_name!r} requires tensorflow_datasets, "
+                f"which is not importable in this environment ({e}). Use "
+                f"dataset: raite (COCO JSON), dataset_path (saved dataset "
+                f"directory), or dataset: synthetic."
+            ) from e
+        data_dir = data_config.get("data_dir")
+        train_ds = TFDSCatalogDataset(dataset_name, train_split, img_size,
+                                      batch_size, data_dir=data_dir)
+        val_ds = TFDSCatalogDataset(dataset_name, val_split, img_size,
+                                    batch_size, data_dir=data_dir)
+        return {
+            "train": DeviceStream(train_ds, img_size),
+            "val": DeviceStream(val_ds, img_size),
+        }
+
     raise ValueError(
-        f"Unknown dataset {dataset_name!r}: TFDS catalogs are unavailable in this "
-        f"environment. Use dataset: raite (COCO JSON), dataset_path (saved "
-        f"dataset directory), or dataset: synthetic."
+        "No dataset configured: set data.dataset (raite / synthetic / a tfds "
+        "catalog name) or data.dataset_path (saved dataset directory)."
     )

@@ -529,21 +529,19 @@ class StreamingEngine:
         if (now - self._last_record_t) * 1000.0 < self.record_period_ms:
             return
         self._last_record_t = now
-        from PIL import Image
-
-        from trustedai_cl_vae_ad_tpu.anomaly.offline import _jet_heatmap
+        from trustedai_cl_vae_ad_tpu.viz.plots import jet_heatmap, overlay_heatmap, save_rgb
 
         ts = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
         basename = f"{ts}.png"
         self.anomaly_score_map[basename] = result.score
         d = self.record_instance_dir
-        heatmap = _jet_heatmap(result.norm_err_u8)
-        overlay = (0.5 * heatmap + 0.5 * result.reconstruction_u8).astype(np.uint8)
-        Image.fromarray(frame_u8, mode="RGB").save(os.path.join(d, "frames", basename))
-        Image.fromarray(result.norm_err_u8, mode="L").save(os.path.join(d, "err", basename))
-        Image.fromarray(heatmap, mode="RGB").save(os.path.join(d, "heatmap", basename))
-        Image.fromarray(overlay, mode="RGB").save(os.path.join(d, "overlay", basename))
-        Image.fromarray(result.reconstruction_u8, mode="RGB").save(os.path.join(d, "rec", basename))
+        heatmap = jet_heatmap(result.norm_err_u8)
+        overlay = overlay_heatmap(result.norm_err_u8, result.reconstruction_u8)
+        save_rgb(frame_u8, os.path.join(d, "frames", basename))
+        save_rgb(result.norm_err_u8, os.path.join(d, "err", basename))
+        save_rgb(heatmap, os.path.join(d, "heatmap", basename))
+        save_rgb(overlay, os.path.join(d, "overlay", basename))
+        save_rgb(result.reconstruction_u8, os.path.join(d, "rec", basename))
 
     def terminate_recording(self) -> Optional[str]:
         """Close recording: COCO labels.json with anomaly-score annotations +

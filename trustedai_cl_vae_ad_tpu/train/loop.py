@@ -110,10 +110,7 @@ def evaluate(config: dict, model: VAEModel, data: dict, n: int = 10) -> None:
     """Post-training artifacts. Parity with reference train.py:135-193:
     original.png / reconstruction.png facet grids (matplotlib in place of
     plotly), output_histogram.png, latent_histogram.png."""
-    import matplotlib
-
-    matplotlib.use("agg")
-    import matplotlib.pyplot as plt
+    from trustedai_cl_vae_ad_tpu.viz.plots import histogram, image_grid
 
     logdir = config["logdir"]
 
@@ -134,35 +131,18 @@ def evaluate(config: dict, model: VAEModel, data: dict, n: int = 10) -> None:
     y_rng = np.max(y) - np.min(y)
     y_i = (y - np.min(y)) / (y_rng if y_rng > 0 else 1.0)
 
-    def _grid(images, path, title):
-        cols = 5
-        rows = int(np.ceil(len(images) / cols))
-        fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows), squeeze=False)
-        for idx in range(rows * cols):
-            ax = axes[idx // cols][idx % cols]
-            ax.axis("off")
-            if idx < len(images):
-                img = np.clip(images[idx], 0.0, 1.0)
-                ax.imshow(img if img.shape[-1] != 1 else img[..., 0])
-        fig.suptitle(title)
-        fig.savefig(path, bbox_inches="tight")
-        plt.close(fig)
+    image_grid(x_i, os.path.join(logdir, "original.png"), "Original")
+    image_grid(y_i, os.path.join(logdir, "reconstruction.png"), "Reconstruction")
 
-    _grid(x_i, os.path.join(logdir, "original.png"), "Original")
-    _grid(y_i, os.path.join(logdir, "reconstruction.png"), "Reconstruction")
-
-    fig, ax = plt.subplots(1, 1)
-    ax.hist(x_i.flatten(), bins=64, label="Original", alpha=0.65)
-    ax.hist(y_i.flatten(), bins=64, label="Reconstruction", alpha=0.65)
-    ax.grid()
-    ax.legend()
-    ax.set_title("Flat Image Histogram")
-    fig.savefig(os.path.join(logdir, "output_histogram.png"))
-    plt.close(fig)
-
-    fig, ax = plt.subplots(1, 1)
-    ax.hist(z.reshape(-1), bins=64)
-    ax.grid()
-    ax.set_title("Latent Vector Histogram")
-    fig.savefig(os.path.join(logdir, "latent_histogram.png"))
-    plt.close(fig)
+    histogram(
+        os.path.join(logdir, "output_histogram.png"),
+        {"Original": x_i, "Reconstruction": y_i},
+        "Flat Image Histogram",
+        bins=64,
+    )
+    histogram(
+        os.path.join(logdir, "latent_histogram.png"),
+        {"latent": z},
+        "Latent Vector Histogram",
+        bins=64,
+    )
