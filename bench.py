@@ -13,7 +13,10 @@ vs_baseline = value / 10000 (the north-star target).
 
 Compute is bfloat16 (MXU-native) with float32 loss/score reductions; the
 1.35B-parameter flagship (the 268800x4000 encoder dense dominates) holds
-params/Adam-mu in bf16 and Adam-nu in f32 to fit single-chip HBM.
+params and both Adam moments in bf16 (ops/adam.py adam_lean: optax kernel
+structure, f32 EMA arithmetic, bf16 storage), which fits batch 512 on a
+16 GB v5e — the measured throughput knee (benchmarks/r2_results.jsonl:
+384 -> 4.3k, 512 -> 4.6-4.7k, 576/640 regress, 768 fails to compile).
 """
 
 import json
@@ -85,11 +88,13 @@ def run_bench(batch_size: int, steps: int = 30, warmup: int = 5):
 
     from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
 
+    from trustedai_cl_vae_ad_tpu.ops.adam import adam_lean
+
     core = KurtosisGlobalCVAE(
         _flagship_config(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16
     )
     params = core.init(jax.random.PRNGKey(0))
-    optimizer = optax.adam(1e-4, mu_dtype=jnp.bfloat16)
+    optimizer = adam_lean(1e-4)  # bf16 moments, f32 EMA arithmetic
     opt_state = optimizer.init(params)
     step_fn = build_bench_step(core, optimizer)
 
@@ -126,9 +131,9 @@ def _retry_in_fresh_process() -> bool:
 
 
 def main():
-    # batch 512 OOMs with f32 Adam-nu on 16 GB v5e; 384 measured best
-    # (amortizes the ~20 ms Adam update without spilling)
-    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "384,256,128").split(",")]
+    # 512 is the measured knee (576+ regress under HBM pressure; 768 fails
+    # to compile); smaller batches are the OOM fallbacks
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "512,384,256").split(",")]
     fps = None
     for b in batches:
         try:

@@ -27,13 +27,27 @@ import optax
 from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE
 
 
-def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+def make_optimizer(learning_rate: float, param_dtype=jnp.float32) -> optax.GradientTransformation:
     """Adam with an injectable (runtime-mutable) learning rate.
 
     Mirrors reference train.py:99-101 (tf.keras.optimizers.Adam(lr)); the
     injection replaces camera_streamer_qt.py:1329's
     ``tf.keras.backend.set_value(optimizer.learning_rate, lr)``.
+
+    bf16 models use ops/adam.py adam_lean: stock optax with bf16 params
+    stores the moments bf16 (zeros_like) but runs the nu EMA in bf16
+    arithmetic, where b2=0.999 increments round away; adam_lean keeps the
+    bf16 storage and accumulates in f32 (BENCH_NOTES.md round 2).
     """
+    if param_dtype == jnp.bfloat16:
+        from trustedai_cl_vae_ad_tpu.ops.adam import adam_lean
+
+        # wrap so inject_hyperparams only sees learning_rate (it would try to
+        # trace the dtype defaults into device arrays otherwise)
+        def _lean_lr(learning_rate):
+            return adam_lean(learning_rate)
+
+        return optax.inject_hyperparams(_lean_lr)(learning_rate=learning_rate)
     return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
 
 
@@ -81,7 +95,7 @@ class VAEModel:
         """
         if learning_rate is None:
             learning_rate = float(self.config["training"]["learning_rate"])
-        self.optimizer = make_optimizer(learning_rate)
+        self.optimizer = make_optimizer(learning_rate, param_dtype=self.core.param_dtype)
         self.mesh = mesh
         if mesh is not None:
             from trustedai_cl_vae_ad_tpu.parallel.mesh import replicate
