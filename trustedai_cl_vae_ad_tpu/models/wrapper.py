@@ -64,6 +64,7 @@ class VAEModel:
         self.optimizer: Optional[optax.GradientTransformation] = None
         self.opt_state = None
         self.mesh = None
+        self._zero1 = False
         self._beta = jnp.float32(core.beta)
         self._build_jitted()
 
@@ -86,22 +87,35 @@ class VAEModel:
         assert self.opt_state is not None, "model not compiled"
         self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
-    def compile(self, learning_rate: Optional[float] = None, mesh=None) -> None:
+    def compile(self, learning_rate: Optional[float] = None, mesh=None,
+                zero1: Optional[bool] = None) -> None:
         """Attach the optimizer (reference train.py:99-101).
 
-        With ``mesh`` set, parameters/optimizer state are replicated over the
-        mesh and the train step compiles as one SPMD program with the batch
-        sharded on the 'data' axis (XLA inserts the gradient all-reduce).
+        With ``mesh`` set, parameters are replicated over the mesh and the
+        train step compiles as one SPMD program with the batch sharded on the
+        'data' axis (XLA inserts the gradient all-reduce). ``zero1`` (or
+        config ``training.zero1``) additionally shards the Adam moments over
+        the data axis (parallel/zero.py), freeing (N-1)/N of the optimizer
+        memory per chip.
         """
         if learning_rate is None:
             learning_rate = float(self.config["training"]["learning_rate"])
+        if zero1 is None:
+            zero1 = bool(self.config.get("training", {}).get("zero1", False))
         self.optimizer = make_optimizer(learning_rate, param_dtype=self.core.param_dtype)
         self.mesh = mesh
+        self._zero1 = zero1 and mesh is not None
         if mesh is not None:
             from trustedai_cl_vae_ad_tpu.parallel.mesh import replicate
 
             self.params = replicate(self.params, mesh)
-            self.opt_state = replicate(self.optimizer.init(self.params), mesh)
+            opt_state = self.optimizer.init(self.params)
+            if self._zero1:
+                from trustedai_cl_vae_ad_tpu.parallel.zero import place_zero1
+
+                self.opt_state = place_zero1(opt_state, mesh)
+            else:
+                self.opt_state = replicate(opt_state, mesh)
         else:
             self.opt_state = self.optimizer.init(self.params)
         self._build_train_jits()
@@ -160,7 +174,13 @@ class VAEModel:
         if self.mesh is not None:
             from trustedai_cl_vae_ad_tpu.parallel.dp import build_train_step
 
-            self._train_step_j = build_train_step(core, optimizer, self.mesh)
+            osh = None
+            if getattr(self, "_zero1", False):
+                from trustedai_cl_vae_ad_tpu.parallel.zero import zero1_shardings
+
+                osh = zero1_shardings(self.opt_state, self.mesh)
+            self._train_step_j = build_train_step(core, optimizer, self.mesh,
+                                                  opt_state_shardings=osh)
             return
 
         def train_step(params, opt_state, x, rng):

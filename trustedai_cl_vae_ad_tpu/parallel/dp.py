@@ -24,13 +24,21 @@ from trustedai_cl_vae_ad_tpu.parallel.mesh import (
 
 
 def build_train_step(
-    core: AbstractCVAE, optimizer: optax.GradientTransformation, mesh: Mesh
+    core: AbstractCVAE,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    opt_state_shardings=None,
 ) -> Callable:
     """jit-compiled sharded train step:
     (params, opt_state, x[batch-sharded], rng) -> (params, opt_state, loss, x_hat).
+
+    ``opt_state_shardings`` (e.g. parallel.zero.zero1_shardings) shards the
+    optimizer state — ZeRO-1: GSPMD slices the gradients into each local
+    moment update and all-gathers the parameter delta.
     """
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
+    osh = rep if opt_state_shardings is None else opt_state_shardings
 
     def train_step(params, opt_state, x, rng):
         def loss_fn(p):
@@ -44,8 +52,8 @@ def build_train_step(
 
     return jax.jit(
         train_step,
-        in_shardings=(rep, rep, bsh, rep),
-        out_shardings=(rep, rep, rep, bsh),
+        in_shardings=(rep, osh, bsh, rep),
+        out_shardings=(rep, osh, rep, bsh),
         donate_argnums=(0, 1),
     )
 

@@ -93,7 +93,13 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated over the mesh."""
+    """Place a pytree fully replicated over the mesh.
+
+    Footgun: jax.device_put may ALIAS the source buffers (device 0's replica
+    reuses them on a single host), so donating the replicated tree to a
+    jitted step also invalidates the source tree. Treat the input as consumed
+    when the output feeds a donating step.
+    """
     sharding = replicated_sharding(mesh)
     return jax.device_put(tree, sharding)
 
