@@ -1,0 +1,175 @@
+"""Qt shell logic driven through the PyQt5 stub (tests/qt_stub.py).
+
+PyQt5 isn't available in CI; these tests execute the REAL window code
+(camera_streamer_qt.py / decoder_generator_qt.py) against stub widgets, so
+the shells' event handlers — frame grab -> inference draw, view modes,
+anomalous-state styling, timing readout, record-period dial, dataset-combine
+action, decoder spinbox debounce — are exercised, not just parsed.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests import qt_stub  # noqa: E402
+
+qt_stub.install()
+
+import camera_streamer_qt  # noqa: E402
+import decoder_generator_qt  # noqa: E402
+
+assert camera_streamer_qt.HAVE_QT and decoder_generator_qt.HAVE_QT
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    """A tiny trained-ish log dir loadable by both shells."""
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    config = {
+        "data": {"dataset": "synthetic", "image_size": [16, 16, 3],
+                 "n_train": 8, "n_val": 4},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 4, "layers": [4]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3,
+                     "max_epochs": 1},
+    }
+    d = tmp_path_factory.mktemp("qt_model")
+    model = load_model_from_config(config)
+    model.save_model(str(d), include_optimizer=False)
+    save_config(config, str(d / "config.yml"))
+    return str(d)
+
+
+@pytest.fixture
+def cam_window(model_dir, tmp_path):
+    cam_config = {
+        "camera_list": [{"name": "c0", "url": "synthetic", "fps": 10}],
+        "anomaly_settings": {"anomaly_score_threshold": 2.0,
+                             "anomaly_score_method": "zz_count",
+                             "buffer_record_period_s": 1.0,
+                             "anomalous_state_period_s": 0.05},
+    }
+    cfg_path = tmp_path / "cam.yml"
+    cfg_path.write_text(yaml.safe_dump(cam_config))
+
+    class Args:
+        cam_config = str(cfg_path)
+        cam_config_index = 0
+        model_cache_dir = str(tmp_path / "cache")
+
+    Args.model_dir = model_dir  # class-body name shadowing: set after
+
+    w = camera_streamer_qt.CameraStreamerMainWindow(Args())
+    w.engine.inference_period_ms = 0.0
+    return w
+
+
+def _tick(w, n=1):
+    for _ in range(n):
+        w.grab_frame()
+        w.update_draws()
+
+
+def test_cam_window_stream_and_inference(cam_window):
+    w = cam_window
+    _tick(w, 3)
+    assert w.last_frame is not None
+    assert w.stream_label._pixmaps, "stream pane never drew"
+    assert w.error_label._pixmaps, "inference pane never drew"
+    assert w.last_result is not None
+    assert w.anomaly_lbl.text().startswith("AS:")
+    assert "timings:" in w.timing_lbl.text() and "process_rate" in w.timing_lbl.text()
+
+
+def test_cam_window_view_modes(cam_window):
+    w = cam_window
+    for mode in ("error", "reconstruction", "heatmap", "overlay"):
+        w.view_mode.setCurrentText(mode)
+        before = len(w.error_label._pixmaps)
+        _tick(w)
+        assert len(w.error_label._pixmaps) > before, mode
+
+
+def test_cam_window_anomalous_indicator(cam_window):
+    """The anomalous state must drive a visible UI state change (reference
+    :898-914), not just a text marker. The state is forced directly: the
+    streaming score is NaN during EMA warmup, so threshold-tripping via real
+    scores is timing-dependent."""
+    w = cam_window
+    w.engine.anomalous_state = True  # hold: no start_time => machine keeps it
+    _tick(w)
+    assert "background-color" in w.anomaly_lbl.styleSheet()
+    assert w.anomaly_lbl.text().endswith("**")
+    w.engine.anomalous_state = False
+    _tick(w)
+    assert w.anomaly_lbl.styleSheet() == ""
+
+
+def test_cam_window_dials(cam_window):
+    w = cam_window
+    w.lr_man.setValue(2.5)
+    w.lr_exp.setValue(-3)
+    assert abs(w.engine.model.learning_rate - 2.5e-3) < 1e-9
+    w.record_period.setValue(2.0)
+    assert w.engine.record_period_ms == 2000.0
+    w.cl_checkbox.setChecked(True)
+    assert w.engine.enable_cont_learning
+    w.cl_checkbox.setChecked(False)
+
+
+def test_cam_window_combine_action(cam_window, tmp_path):
+    for name, ids in (("a", [0, 1]), ("b", [0])):
+        d = tmp_path / name
+        d.mkdir()
+        labels = {"info": {}, "categories": [], "annotations": [],
+                  "images": [{"id": i, "width": 4, "height": 4,
+                              "file_name": f"{name}{i}.png"} for i in ids]}
+        (d / "labels.json").write_text(json.dumps(labels))
+    dest = tmp_path / "merged"
+    dest.mkdir()
+    qt_stub.QFileDialog.existing_dirs = [str(tmp_path / "a"), str(tmp_path / "b"),
+                                         "", str(dest)]
+    qt_stub.QMessageBox.messages.clear()
+    cam_window._combine_datasets_dialog()
+    assert qt_stub.QMessageBox.messages[-1][0] == "information"
+    with open(dest / "labels.json") as f:
+        assert len(json.load(f)["images"]) == 3
+
+
+def test_cam_window_recording_toggle(cam_window, tmp_path):
+    rec = tmp_path / "rec"
+    rec.mkdir()
+    qt_stub.QFileDialog.existing_dirs = [str(rec)]
+    w = cam_window
+    w.engine.record_period_ms = 0.0
+    w.record_btn.setChecked(True)
+    assert w.engine.recording_flag
+    _tick(w, 2)
+    w.record_btn.setChecked(False)
+    assert not w.engine.recording_flag
+    inst = [p for p in rec.iterdir() if p.name.startswith("data_")]
+    assert inst and (inst[0] / "labels.json").exists()
+
+
+def test_decoder_window_spinbox_redraw(model_dir):
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    model, config = load_model_from_directory(model_dir)
+    model.load_model(model_dir, restore_optimizer=False)
+    w = decoder_generator_qt.DecoderGeneratorMainWindow(model, config)
+    assert len(w.spinboxes) == 4
+    w.spinboxes[0].setValue(0.7)
+    # debounced redraw: fire the timer(s) the window registered
+    for t in qt_stub.QTimer.instances:
+        t.fire()
+    assert w.image_label._pixmaps, "decoder pane never drew"
