@@ -131,9 +131,10 @@ def _retry_in_fresh_process() -> bool:
 
 
 def main():
-    # 512 is the measured knee (576+ regress under HBM pressure; 768 fails
-    # to compile); smaller batches are the OOM fallbacks
-    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "512,384,256").split(",")]
+    # with the reverse-free ConvTranspose VJP (ops/convt.py), 768 compiles
+    # and is the measured best (896 crashes the compiler); smaller batches
+    # are the OOM fallbacks
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "768,512,384").split(",")]
     fps = None
     for b in batches:
         try:

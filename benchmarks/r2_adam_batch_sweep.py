@@ -166,6 +166,7 @@ def main():
         ("lean_b768", 768, lean_opt, 0),
         ("lean_b640", 640, lean_opt, 0),
         ("lean_b576", 576, lean_opt, 0),
+        ("lean_b896", 896, lean_opt, 0),
         ("lean_b1024", 1024, lean_opt, 0),
         ("lean_sr_b512", 512, sr_opt, 0),
         ("scan4_b512", 512, lean_opt, 4),

@@ -101,6 +101,48 @@ def main():
         run("altdec_b512", True)
     if not which or "plain" in which:
         run("plaindec_b512", False)
+    if "fastvjp" in which:
+        run_fastvjp()
+
+
+
+
+def run_fastvjp():
+    """Train-step timing with the reverse-free ConvTranspose VJP decoder."""
+    import gc
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _flagship_config
+    from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
+    from trustedai_cl_vae_ad_tpu.ops.adam import adam_lean
+    from benchmarks.r2_adam_batch_sweep import build_step
+
+    batch = 512
+    cfg = _flagship_config()
+    cfg["model"]["fast_vjp"] = True
+    core = KurtosisGlobalCVAE(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    params = core.init(jax.random.PRNGKey(0))
+    optimizer = adam_lean(1e-4)
+    opt_state = optimizer.init(params)
+    step_fn = build_step(core, optimizer)
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 256, (batch, 224, 300, 3), np.uint8))
+    mu, sigma = jnp.float32(100.0), jnp.float32(10.0)
+    rngs = jax.random.split(jax.random.PRNGKey(1), 16)
+    for i in range(3):
+        params, opt_state, loss, z = step_fn(params, opt_state, x, rngs[i], mu, sigma)
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(12):
+        params, opt_state, loss, z = step_fn(params, opt_state, x, rngs[3 + i % 12], mu, sigma)
+    final = float(loss)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final)
+    log_result(name="fastvjp_b512", batch=batch,
+               frames_per_s=round(batch * 12 / dt, 1),
+               ms_per_step=round(1000 * dt / 12, 2))
 
 
 if __name__ == "__main__":

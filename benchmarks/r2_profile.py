@@ -89,7 +89,7 @@ def profile_train_step():
     from trustedai_cl_vae_ad_tpu.ops.adam import adam_lean
     from benchmarks.r2_adam_batch_sweep import build_step
 
-    batch = 512
+    batch = int(os.environ.get("PROFILE_BATCH", "512"))
     core = KurtosisGlobalCVAE(_flagship_config(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     params = core.init(jax.random.PRNGKey(0))
     optimizer = adam_lean(1e-4)
@@ -102,7 +102,7 @@ def profile_train_step():
         params, opt_state, loss, z = step_fn(params, opt_state, x, rngs[i], mu, sigma)
     float(loss)
 
-    tdir = os.path.join(TRACE_ROOT, "train_step_b512")
+    tdir = os.path.join(TRACE_ROOT, f"train_step_b{batch}")
     os.makedirs(tdir, exist_ok=True)
     with jax.profiler.trace(tdir, create_perfetto_trace=True):
         for i in range(3):
@@ -111,7 +111,7 @@ def profile_train_step():
     summary = parse_perfetto(tdir)
     summary["steps_traced"] = 3
     summary["batch"] = batch
-    with open(os.path.join(TRACE_ROOT, "train_step_b512_summary.json"), "w") as f:
+    with open(os.path.join(TRACE_ROOT, f"train_step_b{batch}_summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print("train step device busy per step: "
           f"{summary['device_busy_us_union'] / 3 / 1e3:.2f} ms", flush=True)

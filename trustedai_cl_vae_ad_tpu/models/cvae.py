@@ -94,6 +94,11 @@ class Decoder(nn.Module):
     output_channels: int
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # reverse-free custom VJP for the transposed convs (ops/convt.py):
+    # bit-identical forward and checkpoint tree; autodiff's HLO reverses the
+    # full activations in the dW path — measured 110.9 -> 94.9 ms/step on the
+    # flagship at batch 512 (+17%). model.fast_vjp: false opts out.
+    fast_vjp: bool = True
 
     @nn.compact
     def __call__(self, z: Array) -> Array:
@@ -103,28 +108,34 @@ class Decoder(nn.Module):
         )(z.astype(self.dtype))
         x = nn.relu(x)
         x = x.reshape((x.shape[0], dw, dh, df))
-        for filters in reversed(list(self.conv_filters)):
-            x = nn.ConvTranspose(
-                features=filters,
+
+        def upconv(x, features, strides, idx):
+            if self.fast_vjp:
+                from trustedai_cl_vae_ad_tpu.ops.convt import ConvTransposeG
+
+                return ConvTransposeG(
+                    features=features,
+                    strides=strides,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"ConvTranspose_{idx}",  # keep checkpoint keys
+                )(x)
+            return nn.ConvTranspose(
+                features=features,
                 kernel_size=(3, 3),
-                strides=(2, 2),
+                strides=strides,
                 padding="SAME",
                 transpose_kernel=True,  # gradient-of-conv == Keras Conv2DTranspose
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 kernel_init=_glorot,
             )(x)
+
+        filters = list(reversed(list(self.conv_filters)))
+        for i, f in enumerate(filters):
+            x = upconv(x, f, (2, 2), i)
             x = nn.relu(x)
-        x = nn.ConvTranspose(
-            features=self.output_channels,
-            kernel_size=(3, 3),
-            strides=(1, 1),
-            padding="SAME",
-            transpose_kernel=True,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            kernel_init=_glorot,
-        )(x)
+        x = upconv(x, self.output_channels, (1, 1), len(filters))
         return x.astype(jnp.float32)
 
 
@@ -313,6 +324,7 @@ class AbstractCVAE:
             output_channels=int(self.encoder_input_shape[2]),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            fast_vjp=bool(cfg["model"].get("fast_vjp", True)),
         )
 
     # -- parameter initialization -------------------------------------------------
