@@ -1,0 +1,246 @@
+#!/usr/bin/env python3
+"""HTTP anomaly-scoring server with continuous micro-batching.
+
+Production-serving surface over a trained model (the streaming engine covers
+live video; this covers request/response scoring). TPU-idiomatic design:
+
+  * requests are queued and coalesced into micro-batches (max size /
+    max wait), so concurrent clients share one device dispatch;
+  * batches are padded UP to a fixed set of bucket sizes — each bucket is
+    one jit shape, compiled once (on remote-compile runtimes a fresh shape
+    costs 90-200 s, so unbounded dynamic batching would stall the server);
+  * the scoring function is the offline pipeline's math
+    (do_anomaly_detection.py:62-92): per-frame channel-summed squared
+    reconstruction error, z-scored against reference stats when provided.
+
+Endpoints:
+  GET  /healthz                    -> {"ok": true, ...}
+  POST /score                      -> {"error": eps, "z": z?, "anomalous": ?}
+       body: PNG bytes (or any PIL-decodable image)
+  POST /reconstruct                -> PNG bytes of the reconstruction
+
+Usage:
+  python serve.py -m <logdir> [--port 8000] [--stats stats.json]
+                  [--threshold 3.0] [--max-batch 8] [--max-wait-ms 5]
+
+--stats points at a JSON {"meu": ..., "sigma": ...} as produced by the
+offline pass-1 (anomaly/offline.get_data_scale); without it /score returns
+raw errors only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class MicroBatcher:
+    """Coalesces scoring requests into bucket-padded device batches."""
+
+    BUCKETS = (1, 2, 4, 8, 16)
+
+    def __init__(self, model, config, stats=None, max_batch: int = 8,
+                 max_wait_ms: float = 5.0):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.stats = stats
+        self.max_batch = min(max_batch, self.BUCKETS[-1])
+        self.max_wait_s = max_wait_ms / 1000.0
+        size = config["data"]["image_size"]
+        self.hwc = (int(size[0]), int(size[1]), int(size[2]))
+        self.queue: queue.Queue = queue.Queue()
+        self._stop = False
+
+        core = model.core
+        out_hw = self.hwc[:2]
+
+        def score_batch(params, x_u8):
+            x = x_u8.astype(jnp.float32) / 255.0
+            if x.shape[1:3] != out_hw:
+                x = jax.image.resize(
+                    x, (x.shape[0], out_hw[0], out_hw[1], x.shape[3]),
+                    method="linear", antialias=True,
+                )
+            x_hat = core.call(params, x, training=False)
+            err = jnp.sum((x - x_hat) ** 2, axis=3)
+            eps = jnp.sum(err, axis=(1, 2))  # per-frame scalar (ref :62)
+            rec_u8 = jnp.clip(jnp.round(255.0 * x_hat), 0, 255).astype(jnp.uint8)
+            return eps, rec_u8
+
+        self._score_j = jax.jit(score_batch)
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def warmup(self, buckets=None) -> None:
+        """Pre-compile the bucket shapes (one-time cost, off the request path)."""
+        import numpy as np
+
+        for b in buckets or [x for x in self.BUCKETS if x <= self.max_batch]:
+            batch = np.zeros((b, *self.hwc), np.uint8)
+            eps, _ = self._score_j(self.model.params, batch)
+            float(eps[0])
+
+    def submit(self, img_u8) -> Future:
+        fut: Future = Future()
+        self.queue.put((img_u8, fut))
+        return fut
+
+    def close(self):
+        self._stop = True
+        self.thread.join(timeout=2)
+
+    def _run(self):
+        import numpy as np
+
+        while not self._stop:
+            try:
+                first = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            items = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(items) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            n = len(items)
+            bucket = next(b for b in self.BUCKETS if b >= n)
+            batch = np.zeros((bucket, *self.hwc), np.uint8)
+            for i, (img, _f) in enumerate(items):
+                batch[i] = img
+            try:
+                eps, rec = self._score_j(self.model.params, batch)
+                eps = np.asarray(eps)
+                rec = np.asarray(rec)
+                for i, (_img, fut) in enumerate(items):
+                    fut.set_result((float(eps[i]), rec[i]))
+            except Exception as e:  # pragma: no cover - device failure
+                for _img, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+def _decode_to_model_size(body: bytes, hwc):
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(body)).convert("RGB")
+    h, w, _ = hwc
+    if img.size != (w, h):
+        img = img.resize((w, h), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
+
+
+def make_handler(batcher: MicroBatcher, stats, threshold: float):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "model_input": list(batcher.hwc),
+                                 "max_batch": batcher.max_batch})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path not in ("/score", "/reconstruct"):
+                self._json(404, {"error": "unknown path"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                img = _decode_to_model_size(body, batcher.hwc)
+            except Exception as e:
+                self._json(400, {"error": f"undecodable image: {e}"})
+                return
+            try:
+                eps, rec = batcher.submit(img).result(timeout=120)
+            except Exception as e:
+                self._json(500, {"error": str(e)})
+                return
+            if self.path == "/reconstruct":
+                from PIL import Image
+
+                buf = io.BytesIO()
+                Image.fromarray(rec, mode="RGB").save(buf, format="PNG")
+                png = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
+                return
+            out = {"error": eps}
+            if stats is not None and stats.get("sigma"):
+                z = (eps - stats["meu"]) / stats["sigma"]
+                out["z"] = z
+                out["anomalous"] = bool(z > threshold)
+            self._json(200, out)
+
+    return Handler
+
+
+def build_server(model_dir: str, port: int = 8000, stats_path: str | None = None,
+                 threshold: float = 3.0, max_batch: int = 8,
+                 max_wait_ms: float = 5.0, warmup: bool = True):
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    model, config = load_model_from_directory(model_dir)
+    model.load_model(model_dir, restore_optimizer=False)
+    stats = None
+    if stats_path:
+        with open(stats_path) as f:
+            stats = json.load(f)
+    batcher = MicroBatcher(model, config, stats=stats, max_batch=max_batch,
+                           max_wait_ms=max_wait_ms)
+    if warmup:
+        batcher.warmup()
+    server = ThreadingHTTPServer(("0.0.0.0", port),
+                                 make_handler(batcher, stats, threshold))
+    server.batcher = batcher
+    return server
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-dir", "-m", required=True)
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--stats", type=str, default=None,
+                        help='JSON {"meu":..., "sigma":...} from the offline pass 1')
+    parser.add_argument("--threshold", "-t", type=float, default=3.0)
+    parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = parser.parse_args()
+    server = build_server(args.model_dir, args.port, args.stats, args.threshold,
+                          args.max_batch, args.max_wait_ms)
+    print(f"serving on :{args.port} (buckets pre-compiled, max_batch={args.max_batch})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+        server.batcher.close()
+
+
+if __name__ == "__main__":
+    main()

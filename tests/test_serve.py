@@ -1,0 +1,111 @@
+"""HTTP scoring server: micro-batching, endpoints, bucket padding."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    import serve
+
+    config = {
+        "data": {"image_size": [16, 16, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 4, "layers": [4]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3,
+                     "max_epochs": 1},
+    }
+    d = tmp_path_factory.mktemp("serve_model")
+    model = load_model_from_config(config)
+    model.save_model(str(d), include_optimizer=False)
+    save_config(config, str(d / "config.yml"))
+    stats = d / "stats.json"
+    stats.write_text(json.dumps({"meu": 100.0, "sigma": 10.0}))
+
+    srv = serve.build_server(str(d), port=0, stats_path=str(stats),
+                             threshold=3.0, max_batch=4, max_wait_ms=10.0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    srv.batcher.close()
+
+
+def _png_bytes(seed=0, size=(16, 16)):
+    img = np.random.RandomState(seed).randint(0, 255, (*size, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"{server}/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["ok"] and body["model_input"] == [16, 16, 3]
+
+
+def test_score_with_stats(server):
+    req = urllib.request.Request(f"{server}/score", data=_png_bytes(1), method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        body = json.loads(r.read())
+    assert np.isfinite(body["error"]) and "z" in body and "anomalous" in body
+    assert abs(body["z"] - (body["error"] - 100.0) / 10.0) < 1e-4
+
+
+def test_score_resizes_foreign_sizes(server):
+    req = urllib.request.Request(f"{server}/score", data=_png_bytes(2, (40, 30)),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert np.isfinite(json.loads(r.read())["error"])
+
+
+def test_reconstruct_returns_png(server):
+    req = urllib.request.Request(f"{server}/reconstruct", data=_png_bytes(3),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        img = Image.open(io.BytesIO(r.read()))
+    assert img.size == (16, 16) and img.mode == "RGB"
+
+
+def test_concurrent_requests_batch(server):
+    """Concurrent clients must all get correct answers (the batcher coalesces
+    them into padded buckets); same image => same score regardless of batch."""
+    results = {}
+
+    def call(i):
+        req = urllib.request.Request(f"{server}/score", data=_png_bytes(7),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            results[i] = json.loads(r.read())["error"]
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    vals = list(results.values())
+    assert len(vals) == 6
+    np.testing.assert_allclose(vals, vals[0], rtol=1e-4)
+
+
+def test_bad_image_400(server):
+    req = urllib.request.Request(f"{server}/score", data=b"not a png", method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
