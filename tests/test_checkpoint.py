@@ -110,3 +110,46 @@ def test_optimizer_restore_contract(trained):
     mu3 = jax.tree_util.tree_leaves(eng.model.opt_state.inner_state[0].mu)
     for a, b in zip(mu2, mu3):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_adam_lean_state_roundtrip(small_config, tmp_path):
+    """bf16 models checkpoint adam_lean's state (bf16 moments + rng=None
+    leaf) — the Orbax roundtrip must restore it exactly and training must
+    continue from the restored moments."""
+    import jax
+    import numpy as np
+
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    cfg = dict(small_config)
+    cfg["training"] = dict(cfg["training"], precision="bfloat16")
+    model = load_model_from_config(cfg)
+    model.compile()
+    x = np.random.RandomState(0).random((4, 64, 64, 3)).astype(np.float32)
+    for _ in range(2):
+        model.train_step(x)
+    d = tmp_path / "ck"
+    d.mkdir()
+    model.save_model(str(d))
+
+    model2 = load_model_from_config(cfg)
+    model2.compile()
+    model2.load_model(str(d), restore_optimizer=True)
+    for a, b in zip(jax.tree_util.tree_leaves(model.params),
+                    jax.tree_util.tree_leaves(model2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # moment dtypes and values survive
+    la = [l for l in jax.tree_util.tree_leaves(model.opt_state) if hasattr(l, "dtype")]
+    lb = [l for l in jax.tree_util.tree_leaves(model2.opt_state) if hasattr(l, "dtype")]
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # identical continued step from identical state (same injected rng)
+    rng = jax.random.PRNGKey(5)
+    p1 = model._train_step_j(model.params, model.opt_state,
+                             jax.numpy.asarray(x), rng)[0]
+    p2 = model2._train_step_j(model2.params, model2.opt_state,
+                              jax.numpy.asarray(x), rng)[0]
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
