@@ -103,6 +103,8 @@ def main():
         run("plaindec_b512", False)
     if "fastvjp" in which:
         run_fastvjp()
+    if "s2dhead" in which:
+        run_fastvjp_s2dhead()
 
 
 
@@ -141,6 +143,81 @@ def run_fastvjp():
     dt = time.perf_counter() - t0
     assert np.isfinite(final)
     log_result(name="fastvjp_b512", batch=batch,
+               frames_per_s=round(batch * 12 / dt, 1),
+               ms_per_step=round(1000 * dt / 12, 2))
+
+
+
+
+def run_fastvjp_s2dhead():
+    """fast-vjp stride-2 upconvs + space-to-depth head: the head's plain-conv
+    backward contracts 48 lanes instead of 27 (and 16x fewer positions for
+    dW), attacking the 10.75+5.28 ms head grads in the b768 trace."""
+    import gc
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from bench import _flagship_config
+    from trustedai_cl_vae_ad_tpu.models import cvae as C
+    from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
+    from trustedai_cl_vae_ad_tpu.ops.adam import adam_lean
+    from trustedai_cl_vae_ad_tpu.ops.convt import ConvTransposeG
+    from benchmarks.r2_adam_batch_sweep import build_step
+
+    batch = 768
+
+    class HeadS2DDecoder(nn.Module):
+        conv_filters: tuple
+        dense_shape: tuple
+        output_channels: int
+        dtype: object = jnp.bfloat16
+        param_dtype: object = jnp.bfloat16
+
+        @nn.compact
+        def __call__(self, z):
+            dw, dh, df = self.dense_shape
+            x = nn.Dense(dw * dh * df, dtype=self.dtype, param_dtype=self.param_dtype,
+                         kernel_init=C._glorot)(z.astype(self.dtype))
+            x = nn.relu(x)
+            x = x.reshape((x.shape[0], dw, dh, df))
+            filters = list(reversed(list(self.conv_filters)))
+            for i, f in enumerate(filters):
+                x = ConvTransposeG(features=f, strides=(2, 2), dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name=f"ConvTranspose_{i}")(x)
+                x = nn.relu(x)
+            x = C._RGBHead(self.output_channels, dtype=self.dtype,
+                           param_dtype=self.param_dtype,
+                           name=f"ConvTranspose_{len(filters)}")(x)
+            return x.astype(jnp.float32)
+
+    cfg = _flagship_config()
+    core = KurtosisGlobalCVAE(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    core.decoder = HeadS2DDecoder(
+        conv_filters=tuple(cfg["model"]["layers"]),
+        dense_shape=C.compute_dense_shape(cfg),
+        output_channels=cfg["data"]["image_size"][2],
+    )
+    params = core.init(jax.random.PRNGKey(0))
+    optimizer = adam_lean(1e-4)
+    opt_state = optimizer.init(params)
+    step_fn = build_step(core, optimizer)
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 256, (batch, 224, 300, 3), np.uint8))
+    mu, sigma = jnp.float32(100.0), jnp.float32(10.0)
+    rngs = jax.random.split(jax.random.PRNGKey(1), 16)
+    for i in range(3):
+        params, opt_state, loss, z = step_fn(params, opt_state, x, rngs[i], mu, sigma)
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(12):
+        params, opt_state, loss, z = step_fn(params, opt_state, x, rngs[3 + i % 12], mu, sigma)
+    final = float(loss)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final)
+    log_result(name="fastvjp_s2dhead_b768", batch=batch,
                frames_per_s=round(batch * 12 / dt, 1),
                ms_per_step=round(1000 * dt / 12, 2))
 
