@@ -1,0 +1,82 @@
+"""Multi-host (2-process) distributed training equivalence.
+
+Validates the DCN-ready claims end to end: two OS processes, 4 virtual CPU
+devices each, gloo collectives, initialize_distributed + global_batch_from
+_local per-host ingest — the dp train step must produce exactly the same
+loss/params as the same step run on a single 8-device process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _parse(out: str):
+    loss = checksum = None
+    for line in out.splitlines():
+        if line.startswith("LOSS "):
+            loss = float(line.split()[1])
+        if line.startswith("CHECKSUM "):
+            checksum = float(line.split()[1])
+    assert loss is not None and checksum is not None, out
+    return loss, checksum
+
+
+def test_two_process_matches_single_process():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "mp_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(i), "2", str(port)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, cwd=repo, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    (l0, c0), (l1, c1) = _parse(outs[0]), _parse(outs[1])
+    # both processes observe the identical global result
+    np.testing.assert_allclose(l0, l1, rtol=1e-7)
+    np.testing.assert_allclose(c0, c1, rtol=1e-7)
+
+    # single-process 8-device reference (this pytest process)
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices for the reference run")
+    from tests.mp_worker import CONFIG
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE, make_optimizer
+    from trustedai_cl_vae_ad_tpu.parallel.dp import build_train_step
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    core = KurtosisGlobalCVAE(CONFIG)
+    optimizer = make_optimizer(1e-3)
+    mesh = make_mesh(n_data=8, n_model=1)
+    params = replicate(core.init(jax.random.PRNGKey(0)), mesh)
+    opt_state = replicate(optimizer.init(params), mesh)
+    batch = shard_batch(
+        np.random.RandomState(0).random((16, 16, 16, 3)).astype(np.float32), mesh
+    )
+    step = build_train_step(core, optimizer, mesh)
+    params, opt_state, loss, _ = step(params, opt_state, batch, jax.random.PRNGKey(7))
+    ref_loss = float(loss["loss"])
+    ref_checksum = float(np.sum(np.abs(np.asarray(jax.tree_util.tree_leaves(params)[0]))))
+    np.testing.assert_allclose(l0, ref_loss, rtol=1e-6)
+    np.testing.assert_allclose(c0, ref_checksum, rtol=1e-6)

@@ -104,6 +104,30 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, sharding)
 
 
+def global_batch_from_local(local_batch, mesh: Mesh):
+    """Assemble a multi-process global batch from this process's local shard.
+
+    Multi-host path (after initialize_distributed): each host feeds only the
+    rows its local devices own (per-host sharded ingest); the returned global
+    array is batch-sharded over the 'data' axis. On a single process this is
+    equivalent to shard_batch(local_batch, mesh, pad=False).
+    """
+    local_batch = np.asarray(local_batch)
+    return jax.make_array_from_process_local_data(batch_sharding(mesh), local_batch)
+
+
+def replicated_from_local(tree, mesh: Mesh):
+    """Replicate host-local values over a (possibly multi-process) mesh.
+
+    Unlike ``replicate`` (device_put), this works when the mesh spans
+    non-addressable devices: every process must pass identical values.
+    """
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), tree
+    )
+
+
 _pad_warned = False
 
 
