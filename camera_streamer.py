@@ -45,6 +45,12 @@ def get_args():
                         help="Write CL-epoch losses + anomaly scores to "
                              "<dir>/metrics.jsonl (+TensorBoard). Defaults to "
                              "<model-cache-dir>/metrics when CL is enabled.")
+    parser.add_argument("--all-cameras", action="store_true",
+                        help="Batch ALL cam_config camera_list streams into one "
+                             "TPU dispatch per tick (MultiCameraEngine; inference"
+                             "+scoring only — CL stays single-stream)")
+    parser.add_argument("--n-streams", type=int, default=None,
+                        help="With --all-cameras --source synthetic: stream count")
     parser.add_argument("--combine-datasets", nargs="+", metavar="SRC",
                         help="Merge recorded dataset dirs (labels.json images "
                              "concatenated) into --combine-dest and exit "
@@ -56,6 +62,72 @@ def get_args():
     if not args.combine_datasets and not args.model_dir:
         parser.error("--model-dir/-m is required (except with --combine-datasets)")
     return args
+
+
+def run_all_cameras(args):
+    """Batched multi-stream scoring: one device dispatch covers every camera
+    in camera_list per tick (stream/multicam.py)."""
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+    from trustedai_cl_vae_ad_tpu.stream.capture import make_source
+    from trustedai_cl_vae_ad_tpu.stream.engine import load_cam_config
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    anomaly_settings = None
+    if args.cam_config:
+        cam_config = load_cam_config(args.cam_config)
+        anomaly_settings = cam_config.get("anomaly_settings")
+        specs = [c.get("url") for c in cam_config["camera_list"]]
+        names = [c.get("name", f"cam{i}") for i, c in enumerate(cam_config["camera_list"])]
+        fps = float(cam_config["camera_list"][0].get("fps", 20))
+    else:
+        n = args.n_streams or 2
+        specs = ["synthetic"] * n
+        names = [f"synthetic{i}" for i in range(n)]
+        fps = 20.0
+
+    model, config = load_model_from_directory(args.model_dir)
+    model.load_model(args.model_dir, restore_optimizer=False)
+    engine = MultiCameraEngine(model, config, n_streams=len(specs),
+                               anomaly_settings=anomaly_settings)
+    sources = [make_source(s, fps=fps) for s in specs]
+    stats_file = open(args.stats_jsonl, "w") if args.stats_jsonl else None
+    n = 0
+    try:
+        while args.max_frames is None or n < args.max_frames:
+            t0 = time.perf_counter()
+            frames = []
+            alive = False
+            for src in sources:
+                f = src.read()
+                frames.append(f)
+                alive = alive or f is not None
+            if not alive:
+                break
+            results = engine.process_frames(frames)
+            lat_ms = (time.perf_counter() - t0) * 1000.0
+            if n % 20 == 0:
+                line = " | ".join(
+                    f"{names[i]}: AS={r.score: .3f}{' **' if r.anomalous else ''}"
+                    for i, r in enumerate(results) if r is not None
+                )
+                print(f"tick {n} ({lat_ms:.1f} ms): {line}")
+            if stats_file:
+                stats_file.write(json.dumps({
+                    "tick": n, "latency_ms": round(lat_ms, 3),
+                    "scores": [None if r is None else r.score for r in results],
+                    "anomalous": [None if r is None else r.anomalous for r in results],
+                }) + "\n")
+            n += 1
+            if args.realtime:
+                time.sleep(max(0.0, 1.0 / fps - (time.perf_counter() - t0)))
+    except KeyboardInterrupt:
+        print("Keyboard Interrupt")
+    finally:
+        for src in sources:
+            src.release()
+        if stats_file:
+            stats_file.close()
+    print(f"processed {n} ticks x {len(specs)} streams")
 
 
 def main():
@@ -72,6 +144,10 @@ def main():
         os.makedirs(args.combine_dest, exist_ok=True)
         out = combine_datasets(args.combine_datasets, args.combine_dest)
         print(f"Combined {len(args.combine_datasets)} datasets -> {out}")
+        return
+
+    if args.all_cameras:
+        run_all_cameras(args)
         return
 
     anomaly_settings = None

@@ -1,0 +1,94 @@
+"""Multi-camera batched engine vs K independent single-stream engines."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    config = {
+        "data": {"image_size": [16, 16, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 4, "layers": [4]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3,
+                     "max_epochs": 1},
+    }
+    model = load_model_from_config(config)
+    settings = {"anomaly_score_threshold": 2.0, "anomaly_score_method": "zz_count",
+                "buffer_record_period_s": 1.0, "anomalous_state_period_s": 0.05}
+    return model, config, settings
+
+
+def test_matches_independent_engines(setup):
+    """K batched streams must score identically to K separate engines fed
+    the same frames (vmapped jnp scorer == per-stream jnp scorer)."""
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, settings = setup
+    K, T = 3, 25
+    rngs = [np.random.RandomState(10 + i) for i in range(K)]
+    frames = [[r.randint(0, 255, (20, 24, 3), np.uint8) for _ in range(T)]
+              for r in rngs]
+
+    singles = []
+    for _ in range(K):
+        e = StreamingEngine(model, config, anomaly_settings=dict(settings))
+        e.inference_period_ms = 0.0
+        singles.append(e)
+    multi = MultiCameraEngine(model, config, n_streams=K,
+                              anomaly_settings=dict(settings))
+
+    for t in range(T):
+        tick = [frames[i][t] for i in range(K)]
+        multi_out = multi.process_frames(tick)
+        for i in range(K):
+            single_out = singles[i].process_frame(frames[i][t])
+            m, s = multi_out[i], single_out
+            if np.isnan(s.score):
+                assert np.isnan(m.score), (t, i)
+            else:
+                np.testing.assert_allclose(m.score, s.score, rtol=1e-4, atol=1e-5)
+                np.testing.assert_allclose(m.pixel_count, s.pixel_count, atol=0.5)
+            # vmapped vs per-stream reduction order can flip a 0.5-ulp
+            # rounding boundary on isolated pixels of the uint8 map
+            diff = np.abs(m.norm_err_u8.astype(int) - s.norm_err_u8.astype(int))
+            assert diff.max() <= 1 and (diff > 0).mean() < 0.01, (t, i)
+            assert m.anomalous == s.anomalous, (t, i)
+
+
+def test_dropped_frames_freeze_state(setup):
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, settings = setup
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=settings)
+    rng = np.random.RandomState(0)
+    f = lambda: rng.randint(0, 255, (16, 16, 3), np.uint8)
+    for _ in range(5):
+        multi.process_frames([f(), f()])
+    maps_before = np.asarray(multi.maps[1]).copy()
+    out = multi.process_frames([f(), None])
+    assert out[0] is not None and out[1] is None
+    np.testing.assert_array_equal(np.asarray(multi.maps[1]), maps_before)
+    # stream 0 kept updating
+    assert not np.array_equal(np.asarray(multi.maps[0]), maps_before)
+
+
+def test_reset_stream(setup):
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, settings = setup
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=settings)
+    rng = np.random.RandomState(1)
+    for _ in range(4):
+        multi.process_frames([rng.randint(0, 255, (16, 16, 3), np.uint8)] * 2)
+    assert np.abs(np.asarray(multi.maps[0])).max() > 0
+    multi.reset_stream(0)
+    assert np.abs(np.asarray(multi.maps[0])).max() == 0
+    assert np.abs(np.asarray(multi.maps[1])).max() > 0

@@ -1,0 +1,178 @@
+"""Multi-camera batched streaming inference + anomaly scoring.
+
+The reference app drives ONE camera per process (camera_streamer_qt.py uses
+a single entry of camera_list). On TPU the economical shape is the opposite:
+batch K streams into one dispatch — the flagship forward is MXU-bound and
+nearly free to widen, so K cameras cost barely more than one. This engine
+keeps a batched scorer state (maps (K,2,H,W), scalars (K,6)) and runs
+resize -> forward -> vmapped EMA scorer for all streams as a single jitted
+program per tick.
+
+Scope: inference + scoring + per-stream anomaly state machines. Continual
+learning and recording remain on the single-stream StreamingEngine (CL
+mutates shared weights; batching it across cameras changes training
+semantics). Score math is identical to stream_score (vmapped jnp form —
+equivalence vs K independent engines is tested).
+
+Missing frames (a camera dropping a tick) are handled with a validity mask:
+that stream's EMA state is left untouched and its score reports NaN for the
+tick, like the reference's warmup NaNs.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trustedai_cl_vae_ad_tpu.ops import stream_score
+
+
+@dataclass
+class StreamStatus:
+    score: float
+    score_ma: float
+    pixel_count: float
+    anomalous: bool
+    _norm_dev: object = None
+    _rec_dev: object = None
+
+    @property
+    def norm_err_u8(self) -> np.ndarray:
+        return np.asarray(self._norm_dev)
+
+    @property
+    def reconstruction_u8(self) -> np.ndarray:
+        return np.asarray(self._rec_dev)
+
+
+class MultiCameraEngine:
+    def __init__(
+        self,
+        model,
+        config: dict,
+        n_streams: int,
+        anomaly_settings: Optional[dict] = None,
+        stream_error_ma: float = 0.99,
+        anomaly_ma_weight: float = 0.9,
+    ):
+        assert n_streams >= 1
+        self.model = model
+        self.config = config
+        self.n_streams = int(n_streams)
+        self.anomaly_settings = anomaly_settings
+        self.stream_error_ma = float(stream_error_ma)
+        self.anomaly_ma_weight = float(anomaly_ma_weight)
+
+        size = config["data"]["image_size"]
+        self.height, self.width, self.channels = int(size[0]), int(size[1]), int(size[2])
+        k = self.n_streams
+        self.maps = jnp.zeros((k, 2, self.height, self.width), jnp.float32)
+        self.scalars = jnp.zeros((k, 6), jnp.float32)
+
+        self.score_ma = np.zeros(k, np.float64)
+        self.anomalous = np.zeros(k, bool)
+        self.anomalous_start = [None] * k
+
+        self._build_jit()
+
+    def _build_jit(self):
+        core = self.model.core
+        out_hw = (self.height, self.width)
+
+        def scorer_one(maps, scalars, img, x_hat, alpha, valid):
+            state, norm, score, count = stream_score.stream_score_step_reference(
+                stream_score.StreamScoreState(maps, scalars), img, x_hat, alpha
+            )
+            new_maps = jnp.where(valid, state.maps, maps)
+            new_scalars = jnp.where(valid, state.scalars, scalars)
+            score = jnp.where(valid, score, jnp.nan)
+            count = jnp.where(valid, count, 0.0)
+            return new_maps, new_scalars, norm, score, count
+
+        def step(params, frames_u8, maps, scalars, alpha, valid):
+            x = frames_u8.astype(jnp.float32) / 255.0
+            if x.shape[1:3] != out_hw:
+                x = jax.image.resize(
+                    x, (x.shape[0], out_hw[0], out_hw[1], x.shape[3]),
+                    method="linear", antialias=True,
+                )
+            x_hat = core.call(params, x, training=False)
+            maps, scalars, norm, score, count = jax.vmap(
+                scorer_one, in_axes=(0, 0, 0, 0, None, 0)
+            )(maps, scalars, x, x_hat, alpha, valid)
+            norm_u8 = jnp.clip(jnp.round(255.0 * norm), 0, 255).astype(jnp.uint8)
+            rec_u8 = jnp.clip(jnp.round(255.0 * x_hat), 0, 255).astype(jnp.uint8)
+            score_count = jnp.stack([score, count], axis=1)  # (K, 2), one fetch
+            return maps, scalars, norm_u8, rec_u8, score_count
+
+        self._step_j = jax.jit(step, donate_argnums=(2, 3))
+
+    def process_frames(
+        self, frames: Sequence[Optional[np.ndarray]], now: Optional[float] = None
+    ) -> List[Optional[StreamStatus]]:
+        """Score one tick of frames (len == n_streams; None = dropped tick)."""
+        assert len(frames) == self.n_streams, (len(frames), self.n_streams)
+        now = time.monotonic() if now is None else now
+        valid = np.array([f is not None for f in frames], bool)
+        # dropped streams get a zero placeholder; the mask freezes their state
+        shapes = [f.shape for f in frames if f is not None]
+        ref_shape = shapes[0] if shapes else (self.height, self.width, self.channels)
+        batch = np.zeros((self.n_streams, *ref_shape), np.uint8)
+        for i, f in enumerate(frames):
+            if f is not None:
+                assert f.shape == ref_shape, "streams must share a frame size per tick"
+                batch[i] = f
+
+        (self.maps, self.scalars, norm_u8, rec_u8, score_count) = self._step_j(
+            self.model.params, jnp.asarray(batch), self.maps, self.scalars,
+            jnp.float32(self.stream_error_ma), jnp.asarray(valid),
+        )
+        sc = np.asarray(score_count)
+
+        out: List[Optional[StreamStatus]] = []
+        for i in range(self.n_streams):
+            if not valid[i]:
+                out.append(None)
+                continue
+            score = float(sc[i, 0])
+            ma = self.anomaly_ma_weight * self.score_ma[i] + (1 - self.anomaly_ma_weight) * score
+            if not np.isnan(ma):
+                self.score_ma[i] = ma
+            self._update_state_machine(i, score, now)
+            out.append(StreamStatus(
+                score=score,
+                score_ma=float(self.score_ma[i]),
+                pixel_count=float(sc[i, 1]),
+                anomalous=bool(self.anomalous[i]),
+                _norm_dev=norm_u8[i],
+                _rec_dev=rec_u8[i],
+            ))
+        return out
+
+    def _update_state_machine(self, i: int, score: float, now: float) -> None:
+        """Per-stream threshold + hold period (reference :898-914)."""
+        if self.anomaly_settings is None:
+            self.anomalous[i] = False
+            return
+        threshold = float(self.anomaly_settings.get("anomaly_score_threshold"))
+        if score > threshold:
+            if not self.anomalous[i]:
+                self.anomalous_start[i] = now
+            self.anomalous[i] = True
+        elif self.anomalous[i] and self.anomalous_start[i] is not None:
+            hold = float(self.anomaly_settings.get("anomalous_state_period_s"))
+            if now - self.anomalous_start[i] > hold:
+                self.anomalous[i] = False
+
+    def reset_stream(self, i: int) -> None:
+        """Task/camera change on one stream: reset its EMA state only."""
+        self.maps = self.maps.at[i].set(0.0)
+        self.scalars = self.scalars.at[i].set(0.0)
+        self.score_ma[i] = 0.0
+        self.anomalous[i] = False
+        self.anomalous_start[i] = None
