@@ -24,6 +24,10 @@ def get_args():
         "--histogram-only", action="store_true",
         help="Stop after the z-score histogram (reference behavior)",
     )
+    parser.add_argument(
+        "--no-parallel", action="store_true",
+        help="Disable multi-device batch sharding for the scoring passes",
+    )
     args = parser.parse_args()
 
     assert os.path.isdir(args.model_dir)
@@ -51,8 +55,19 @@ def main():
     # separate iterations — deterministic order is required
     config["data"]["shuffle"] = False
 
+    # bulk scoring shards the batch over all local devices (train.py parity)
+    mesh = None
+    if not args.no_parallel:
+        import jax
+
+        if len(jax.local_devices()) > 1:
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh, replicate
+
+            mesh = make_mesh()
+            model.params = replicate(model.params, mesh)
+
     train_data = load_data(config)
-    data_scale = get_data_scale(model, config, train_data)
+    data_scale = get_data_scale(model, config, train_data, mesh=mesh)
 
     # reference do_anomaly_detection.py:217-219: re-point dataset_path and
     # reload with the SAME dataset kind (raite eval sets stay raite-format;
@@ -66,6 +81,7 @@ def main():
         model, config, evaluation_data, data_scale, args.anomaly_threshold,
         keep_maps=False,
         artifact_path=None if args.histogram_only else args.output_path,
+        mesh=mesh,
     )
     output_anomalies(
         evaluation_data, anomaly_results, data_scale, args.output_path,

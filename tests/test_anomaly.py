@@ -164,3 +164,38 @@ def test_bst_prob_parity():
         tree_p = bst[q]
         fast_p = cdf.get_prob_by_value(q)
         assert abs(tree_p - fast_p) < 0.08, (q, tree_p, fast_p)
+
+
+def test_sharded_scoring_matches_single_device(tiny_model):
+    """mesh-sharded two-pass scoring == single-device scoring (ragged last
+    batch included: padded rows must be dropped from z/maps pairing)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import evaluate_anomalies, get_data_scale
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
+
+    model, config = tiny_model
+    cfg = dict(config)
+    # 14 % 8 != 0 -> the final (only) batch is ragged on the 8-device mesh
+    cfg["data"] = dict(cfg["data"], n_train=14)
+    cfg["training"] = dict(cfg["training"], batch_size=14)
+    data = load_data(cfg)
+    mesh = make_mesh()
+
+    scale_ref = get_data_scale(model, cfg, data)
+    scale_sh = get_data_scale(model, cfg, data, mesh=mesh)
+    for k in ("meu", "sigma", "min", "max"):
+        np.testing.assert_allclose(scale_sh[k], scale_ref[k], rtol=1e-5)
+    np.testing.assert_allclose(scale_sh["z_scores"], scale_ref["z_scores"],
+                               rtol=1e-4, atol=1e-5)
+
+    res_ref = evaluate_anomalies(model, cfg, data, scale_ref, 3.0)
+    res_sh = evaluate_anomalies(model, cfg, data, scale_ref, 3.0, mesh=mesh)
+    assert res_sh["z_scores"].shape == res_ref["z_scores"].shape == (14,)
+    np.testing.assert_allclose(res_sh["z_scores"], res_ref["z_scores"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(res_sh["norm_errs"], res_ref["norm_errs"],
+                               rtol=1e-4, atol=1e-5)

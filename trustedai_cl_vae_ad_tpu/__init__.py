@@ -36,6 +36,18 @@ if _plat:
     except Exception:
         pass
 
+# TCVAE_CPU_DEVICES=N: virtual CPU device count for the multi-device code
+# paths (train.py / do_anomaly_detection.py batch sharding) off-accelerator.
+# Must land before backend init; ignored afterwards.
+_ndev = _os.environ.get("TCVAE_CPU_DEVICES")
+if _ndev:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_num_cpu_devices", int(_ndev))
+    except Exception:
+        pass
+
 from trustedai_cl_vae_ad_tpu.config import load_config, save_config  # noqa: F401
 from trustedai_cl_vae_ad_tpu.registry import (  # noqa: F401
     import_vae_based_on_type,

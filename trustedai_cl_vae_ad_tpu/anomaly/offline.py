@@ -28,10 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _score_fns(model):
+def _score_fns(model, mesh=None):
+    """Jitted scoring passes; with ``mesh`` set, the batch is sharded over
+    the 'data' axis (bulk eval scales over chips — scoring is embarrassingly
+    batch-parallel; reductions to per-frame scalars stay exact)."""
     core = model.core
 
-    @jax.jit
     def batch_err(params, x):
         x_rec = core.call(params, x, training=False)
         err = jnp.sum((x - x_rec) ** 2, axis=3)  # per-pixel, channel-summed
@@ -40,7 +42,6 @@ def _score_fns(model):
         err_max = jnp.max(err)
         return err_reduced, err_min, err_max
 
-    @jax.jit
     def batch_eval(params, x, mu, sigma, emin, emax):
         x_rec, _, _, _ = core.call_detailed(params, x, training=False)
         err = jnp.sum((x - x_rec) ** 2, axis=3)
@@ -49,7 +50,31 @@ def _score_fns(model):
         norm_err = (err - emin) / (emax - emin)
         return x_rec, err, z, norm_err
 
-    return batch_err, batch_eval
+    if mesh is None:
+        def place(x):
+            x = np.asarray(x)
+            return jnp.asarray(x, jnp.float32), x.shape[0]
+
+        return jax.jit(batch_err), jax.jit(batch_eval), place
+
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import (
+        batch_sharding,
+        replicated_sharding,
+        shard_batch,
+    )
+
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    err_j = jax.jit(batch_err, in_shardings=(rep, bsh), out_shardings=(bsh, rep, rep))
+    eval_j = jax.jit(
+        batch_eval,
+        in_shardings=(rep, bsh, rep, rep, rep, rep),
+        out_shardings=(bsh, bsh, bsh, bsh),
+    )
+    # NOTE: shard_batch pads ragged batches by repeating the last frame; the
+    # two-pass pipeline pairs results BY INDEX, so padding rows must be
+    # dropped again after the fetch.
+    return err_j, eval_j, lambda x: (shard_batch(np.asarray(x, np.float32), mesh), x.shape[0])
 
 
 def _iter_images(dataset: Iterable):
@@ -62,14 +87,14 @@ def _iter_images(dataset: Iterable):
             yield batch
 
 
-def get_data_scale(model, config: dict, data: dict) -> dict:
+def get_data_scale(model, config: dict, data: dict, mesh=None) -> dict:
     """Reference-error distribution over training data (reference :57-79)."""
-    batch_err, _ = _score_fns(model)
+    batch_err, _, place = _score_fns(model, mesh=mesh)
     err_list, mins, maxs = [], [], []
     for x in _iter_images(data["train"]):
-        x = jnp.asarray(x, jnp.float32)
+        x, n = place(x)
         err_reduced, emin, emax = batch_err(model.params, x)
-        err_list.append(np.asarray(err_reduced))
+        err_list.append(np.asarray(err_reduced)[:n])
         mins.append(float(emin))
         maxs.append(float(emax))
     err_reduced = np.concatenate(err_list, axis=0)
@@ -94,6 +119,7 @@ def evaluate_anomalies(
     keep_maps: bool = True,
     artifact_path: str | None = None,
     num_workers: int = 8,
+    mesh=None,
 ) -> dict:
     """Score the eval dataset against the training distribution (ref :82-117).
 
@@ -104,7 +130,7 @@ def evaluate_anomalies(
     and ``output_anomalies`` skips its own dataset re-walk. ``keep_maps``
     preserves the accumulate-everything behavior for small sets/tests.
     """
-    _, batch_eval = _score_fns(model)
+    _, batch_eval, place = _score_fns(model, mesh=mesh)
     mu = jnp.float32(data_scale["meu"])
     sigma = jnp.float32(data_scale["sigma"])
     emin = jnp.float32(data_scale["min"])
@@ -114,20 +140,20 @@ def evaluate_anomalies(
     recs, errs, zs, norms = [], [], [], []
     idx = 0
     for x in _iter_images(data["train"]):
-        x = jnp.asarray(x, jnp.float32)
+        x, n = place(x)
         x_rec, err, z, norm_err = batch_eval(model.params, x, mu, sigma, emin, emax)
-        zs.append(np.asarray(z))
+        zs.append(np.asarray(z)[:n])
         if sink is not None:
             x_host = np.asarray(x)
             rec_host = np.asarray(x_rec)
             norm_host = np.asarray(norm_err)
-            for j in range(x_host.shape[0]):
+            for j in range(n):
                 sink.submit(idx, x_host[j], rec_host[j], norm_host[j])
                 idx += 1
         if keep_maps:
-            recs.append(np.asarray(x_rec))
-            errs.append(np.asarray(err))
-            norms.append(np.asarray(norm_err))
+            recs.append(np.asarray(x_rec)[:n])
+            errs.append(np.asarray(err)[:n])
+            norms.append(np.asarray(norm_err)[:n])
     z_scores = np.concatenate(zs, axis=0)
     anomalies = z_scores > anomaly_threshold
     print(f"anomalies: {np.sum(anomalies)} / {len(anomalies)} "
