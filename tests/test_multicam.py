@@ -30,6 +30,11 @@ def test_matches_independent_engines(setup):
     from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
 
     model, config, settings = setup
+    # the hold-period expiry reads wall clocks inside each engine; under
+    # full-suite load the skew between the two engines' clocks can straddle a
+    # short hold window and flip the state on one side only — make it
+    # effectively infinite so transitions are deterministic for comparison
+    settings = dict(settings, anomalous_state_period_s=1e9)
     K, T = 3, 25
     rngs = [np.random.RandomState(10 + i) for i in range(K)]
     frames = [[r.randint(0, 255, (20, 24, 3), np.uint8) for _ in range(T)]

@@ -19,7 +19,7 @@ parallelism), .ops (Pallas kernels for latent moments and streaming scoring),
 and a double-buffered host->HBM ingest pipeline (.data.ingest).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # Some deployments pre-import jax with a platform plugin that overrides
 # JAX_PLATFORMS, making the standard env var ineffective. TCVAE_PLATFORM
