@@ -20,12 +20,19 @@ def get_args():
     parser.add_argument(
         "--merge-flag", "-m", action="store_true", help="Merges changes from provided config file"
     )
+    parser.add_argument(
+        "--extensions", "-e", nargs="+", default=[".png"],
+        help="Image extensions to index (reference default: .png; the native "
+             "decode chain also handles .jpg/.jpeg)",
+    )
     return parser.parse_args()
 
 
 def main():
     args = get_args()
-    build_config_from_directory(args.img_dir, args.config_filepath, args.force_flag, args.merge_flag)
+    exts = tuple(e if e.startswith(".") else f".{e}" for e in args.extensions)
+    build_config_from_directory(args.img_dir, args.config_filepath, args.force_flag,
+                                args.merge_flag, extensions=exts)
 
 
 if __name__ == "__main__":

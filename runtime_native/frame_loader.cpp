@@ -8,9 +8,10 @@
 // batch buffer (ready for one host->HBM DMA), fully outside the GIL.
 //
 // Scope: baseline 8-bit PNG, color types 0 (gray), 2 (RGB), 3 (palette),
-// 4 (gray+alpha), 6 (RGBA), non-interlaced; output is always tightly packed
-// RGB8. Inflate comes from zlib. Anything else (JPEG, 16-bit, interlaced)
-// falls back to the Python/cv2 path — see data/native.py.
+// 4 (gray+alpha), 6 (RGBA), non-interlaced (inflate from zlib); plus
+// baseline/progressive JPEG via libjpeg (format sniffed from the magic
+// bytes). Output is always tightly packed RGB8. Anything else (16-bit PNG,
+// interlaced) falls back to the Python/cv2 path — see data/native.py.
 //
 // C API (ctypes-friendly):
 //   void* fl_pool_create(int num_threads);
@@ -37,6 +38,9 @@
 #include <thread>
 #include <vector>
 
+#include <csetjmp>
+
+#include <jpeglib.h>
 #include <zlib.h>
 
 namespace {
@@ -209,6 +213,63 @@ int decode_png_bytes(const uint8_t* data, size_t size, Image* out) {
   return 0;
 }
 
+// libjpeg's default error handler calls exit(); trap errors with longjmp so
+// a corrupt JPEG flags ok=0 instead of killing the process.
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+int decode_jpeg_bytes(const uint8_t* data, size_t size, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return kErrFormat;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(size));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return kErrFormat;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int width = int(cinfo.output_width);
+  const int height = int(cinfo.output_height);
+  if (width <= 0 || height <= 0 ||
+      int64_t(width) * int64_t(height) > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return kErrUnsupported;
+  }
+  out->width = width;
+  out->height = height;
+  out->rgb.resize(size_t(width) * height * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out->rgb.data() + size_t(cinfo.output_scanline) * width * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+inline bool is_jpeg(const uint8_t* data, size_t size) {
+  return size >= 3 && data[0] == 0xFF && data[1] == 0xD8 && data[2] == 0xFF;
+}
+
+int decode_image_bytes(const uint8_t* data, size_t size, Image* out) {
+  if (is_jpeg(data, size)) return decode_jpeg_bytes(data, size, out);
+  return decode_png_bytes(data, size, out);
+}
+
 int decode_png_file(const char* path, Image* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return kErrOpen;
@@ -223,7 +284,7 @@ int decode_png_file(const char* path, Image* out) {
   size_t got = std::fread(buf.data(), 1, static_cast<size_t>(fsize), f);
   std::fclose(f);
   if (got != size_t(fsize)) return kErrOpen;
-  return decode_png_bytes(buf.data(), buf.size(), out);
+  return decode_image_bytes(buf.data(), buf.size(), out);
 }
 
 // Nearest-neighbor placement into a fixed (h, w) RGB8 frame slot.
@@ -291,20 +352,48 @@ class WorkerPool {
 
 extern "C" {
 
-// Header-only probe: reads IHDR for (width, height) without decoding.
+// Header-only probe: (width, height) without decoding. PNG IHDR, or JPEG
+// SOF marker scan (reads at most 64 KB of the head).
 int fl_png_dims(const char* path, int* width, int* height) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return kErrOpen;
-  uint8_t hdr[33];  // 8 sig + 8 chunk hdr + 13 IHDR + 4 crc
+  uint8_t hdr[65536];
   size_t got = std::fread(hdr, 1, sizeof(hdr), f);
   std::fclose(f);
   static const uint8_t kSig[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
-  if (got < 29 || std::memcmp(hdr, kSig, 8) != 0 ||
-      std::memcmp(hdr + 12, "IHDR", 4) != 0)
+  if (got >= 29 && std::memcmp(hdr, kSig, 8) == 0 &&
+      std::memcmp(hdr + 12, "IHDR", 4) == 0) {
+    *width = int(read_be32(hdr + 16));
+    *height = int(read_be32(hdr + 20));
+    return 0;
+  }
+  if (got >= 4 && is_jpeg(hdr, got)) {
+    size_t pos = 2;
+    while (pos + 9 < got) {
+      if (hdr[pos] != 0xFF) return kErrFormat;
+      uint8_t marker = hdr[pos + 1];
+      if (marker == 0xFF) {  // fill byte
+        pos += 1;
+        continue;
+      }
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) {
+        pos += 2;  // standalone markers
+        continue;
+      }
+      const size_t seg_len = (size_t(hdr[pos + 2]) << 8) | hdr[pos + 3];
+      const bool is_sof = marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
+                          marker != 0xC8 && marker != 0xCC;
+      if (is_sof) {
+        *height = int((size_t(hdr[pos + 5]) << 8) | hdr[pos + 6]);
+        *width = int((size_t(hdr[pos + 7]) << 8) | hdr[pos + 8]);
+        return 0;
+      }
+      if (marker == 0xDA) break;  // start of scan: SOF should have appeared
+      pos += 2 + seg_len;
+    }
     return kErrFormat;
-  *width = int(read_be32(hdr + 16));
-  *height = int(read_be32(hdr + 20));
-  return 0;
+  }
+  return kErrFormat;
 }
 
 void* fl_pool_create(int num_threads) {

@@ -135,3 +135,44 @@ def test_decode_chain_uses_native_or_cv2(tmp_path):
     got = decode_image_rgb(str(p))
     np.testing.assert_array_equal(got, img)
     assert decode_image_rgb(str(tmp_path / "nope.png")) is None
+
+
+def test_jpeg_decode_and_dims(native_mod, tmp_path):
+    """JPEG decodes through the same native path (format-sniffed); pixels
+    match PIL's decode of the same file (both sit on libjpeg)."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(img).save(p, format="JPEG", quality=90)
+    want = np.asarray(Image.open(p).convert("RGB"))
+    got = native_mod.decode_png(str(p))  # sniffs format despite the name
+    assert got is not None and got.shape == (48, 64, 3)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1, diff.max()  # IDCT rounding at most
+
+    batch, ok = native_mod.decode_batch([str(p)], (48, 64))
+    assert ok[0]
+    assert np.abs(batch[0].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_mixed_png_jpeg_batch(native_mod, tmp_path):
+    rng = np.random.RandomState(6)
+    img_png = rng.randint(0, 255, (24, 32, 3), np.uint8)
+    img_jpg = rng.randint(0, 255, (24, 32, 3), np.uint8)
+    p1 = tmp_path / "a.png"
+    p2 = tmp_path / "b.jpg"
+    Image.fromarray(img_png).save(p1)
+    Image.fromarray(img_jpg).save(p2, format="JPEG", quality=95)
+    batch, ok = native_mod.decode_batch([str(p1), str(p2)], (24, 32))
+    assert ok.all()
+    np.testing.assert_array_equal(batch[0], img_png)
+    want = np.asarray(Image.open(p2).convert("RGB"))
+    assert np.abs(batch[1].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_corrupt_jpeg_rejected(native_mod, tmp_path):
+    p = tmp_path / "bad.jpg"
+    p.write_bytes(b"\xff\xd8\xff" + b"\x00" * 64)
+    assert native_mod.decode_png(str(p)) is None
+    batch, ok = native_mod.decode_batch([str(p)], (8, 8))
+    assert not ok[0]

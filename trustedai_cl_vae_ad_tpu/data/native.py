@@ -1,6 +1,6 @@
 """ctypes binding for the native frame loader (runtime_native/frame_loader.cpp).
 
-The C++ library decodes PNG batches with a persistent worker pool straight
+The C++ library decodes PNG/JPEG batches with a persistent worker pool straight
 into a contiguous uint8 buffer (one host->HBM transfer per batch), replacing
 the reference's GIL-bound per-image cv2.imread generator
 (raite_loader.py:129-153). Falls back gracefully when the .so has not been
@@ -93,7 +93,7 @@ def available() -> bool:
 
 
 def decode_png(path: str, max_pixels: int = 64 * 1024 * 1024) -> Optional[np.ndarray]:
-    """Decode one PNG to RGB8 (native). None on failure/unsupported.
+    """Decode one PNG/JPEG to RGB8 (native; format sniffed). None on failure.
 
     A header-only IHDR probe supplies the dimensions, then exactly
     w*h*3 bytes are allocated — no oversized scratch per decode. Dims beyond
@@ -126,7 +126,7 @@ def decode_png(path: str, max_pixels: int = 64 * 1024 * 1024) -> Optional[np.nda
 def decode_batch(
     paths: List[str], frame_hw: Tuple[int, int]
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """Decode a list of PNGs into one (N, H, W, 3) uint8 buffer in parallel.
+    """Decode a list of PNG/JPEG files into one (N, H, W, 3) uint8 buffer in parallel.
 
     Returns (batch, ok_mask) or None when the native library is unavailable.
     Frames whose native size differs from frame_hw are nearest-resized by the

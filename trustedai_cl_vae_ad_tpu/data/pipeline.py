@@ -36,10 +36,10 @@ def decode_image_rgb(filepath: str) -> Optional[np.ndarray]:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     except ImportError:
         pass
-    if filepath.lower().endswith(".png"):
+    if filepath.lower().endswith((".png", ".jpg", ".jpeg")):
         from trustedai_cl_vae_ad_tpu.data import native
 
-        img = native.decode_png(filepath)
+        img = native.decode_png(filepath)  # sniffs PNG/JPEG from the bytes
         if img is not None:
             return img
     from PIL import Image
