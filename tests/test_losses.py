@@ -194,3 +194,75 @@ def test_weighted_loss_all_ones_matches_unweighted(small_config):
                 np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-7,
                 err_msg=f"{cls.__name__}.{k}",
             )
+
+
+def test_chunked_loss_matches_unchunked(small_config):
+    """compute_loss_chunked == compute_loss (values AND gradients).
+
+    The chunked path exists so the flagship batch sweep can pass the XLA
+    2 GiB single-buffer limit (BENCH_NOTES.md round 2: batch 896 crashes the
+    compiler on the f32 [B,H,W,3] loss tensors). Math must be identical to
+    f32 reduction precision.
+    """
+    import jax
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE
+
+    rng = np.random.RandomState(7)
+    x = rng.random((8, 64, 64, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+
+    core = KurtosisGlobalCVAE(dict(small_config))
+    params = core.init(jax.random.PRNGKey(1))
+    ref, ref_inf = core.compute_loss(params, x, training=True, rng=key, return_inf=True)
+    for chunks in (1, 2, 4, 8):
+        got, got_inf = core.compute_loss_chunked(
+            params, x, chunks, training=True, rng=key, return_inf=True
+        )
+        assert set(got.keys()) == set(ref.keys())
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-6,
+                err_msg=f"chunks={chunks}.{k}",
+            )
+        np.testing.assert_allclose(np.asarray(got_inf), np.asarray(ref_inf), atol=1e-6)
+
+    # gradients (the training path) must match too
+    g_ref = jax.grad(lambda p: core.compute_loss(p, x, training=True, rng=key)["loss"])(params)
+    g_got = jax.grad(
+        lambda p: core.compute_loss_chunked(p, x, 4, training=True, rng=key)["loss"]
+    )(params)
+    flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_got, _ = jax.tree_util.tree_flatten(g_got)
+    for a, b in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-7)
+
+
+def test_chunked_loss_uint8_input(small_config):
+    """uint8 frames normalize on device inside the chunks (ingest semantics)."""
+    import jax
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE
+
+    rng = np.random.RandomState(11)
+    x_u8 = rng.randint(0, 256, (4, 64, 64, 3)).astype(np.uint8)
+    x_f32 = x_u8.astype(np.float32) / 255.0
+    key = jax.random.PRNGKey(9)
+
+    core = KurtosisGlobalCVAE(dict(small_config))
+    params = core.init(jax.random.PRNGKey(2))
+    ref = core.compute_loss(params, x_f32, training=True, rng=key)
+    got = core.compute_loss_chunked(params, x_u8, 2, training=True, rng=key)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-6, err_msg=k
+        )
+
+
+def test_chunked_loss_rejects_ragged_batch(small_config):
+    import jax
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE
+
+    core = KurtosisGlobalCVAE(dict(small_config))
+    params = core.init(jax.random.PRNGKey(0))
+    x = np.zeros((6, 64, 64, 3), np.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        core.compute_loss_chunked(params, x, 4)

@@ -183,9 +183,24 @@ class VAEModel:
                                                   opt_state_shardings=osh)
             return
 
+        # training.loss_chunks > 1 evaluates the image-space loss reductions
+        # in sequential batch slices so no full-resolution f32 tensor is ever
+        # materialized (breaks the XLA 2 GiB buffer limit at flagship batch
+        # >= 896 — BENCH_NOTES.md). Identical math (tests/test_losses.py).
+        loss_chunks = int((self.config.get("training") or {}).get("loss_chunks", 0) or 0)
+
         def train_step(params, opt_state, x, rng):
             def loss_fn(p):
-                loss_dict, x_hat = core.compute_loss(p, x, training=True, return_inf=True, rng=rng)
+                if (
+                    loss_chunks > 1
+                    and hasattr(core, "compute_loss_chunked")
+                    and x.shape[0] % loss_chunks == 0
+                ):
+                    loss_dict, x_hat = core.compute_loss_chunked(
+                        p, x, loss_chunks, training=True, return_inf=True, rng=rng
+                    )
+                else:
+                    loss_dict, x_hat = core.compute_loss(p, x, training=True, return_inf=True, rng=rng)
                 return loss_dict["loss"], (loss_dict, x_hat)
 
             grads, (loss_dict, x_hat) = jax.grad(loss_fn, has_aux=True)(params)
