@@ -173,7 +173,15 @@ if HAVE_QT:
             from trustedai_cl_vae_ad_tpu.utils.metrics import MetricsWriter
 
             # CL epochs are persisted (loss dict + anomaly scores), matching
-            # the reference's TensorBoard CallbackList (:1410-1416)
+            # the reference's TensorBoard CallbackList (:1410-1416). Loading
+            # a new model replaces the writer — close the old one (file
+            # handle + TB event writer) instead of leaking it.
+            old = getattr(self, "engine", None)
+            if old is not None and getattr(old, "metrics", None) is not None:
+                try:
+                    old.metrics.close()
+                except Exception:
+                    pass
             metrics = MetricsWriter(os.path.join(self.model_cache_dir, "metrics"))
             self.engine = load_engine_from_directory(
                 model_dir,

@@ -353,46 +353,58 @@ class WorkerPool {
 extern "C" {
 
 // Header-only probe: (width, height) without decoding. PNG IHDR, or JPEG
-// SOF marker scan (reads at most 64 KB of the head).
+// SOF marker walk. Segment lengths are followed with fseek, so EXIF/ICC
+// blobs of any size (camera JPEGs routinely push SOF past 64 KB) cost no
+// reads; the walk is bounded by a segment count, not a byte budget.
 int fl_png_dims(const char* path, int* width, int* height) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return kErrOpen;
-  uint8_t hdr[65536];
+  uint8_t hdr[32];
   size_t got = std::fread(hdr, 1, sizeof(hdr), f);
-  std::fclose(f);
   static const uint8_t kSig[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
   if (got >= 29 && std::memcmp(hdr, kSig, 8) == 0 &&
       std::memcmp(hdr + 12, "IHDR", 4) == 0) {
     *width = int(read_be32(hdr + 16));
     *height = int(read_be32(hdr + 20));
+    std::fclose(f);
     return 0;
   }
   if (got >= 4 && is_jpeg(hdr, got)) {
-    size_t pos = 2;
-    while (pos + 9 < got) {
-      if (hdr[pos] != 0xFF) return kErrFormat;
-      uint8_t marker = hdr[pos + 1];
-      if (marker == 0xFF) {  // fill byte
-        pos += 1;
-        continue;
-      }
+    if (std::fseek(f, 2, SEEK_SET) != 0) {  // right after SOI
+      std::fclose(f);
+      return kErrFormat;
+    }
+    for (int seg = 0; seg < 4096; ++seg) {
+      int c = std::fgetc(f);
+      if (c == EOF) break;
+      if (c != 0xFF) break;
+      int marker = std::fgetc(f);
+      while (marker == 0xFF) marker = std::fgetc(f);  // fill bytes
+      if (marker == EOF) break;
       if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) {
-        pos += 2;  // standalone markers
-        continue;
+        continue;  // standalone markers (SOI, RSTn)
       }
-      const size_t seg_len = (size_t(hdr[pos + 2]) << 8) | hdr[pos + 3];
+      uint8_t lb[2];
+      if (std::fread(lb, 1, 2, f) != 2) break;
+      const size_t seg_len = (size_t(lb[0]) << 8) | lb[1];
+      if (seg_len < 2) break;
       const bool is_sof = marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
                           marker != 0xC8 && marker != 0xCC;
       if (is_sof) {
-        *height = int((size_t(hdr[pos + 5]) << 8) | hdr[pos + 6]);
-        *width = int((size_t(hdr[pos + 7]) << 8) | hdr[pos + 8]);
+        uint8_t p[5];  // precision(1) + height(2) + width(2)
+        if (std::fread(p, 1, 5, f) != 5) break;
+        *height = int((size_t(p[1]) << 8) | p[2]);
+        *width = int((size_t(p[3]) << 8) | p[4]);
+        std::fclose(f);
         return 0;
       }
       if (marker == 0xDA) break;  // start of scan: SOF should have appeared
-      pos += 2 + seg_len;
+      if (std::fseek(f, long(seg_len - 2), SEEK_CUR) != 0) break;
     }
+    std::fclose(f);
     return kErrFormat;
   }
+  std::fclose(f);
   return kErrFormat;
 }
 

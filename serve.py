@@ -15,7 +15,9 @@ live video; this covers request/response scoring). TPU-idiomatic design:
 
 Endpoints:
   GET  /healthz                    -> {"ok": true, ...}
-  POST /score                      -> {"error": eps, "z": z?, "anomalous": ?}
+  POST /score                      -> {"reconstruction_error": eps, "z": z?,
+                                       "anomalous": ?}  ("error" kept as a
+                                       deprecated alias of the score)
        body: PNG bytes (or any PIL-decodable image)
   POST /reconstruct                -> PNG bytes of the reconstruction
 
@@ -52,7 +54,7 @@ class MicroBatcher:
 
         self.model = model
         self.stats = stats
-        self.max_batch = min(max_batch, self.BUCKETS[-1])
+        self.max_batch = self._clamp_to_bucket(max_batch)
         self.max_wait_s = max_wait_ms / 1000.0
         size = config["data"]["image_size"]
         self.hwc = (int(size[0]), int(size[1]), int(size[2]))
@@ -79,6 +81,15 @@ class MicroBatcher:
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
+    @classmethod
+    def _clamp_to_bucket(cls, max_batch: int) -> int:
+        """Round max_batch UP to a bucket value: _run pads any coalesced group
+        of n <= max_batch to the covering bucket, so max_batch itself must BE
+        a warmed bucket or the first busy burst hits a fresh jit shape on the
+        request path (90-200 s on remote-compile runtimes)."""
+        max_batch = min(max(1, max_batch), cls.BUCKETS[-1])
+        return next(b for b in cls.BUCKETS if b >= max_batch)
+
     def warmup(self, buckets=None) -> None:
         """Pre-compile the bucket shapes (one-time cost, off the request path)."""
         import numpy as np
@@ -96,6 +107,16 @@ class MicroBatcher:
     def close(self):
         self._stop = True
         self.thread.join(timeout=2)
+        # fail anything still queued (or left in flight past the join
+        # timeout) so clients error immediately instead of blocking until
+        # their own result() timeout
+        while True:
+            try:
+                _img, fut = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("server shutting down"))
 
     def _run(self):
         import numpy as np
@@ -191,7 +212,9 @@ def make_handler(batcher: MicroBatcher, stats, threshold: float):
                 self.end_headers()
                 self.wfile.write(png)
                 return
-            out = {"error": eps}
+            # "reconstruction_error" is the score; the "error" key is kept
+            # (deprecated) but never collides: failures are non-200 responses
+            out = {"reconstruction_error": eps, "error": eps}
             if stats is not None and stats.get("sigma"):
                 z = (eps - stats["meu"]) / stats["sigma"]
                 out["z"] = z

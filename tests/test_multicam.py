@@ -97,3 +97,31 @@ def test_reset_stream(setup):
     multi.reset_stream(0)
     assert np.abs(np.asarray(multi.maps[0])).max() == 0
     assert np.abs(np.asarray(multi.maps[1])).max() > 0
+
+
+def test_mixed_resolution_streams(setup):
+    """camera_list entries need not share a resolution: the batch shape is
+    pinned at the first tick and mismatched streams are resized on host.
+    The resized stream must score like a stream natively delivering the
+    resized frames."""
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+    from PIL import Image
+
+    model, config, settings = setup
+    eng = MultiCameraEngine(model, config, n_streams=2,
+                            anomaly_settings=dict(settings))
+    ref = MultiCameraEngine(model, config, n_streams=2,
+                            anomaly_settings=dict(settings))
+    rng = np.random.RandomState(3)
+    for t in range(4):
+        f0 = rng.randint(0, 255, (20, 24, 3), np.uint8)
+        f1_big = rng.randint(0, 255, (40, 48, 3), np.uint8)
+        out = eng.process_frames([f0, f1_big], now=float(t))
+        assert out[0] is not None and out[1] is not None
+        f1_small = np.asarray(
+            Image.fromarray(f1_big).resize((24, 20), Image.BILINEAR), np.uint8)
+        want = ref.process_frames([f0, f1_small], now=float(t))
+        # warm-up ticks score nan on both sides (EMA stats not yet seeded)
+        np.testing.assert_allclose(out[1].score, want[1].score,
+                                   atol=1e-5, equal_nan=True)
+    assert eng._ref_shape == (20, 24, 3)

@@ -176,3 +176,30 @@ def test_corrupt_jpeg_rejected(native_mod, tmp_path):
     assert native_mod.decode_png(str(p)) is None
     batch, ok = native_mod.decode_batch([str(p)], (8, 8))
     assert not ok[0]
+
+
+def test_jpeg_dims_past_64kb_metadata(native_mod, tmp_path):
+    """Camera JPEGs carry EXIF/ICC APP segments that can push SOF far past
+    64 KB; the probe must follow segment lengths, not a fixed head budget."""
+    import ctypes
+    import io
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 255, (24, 32, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    jpg = buf.getvalue()
+
+    def app1(n):
+        blob = b"Exif\x00\x00" + b"\x00" * n
+        return b"\xff\xe1" + (len(blob) + 2).to_bytes(2, "big") + blob
+
+    p = tmp_path / "exif_big.jpg"
+    p.write_bytes(jpg[:2] + app1(40000) + app1(40000) + jpg[2:])
+
+    lib = native_mod._load()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    rc = lib.fl_png_dims(str(p).encode(), ctypes.byref(w), ctypes.byref(h))
+    assert rc == 0 and (w.value, h.value) == (32, 24)
+    out = native_mod.decode_png(str(p))
+    assert out is not None and out.shape == (24, 32, 3)

@@ -62,8 +62,10 @@ def test_score_with_stats(server):
     req = urllib.request.Request(f"{server}/score", data=_png_bytes(1), method="POST")
     with urllib.request.urlopen(req, timeout=60) as r:
         body = json.loads(r.read())
-    assert np.isfinite(body["error"]) and "z" in body and "anomalous" in body
-    assert abs(body["z"] - (body["error"] - 100.0) / 10.0) < 1e-4
+    assert np.isfinite(body["reconstruction_error"])
+    assert body["error"] == body["reconstruction_error"]  # deprecated alias
+    assert "z" in body and "anomalous" in body
+    assert abs(body["z"] - (body["reconstruction_error"] - 100.0) / 10.0) < 1e-4
 
 
 def test_score_resizes_foreign_sizes(server):
@@ -109,3 +111,36 @@ def test_bad_image_400(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_max_batch_clamps_to_bucket():
+    """A non-bucket --max-batch must round UP to a warmed bucket, or the
+    first busy burst would jit a fresh shape on the request path."""
+    import serve
+
+    for requested, expected in ((12, 16), (3, 4), (5, 8), (8, 8), (99, 16), (1, 1)):
+        got = serve.MicroBatcher._clamp_to_bucket(requested)
+        assert got == expected, (requested, got)
+
+
+def test_close_fails_queued_futures():
+    """close() must resolve still-queued futures instead of abandoning them."""
+    import queue as _q
+    from concurrent.futures import Future
+
+    import serve
+
+    batcher = serve.MicroBatcher.__new__(serve.MicroBatcher)
+    batcher.queue = _q.Queue()
+    batcher._stop = False
+
+    class _DoneThread:
+        def join(self, timeout=None):
+            pass
+
+    batcher.thread = _DoneThread()
+    fut = Future()
+    batcher.queue.put((None, fut))
+    batcher.close()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=1)

@@ -52,8 +52,10 @@ def _score_fns(model, mesh=None):
 
     if mesh is None:
         def place(x):
-            x = np.asarray(x)
-            return jnp.asarray(x, jnp.float32), x.shape[0]
+            # loader batches may already be device-resident f32 (DeviceStream);
+            # jnp.asarray is then a no-op — do NOT round-trip through numpy
+            # (a device->host fetch + re-upload per batch)
+            return jnp.asarray(x, jnp.float32), int(x.shape[0])
 
         return jax.jit(batch_err), jax.jit(batch_eval), place
 

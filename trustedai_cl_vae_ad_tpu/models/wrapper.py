@@ -188,18 +188,30 @@ class VAEModel:
         # materialized (breaks the XLA 2 GiB buffer limit at flagship batch
         # >= 896 — BENCH_NOTES.md). Identical math (tests/test_losses.py).
         loss_chunks = int((self.config.get("training") or {}).get("loss_chunks", 0) or 0)
+        if loss_chunks > 1 and not hasattr(core, "compute_loss_chunked"):
+            print(
+                f"WARNING: training.loss_chunks={loss_chunks} ignored — "
+                f"{type(core).__name__} has no chunked loss; the full-batch "
+                "path (full-resolution f32 loss tensors) will be used."
+            )
+            loss_chunks = 0
 
         def train_step(params, opt_state, x, rng):
             def loss_fn(p):
-                if (
-                    loss_chunks > 1
-                    and hasattr(core, "compute_loss_chunked")
-                    and x.shape[0] % loss_chunks == 0
-                ):
+                if loss_chunks > 1 and x.shape[0] % loss_chunks == 0:
                     loss_dict, x_hat = core.compute_loss_chunked(
                         p, x, loss_chunks, training=True, return_inf=True, rng=rng
                     )
                 else:
+                    if loss_chunks > 1:
+                        # trace-time (once per shape): the ragged tail batch
+                        # falls back to the unchunked loss — fine at small
+                        # sizes, but not what the knob was set for
+                        print(
+                            f"WARNING: batch {x.shape[0]} not divisible by "
+                            f"loss_chunks={loss_chunks}; using the unchunked "
+                            "loss for this batch shape."
+                        )
                     loss_dict, x_hat = core.compute_loss(p, x, training=True, return_inf=True, rng=rng)
                 return loss_dict["loss"], (loss_dict, x_hat)
 

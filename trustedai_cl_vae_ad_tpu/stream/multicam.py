@@ -78,7 +78,29 @@ class MultiCameraEngine:
         self.anomalous = np.zeros(k, bool)
         self.anomalous_start = [None] * k
 
+        self._ref_shape = None  # pinned at the first tick (one jit shape)
+        self._resize_warned = set()
+
         self._build_jit()
+
+    def _host_resize(self, i: int, frame: np.ndarray, ref_shape) -> np.ndarray:
+        """Bring a stream whose camera delivers a different resolution onto
+        the pinned batch shape (host-side bilinear; warns once per stream)."""
+        from PIL import Image
+
+        if i not in self._resize_warned:
+            self._resize_warned.add(i)
+            print(
+                f"multicam: stream {i} delivers {frame.shape}, resizing to "
+                f"the pinned batch shape {ref_shape}"
+            )
+        img = Image.fromarray(frame).resize((ref_shape[1], ref_shape[0]),
+                                            Image.BILINEAR)
+        out = np.asarray(img, np.uint8)
+        if out.shape != tuple(ref_shape):  # channel mismatch (e.g. gray)
+            out = np.broadcast_to(out[..., None] if out.ndim == 2 else out,
+                                  ref_shape).copy()
+        return out
 
     def _build_jit(self):
         core = self.model.core
@@ -119,13 +141,20 @@ class MultiCameraEngine:
         assert len(frames) == self.n_streams, (len(frames), self.n_streams)
         now = time.monotonic() if now is None else now
         valid = np.array([f is not None for f in frames], bool)
-        # dropped streams get a zero placeholder; the mask freezes their state
-        shapes = [f.shape for f in frames if f is not None]
-        ref_shape = shapes[0] if shapes else (self.height, self.width, self.channels)
+        # dropped streams get a zero placeholder; the mask freezes their state.
+        # The batch shape is pinned at the first tick (one jit shape for the
+        # session); streams delivering a different resolution are resized on
+        # host — cameras in one camera_list need not match.
+        if self._ref_shape is None:
+            shapes = [f.shape for f in frames if f is not None]
+            self._ref_shape = tuple(shapes[0]) if shapes else (
+                self.height, self.width, self.channels)
+        ref_shape = self._ref_shape
         batch = np.zeros((self.n_streams, *ref_shape), np.uint8)
         for i, f in enumerate(frames):
             if f is not None:
-                assert f.shape == ref_shape, "streams must share a frame size per tick"
+                if f.shape != ref_shape:
+                    f = self._host_resize(i, f, ref_shape)
                 batch[i] = f
 
         (self.maps, self.scalars, norm_u8, rec_u8, score_count) = self._step_j(
