@@ -205,36 +205,40 @@ def test_chunked_loss_matches_unchunked(small_config):
     f32 reduction precision.
     """
     import jax
-    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE, KurtosisSingleCVAE
 
     rng = np.random.RandomState(7)
     x = rng.random((8, 64, 64, 3)).astype(np.float32)
     key = jax.random.PRNGKey(5)
 
-    core = KurtosisGlobalCVAE(dict(small_config))
-    params = core.init(jax.random.PRNGKey(1))
-    ref, ref_inf = core.compute_loss(params, x, training=True, rng=key, return_inf=True)
-    for chunks in (1, 2, 4, 8):
-        got, got_inf = core.compute_loss_chunked(
-            params, x, chunks, training=True, rng=key, return_inf=True
-        )
-        assert set(got.keys()) == set(ref.keys())
-        for k in ref:
-            np.testing.assert_allclose(
-                np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-6,
-                err_msg=f"chunks={chunks}.{k}",
+    for cls in (KurtosisGlobalCVAE, KurtosisSingleCVAE):
+        core = cls(dict(small_config))
+        params = core.init(jax.random.PRNGKey(1))
+        ref, ref_inf = core.compute_loss(params, x, training=True, rng=key, return_inf=True)
+        for chunks in (1, 2, 4, 8):
+            got, got_inf = core.compute_loss_chunked(
+                params, x, chunks, training=True, rng=key, return_inf=True
             )
-        np.testing.assert_allclose(np.asarray(got_inf), np.asarray(ref_inf), atol=1e-6)
+            assert set(got.keys()) == set(ref.keys())
+            for k in ref:
+                np.testing.assert_allclose(
+                    np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-6,
+                    err_msg=f"{cls.__name__} chunks={chunks}.{k}",
+                )
+            np.testing.assert_allclose(np.asarray(got_inf), np.asarray(ref_inf), atol=1e-6)
 
-    # gradients (the training path) must match too
-    g_ref = jax.grad(lambda p: core.compute_loss(p, x, training=True, rng=key)["loss"])(params)
-    g_got = jax.grad(
-        lambda p: core.compute_loss_chunked(p, x, 4, training=True, rng=key)["loss"]
-    )(params)
-    flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
-    flat_got, _ = jax.tree_util.tree_flatten(g_got)
-    for a, b in zip(flat_ref, flat_got):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-7)
+        # gradients (the training path) must match too
+        g_ref = jax.grad(lambda p: core.compute_loss(p, x, training=True, rng=key)["loss"])(params)
+        g_got = jax.grad(
+            lambda p: core.compute_loss_chunked(p, x, 4, training=True, rng=key)["loss"]
+        )(params)
+        flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+        flat_got, _ = jax.tree_util.tree_flatten(g_got)
+        for a, b in zip(flat_ref, flat_got):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-7,
+                err_msg=cls.__name__,
+            )
 
 
 def test_chunked_loss_uint8_input(small_config):

@@ -18,9 +18,7 @@ fused Pallas kernel on TPU and a jnp fallback elsewhere.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-from jax import lax
 
 from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE
 from trustedai_cl_vae_ad_tpu.ops.moments import global_moments, global_moments_weighted
@@ -165,72 +163,22 @@ class KurtosisGlobalCVAE(AbstractCVAE):
         chain as the unchunked path. The latent-side terms ([B, latent]) are
         small and computed exactly as compute_loss.
         """
-        b = x.shape[0]
-        if b % chunks != 0:
-            raise ValueError(f"batch {b} not divisible by chunks {chunks}")
-        h, w, c = x.shape[1], x.shape[2], x.shape[3]
-        n_el = float(b * h * w * c)
-
-        def _norm(xu):
-            if xu.dtype == jnp.uint8:
-                return xu.astype(jnp.float32) / 255.0
-            return xu.astype(jnp.float32)
+        from trustedai_cl_vae_ad_tpu.models.chunked import (
+            chunked_image_stats,
+            encoder_view,
+        )
 
         # forward (call_detailed semantics: encode without training — the
         # reference's dead input-noise path, abstract_cvae.py:139-144)
-        x_enc = _norm(x).astype(self.dtype) if x.dtype == jnp.uint8 else x
-        mean, logvar = self.encode(params, x_enc)
+        mean, logvar = self.encode(params, encoder_view(x, self.dtype))
         z = self.reparameterize(mean, logvar, training=training, rng=rng)
         x_hat_prob = self.decode(params, z, apply_sigmoid=True)
 
-        xc = x.reshape(chunks, b // chunks, h, w, c)
-        xhc = x_hat_prob.reshape(chunks, b // chunks, h, w, c)
-
-        # pass 1: every reduction that needs no cross-batch prerequisite
-        @jax.checkpoint
-        def _pass1(args):
-            xu, xh = args
-            xf = _norm(xu)
-            xhf = xh.astype(jnp.float32)
-            return (
-                jnp.sum(jnp.exp(xf)),           # S for the softmax diagnostic
-                jnp.sum(xhf * xf),              # <x_hat, x> for cross-entropy
-                jnp.sum(xhf),
-                jnp.sum((xf - xhf) ** 2),       # mse numerator (grad path)
-                jnp.sum(xf, axis=0),            # per-pixel batch sums for std
-                jnp.sum(xhf, axis=0),
-                jnp.min(xhf),
-                jnp.max(xhf),
-            )
-
-        (s_exp, s_xh_x, s_xh, s_sq, s_x_pix, s_xh_pix, mins, maxs) = lax.map(
-            _pass1, (xc, xhc)
-        )
-        mse = jnp.sum(s_sq) / n_el
-        # cross-entropy: -mean(x_hat * (x - log S)) == -mean(x_hat * x_logit)
-        log_s = jnp.log(jnp.sum(s_exp))
-        likelihood_cross_entropy = -(jnp.sum(s_xh_x) - log_s * jnp.sum(s_xh)) / n_el
-        r_min = jnp.min(mins)
-        r_max = jnp.max(maxs)
-
-        # pass 2: per-pixel std over the batch axis (two-pass, as jnp.std)
-        x_mean_pix = jnp.sum(s_x_pix, axis=0) / b
-        xh_mean_pix = jnp.sum(s_xh_pix, axis=0) / b
-
-        @jax.checkpoint
-        def _pass2(args):
-            xu, xh = args
-            xf = _norm(xu)
-            xhf = xh.astype(jnp.float32)
-            return (
-                jnp.sum((xf - x_mean_pix) ** 2, axis=0),
-                jnp.sum((xhf - xh_mean_pix) ** 2, axis=0),
-            )
-
-        s2_x, s2_xh = lax.map(_pass2, (xc, xhc))
-        x_std = jnp.sqrt(jnp.sum(s2_x, axis=0) / b)
-        x_hat_std = jnp.sqrt(jnp.sum(s2_xh, axis=0) / b)
-        x_std_loss = jnp.mean((x_std - x_hat_std) ** 2)
+        stats = chunked_image_stats(x, x_hat_prob, chunks, with_cross_entropy=True)
+        mse = stats.mse
+        x_std_loss = stats.x_std_loss
+        r_min, r_max = stats.r_min, stats.r_max
+        likelihood_cross_entropy = stats.cross_entropy
 
         # latent-side terms: identical to compute_loss (small tensors)
         z_mean, z_var, z_skew, z_kurtosis = global_moments(z)

@@ -96,3 +96,54 @@ class KurtosisSingleCVAE(AbstractCVAE):
         if return_inf:
             return d, x_hat_prob
         return d
+
+    def compute_loss_chunked(self, params, x, chunks, training=False,
+                             return_inf=False, rng=None):
+        """compute_loss with the image-space reductions evaluated in
+        ``chunks`` sequential batch slices (models/chunked.py) — same math,
+        no full-resolution float32 tensors. ``x`` may be uint8 (normalized
+        on device) or pre-normalized float. See
+        KurtosisGlobalCVAE.compute_loss_chunked for the motivation."""
+        from trustedai_cl_vae_ad_tpu.models.chunked import (
+            chunked_image_stats,
+            encoder_view,
+        )
+
+        mean, logvar = self.encode(params, encoder_view(x, self.dtype))
+        z = self.reparameterize(mean, logvar, training=training, rng=rng)
+        x_hat_prob = self.decode(params, z, apply_sigmoid=True)
+
+        stats = chunked_image_stats(x, x_hat_prob, chunks)
+        mse = stats.mse
+        x_std_loss = stats.x_std_loss
+        r_min, r_max = stats.r_min, stats.r_max
+
+        z_meu, _, z_skew, z_kurtosis = perdim_moments(z)
+        z_l1_reg = jnp.mean(jnp.abs(z))
+
+        z_kurtosis_loss = jnp.mean((z_kurtosis - self.kurtosis_target) ** 2)
+        z_skew_loss = jnp.mean(z_skew**2)
+        z_l2_reg = jnp.sqrt(jnp.sum(z_meu**2))
+
+        loss = (
+            self.w_mse * mse
+            + self.w_kurtosis * z_kurtosis_loss
+            + self.w_skew * z_skew_loss
+            + self.w_z_l1_reg * z_l2_reg  # weight-name mismatch kept for parity
+        )
+
+        d = {
+            "loss": loss,
+            "mse": mse,
+            "z_l1": z_l1_reg,
+            "z_l2": z_l2_reg,
+            "skew_loss": z_skew_loss,
+            "z_kurtosis_loss": z_kurtosis_loss,
+            "z_kurtosis": jnp.sqrt(jnp.mean(z_kurtosis**2)),
+            "r_min": r_min,
+            "r_max": r_max,
+            "x_std_loss": x_std_loss,
+        }
+        if return_inf:
+            return d, x_hat_prob
+        return d
