@@ -356,3 +356,23 @@ def test_raite_epoch_benchmark(raite_dir, capsys):
     assert dt > 0
     out = capsys.readouterr().out
     assert "frames/s" in out
+
+
+def test_batched_drop_remainder_on_shape_change():
+    """A ragged (mixed-shape) dataset with drop_remainder=True must never
+    emit a partial batch — jitted consumers retrace per novel batch size."""
+    import numpy as np
+
+    from trustedai_cl_vae_ad_tpu.data.pipeline import batched
+
+    def source():
+        for i in range(3):
+            yield np.zeros((8, 8, 3), np.uint8), f"a{i}.png"
+        for i in range(5):  # shape change mid-stream
+            yield np.zeros((6, 6, 3), np.uint8), f"b{i}.png"
+
+    strict = list(batched(source(), batch_size=4, drop_remainder=True))
+    assert [b["image"].shape[0] for b in strict] == [4]  # only the full batch
+
+    loose = list(batched(source(), batch_size=4, drop_remainder=False))
+    assert [b["image"].shape[0] for b in loose] == [3, 4, 1]

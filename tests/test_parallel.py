@@ -239,3 +239,27 @@ def test_vaemodel_zero1_compile(setup):
     assert np.isfinite(float(loss["loss"]))
     after = np.asarray(jax.tree_util.tree_leaves(model.params)[0])
     assert not np.allclose(before, after)
+
+
+def test_train_step_accepts_device_resident_batch(small_config):
+    """A batch already on device (the ingest pipeline's DeviceStream) must
+    train identically to a host numpy batch — and without a host round-trip
+    (the reshard is device_put, not np.asarray)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    mesh = make_mesh()
+    x_np = np.random.RandomState(0).random((8, 64, 64, 3)).astype(np.float32)
+
+    losses = []
+    for feed in (x_np, jnp.asarray(x_np)):
+        cfg = dict(small_config)
+        cfg["model"] = dict(cfg["model"], type="KurtosisGlobal")
+        model = load_model_from_config(cfg)
+        model.compile(mesh=mesh)
+        losses.append(float(model.train_step(feed)["loss"]))
+    assert losses[0] == losses[1]

@@ -478,3 +478,68 @@ def test_engine_timings_populated(engine):
     assert set(engine.timings) == {"infer_s", "cl_s", "record_s", "total_s"}
     assert engine.timings["total_s"] > 0
     assert engine.process_rate > 0
+
+
+def test_recorded_overlay_blends_input_frame(engine, tmp_path):
+    """Overlay stream = 0.5*jet(err) + 0.5*model-sized INPUT frame, per
+    reference camera_streamer_qt.py:1420 (NOT the reconstruction)."""
+    from PIL import Image
+
+    from trustedai_cl_vae_ad_tpu.viz.plots import overlay_heatmap
+
+    rec_dir = tmp_path / "rec_overlay"
+    rec_dir.mkdir()
+    engine.record_period_ms = 0.0
+    engine.begin_recording(str(rec_dir))
+    frame = np.random.RandomState(8).randint(0, 255, (20, 24, 3), np.uint8)
+    result = engine.process_frame(frame)
+    inst = engine.record_instance_dir
+    engine.terminate_recording()
+    (name,) = os.listdir(os.path.join(inst, "overlay"))
+    got = np.asarray(Image.open(os.path.join(inst, "overlay", name)))
+    base = np.asarray(
+        Image.fromarray(frame).resize((engine.width, engine.height), Image.BILINEAR)
+    )
+    want = overlay_heatmap(result.norm_err_u8, base)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_schedule_model_save_semantics(engine, tmp_path):
+    """Reference :915-923, :991-1008: schedule_model_save saves at the next
+    tick IFF dirty (the flag is consumed either way); the override variant
+    forces the save even when clean."""
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    engine.model_cache_dir = str(cache)
+    engine.enable_cont_learning = False  # a CL step would dirty the model
+    engine.model_changed_flag = False
+    engine.schedule_model_save_flag = False
+    engine.autosave_period_s = 1e9
+    frame = np.random.RandomState(9).randint(0, 255, (20, 24, 3), np.uint8)
+    engine.process_frame(frame)
+    assert not os.path.exists(cache / "encoder")  # nothing scheduled
+
+    engine.schedule_model_save()  # clean model: consumed, no save
+    engine.process_frame(frame)
+    assert not os.path.exists(cache / "encoder")
+    assert engine.schedule_model_save_flag is False
+
+    engine.schedule_model_save_override()  # forced: saves even when clean
+    engine.process_frame(frame)
+    assert os.path.isdir(cache / "encoder")
+    assert engine.schedule_model_save_flag is False
+    assert engine.model_changed_flag is False
+    engine.model_cache_dir = None
+
+
+def test_state_machine_honors_injected_clock(engine):
+    """Hold-period expiry must run on the same clock as the injected `now` —
+    a replayed stream with simulated timestamps must not wait wall time."""
+    hold = float(engine.anomaly_settings["anomalous_state_period_s"])
+    engine.toggle_anomalous_state(True, now=100.0)
+    assert engine.anomalous_state
+    engine.anomaly_score = -1e9  # below any threshold
+    engine.check_anomalous_state(now=100.0 + hold / 2)
+    assert engine.anomalous_state  # inside the hold period
+    engine.check_anomalous_state(now=100.0 + hold + 0.01)
+    assert not engine.anomalous_state  # expired on the injected clock

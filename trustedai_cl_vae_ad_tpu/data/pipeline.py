@@ -112,8 +112,12 @@ def batched(
     paths: List[str] = []
     for img, fp in source:
         if images and img.shape != images[0].shape:
-            # flush on shape change rather than erroring (ragged datasets)
-            yield {"image": np.stack(images), "filepath": paths}
+            # flush on shape change rather than erroring (ragged datasets) —
+            # but honor drop_remainder: a caller that asked for uniform batch
+            # shapes (jitted consumers retrace per novel size) must never see
+            # a partial batch
+            if not drop_remainder:
+                yield {"image": np.stack(images), "filepath": paths}
             images, paths = [], []
         images.append(img)
         paths.append(fp if isinstance(fp, str) else str(fp))

@@ -280,9 +280,18 @@ class VAEModel:
         """Gradient step returning (loss dict, x_hat) (abstract_cvae.py:170-178)."""
         assert self.optimizer is not None, "call model.compile() before training"
         if self.mesh is not None:
-            from trustedai_cl_vae_ad_tpu.parallel.mesh import shard_batch
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import (
+                DATA_AXIS,
+                batch_sharding,
+                shard_batch,
+            )
 
-            x = shard_batch(np.asarray(x, np.float32), self.mesh)
+            if isinstance(x, jax.Array) and x.shape[0] % self.mesh.shape[DATA_AXIS] == 0:
+                # already device-resident (ingest pipeline): reshard
+                # device-to-device — no host round-trip per batch
+                x = jax.device_put(x.astype(jnp.float32), batch_sharding(self.mesh))
+            else:
+                x = shard_batch(np.asarray(x, np.float32), self.mesh)
         else:
             x = jnp.asarray(x, jnp.float32)
         rng = self._next_rng()

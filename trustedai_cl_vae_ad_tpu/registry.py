@@ -81,11 +81,17 @@ def load_model_from_config_path(config_path: str):
     return load_model_from_config(config), config
 
 
-def load_model_from_directory(log_dir: str):
-    """config.yml + checkpointed weights from a log dir (load_model.py:74-83)."""
+def load_model_from_directory(log_dir: str, restore_optimizer=None):
+    """config.yml + checkpointed weights from a log dir (load_model.py:74-83).
+
+    ``restore_optimizer`` is forwarded to VAEModel.load_model (default None:
+    moments restored only if already compiled). Pass True for training/CL
+    resume — one checkpoint read restores params AND moments (callers used to
+    re-load the whole 5+ GB flagship weight tree a second time for this).
+    """
     assert os.path.exists(log_dir)
     assert os.path.isdir(log_dir)
     config_path = os.path.join(log_dir, "config.yml")
     model, config = load_model_from_config_path(config_path)
-    model.load_model(log_dir)
+    model.load_model(log_dir, restore_optimizer=restore_optimizer)
     return model, config

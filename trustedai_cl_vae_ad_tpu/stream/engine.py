@@ -84,16 +84,22 @@ class FrameResult:
     _rec_dev: object = None
     cl_stepped: bool = False
     loss: Optional[dict] = None
+    _norm_np: object = None        # memoized host copies (one fetch each)
+    _rec_np: object = None
 
     @property
     def norm_err_u8(self) -> np.ndarray:
         """(H, W) uint8 normalized error map (device->host on first access)."""
-        return np.asarray(self._norm_dev)
+        if self._norm_np is None:
+            self._norm_np = np.asarray(self._norm_dev)
+        return self._norm_np
 
     @property
     def reconstruction_u8(self) -> np.ndarray:
         """(H, W, C) uint8 reconstruction (device->host on first access)."""
-        return np.asarray(self._rec_dev)
+        if self._rec_np is None:
+            self._rec_np = np.asarray(self._rec_dev)
+        return self._rec_np
 
 
 class StreamingEngine:
@@ -118,7 +124,14 @@ class StreamingEngine:
     ):
         self.model = model
         self.config = config
-        self.anomaly_settings = anomaly_settings
+        # validate here, not just in load_cam_config: the CDF-threshold path
+        # still needs the fixed threshold during warm-up, so a settings dict
+        # missing a key must fail at construction, not on the first frame
+        self.anomaly_settings = (
+            validate_anomaly_settings(anomaly_settings)
+            if anomaly_settings is not None
+            else None
+        )
         self.cam_info = cam_info or {}
         self.stream_error_ma = float(stream_error_ma)
         self.anomaly_ma_weight = float(anomaly_ma_weight)
@@ -184,7 +197,9 @@ class StreamingEngine:
         self.schedule_model_save_flag = True
         self._last_inference_t = 0.0
         self._last_cl_t = 0.0
-        self._last_autosave_t = time.monotonic()
+        # seeded from the first tick's clock (wall OR injected `now`) so a
+        # simulated/replayed timeline keeps the autosave cadence consistent
+        self._last_autosave_t: Optional[float] = None
 
         # recording
         self.record_dir: Optional[str] = None
@@ -318,7 +333,7 @@ class StreamingEngine:
         if np.isfinite(score_f):
             self._score_history.append(score_f)
             self._cdf_dirty += 1
-        self.check_anomalous_state()
+        self.check_anomalous_state(now)
         ma = self.anomaly_ma_weight * self.anomaly_score_ma + (1.0 - self.anomaly_ma_weight) * score_f
         if not np.isnan(ma):  # reference :1407-1408
             self.anomaly_score_ma = ma
@@ -347,10 +362,11 @@ class StreamingEngine:
         self.process_rate = 0.9 * self.timings["total_s"] + 0.1 * self.process_rate
         return result
 
-    def flush(self) -> Optional[FrameResult]:
+    def flush(self, now: Optional[float] = None) -> Optional[FrameResult]:
         """Pipelined mode: fetch the last in-flight frame's result."""
         if not self.pipelined or self._pending is None:
             return None
+        now = time.monotonic() if now is None else now
         score_count, norm_u8, rec_u8, record_frame = self._pending
         self._pending = None
         score_count = np.asarray(score_count)
@@ -359,7 +375,7 @@ class StreamingEngine:
         if np.isfinite(score_f):
             self._score_history.append(score_f)
             self._cdf_dirty += 1
-        self.check_anomalous_state()
+        self.check_anomalous_state(now)
         ma = self.anomaly_ma_weight * self.anomaly_score_ma + (1.0 - self.anomaly_ma_weight) * score_f
         if not np.isnan(ma):
             self.anomaly_score_ma = ma
@@ -371,7 +387,7 @@ class StreamingEngine:
             _norm_dev=norm_u8,
             _rec_dev=rec_u8,
         )
-        self._maybe_record(record_frame, result, time.monotonic())
+        self._maybe_record(record_frame, result, now)
         return result
 
     def _do_cl_step(self) -> dict:
@@ -419,10 +435,10 @@ class StreamingEngine:
         self.model.beta = beta
 
     # ------------------------------------------------------- state machine
-    def toggle_anomalous_state(self, state: bool) -> None:
+    def toggle_anomalous_state(self, state: bool, now: Optional[float] = None) -> None:
         if self.enable_anomaly_state:
             if state and not self.anomalous_state:
-                self.anomalous_start_time = time.monotonic()
+                self.anomalous_start_time = time.monotonic() if now is None else now
             self.anomalous_state = state
         else:
             self.anomalous_state = False
@@ -450,18 +466,24 @@ class StreamingEngine:
             return float(self._cdf.get_value_by_prob(q))
         return threshold
 
-    def check_anomalous_state(self) -> None:
-        """Threshold + hold-period state machine (reference :898-914)."""
+    def check_anomalous_state(self, now: Optional[float] = None) -> None:
+        """Threshold + hold-period state machine (reference :898-914).
+
+        ``now`` keeps the hold period on the same (injectable) clock as the
+        inference/CL/record cadences — a replayed or simulated stream must
+        not mix simulated timestamps with wall time.
+        """
+        now = time.monotonic() if now is None else now
         if self.anomaly_settings is not None:
             threshold = self.current_threshold()
             if self.anomaly_score > threshold:
-                self.toggle_anomalous_state(True)
+                self.toggle_anomalous_state(True, now)
             elif self.anomalous_state and self.anomalous_start_time is not None:
                 hold_s = float(self.anomaly_settings.get("anomalous_state_period_s"))
-                if time.monotonic() - self.anomalous_start_time > hold_s:
-                    self.toggle_anomalous_state(False)
+                if now - self.anomalous_start_time > hold_s:
+                    self.toggle_anomalous_state(False, now)
         else:
-            self.toggle_anomalous_state(False)
+            self.toggle_anomalous_state(False, now)
 
     # ----------------------------------------------------------- replay buffer
     def load_replay_buffer_from_file(self, input_filename: str) -> int:
@@ -481,13 +503,13 @@ class StreamingEngine:
 
     def load_replay_buffer_from_filelist(self, filelist: list) -> int:
         from trustedai_cl_vae_ad_tpu.data.ingest import preprocess_batch
-        from trustedai_cl_vae_ad_tpu.data.pipeline import decode_image_rgb
+        from trustedai_cl_vae_ad_tpu.data.pipeline import ParallelDecodeIterable
 
+        # worker-pool decode (ordered, skips unreadable — same semantics as
+        # the serial loop it replaces) so a mid-stream buffer load doesn't
+        # stall the engine thread for the full serial decode time
         imgs, ok_paths = [], []
-        for p in filelist:
-            img = decode_image_rgb(p)
-            if img is None:
-                continue
+        for img, p in ParallelDecodeIterable(filelist):
             imgs.append(np.asarray(
                 preprocess_batch(img[None], [self.height, self.width, self.channels])[0]
             ))
@@ -536,7 +558,19 @@ class StreamingEngine:
         self.anomaly_score_map[basename] = result.score
         d = self.record_instance_dir
         heatmap = jet_heatmap(result.norm_err_u8)
-        overlay = overlay_heatmap(result.norm_err_u8, result.reconstruction_u8)
+        # the reference blends the heatmap with the model-input IMAGE, not the
+        # reconstruction (camera_streamer_qt.py:1420 — img[-1] is the resized
+        # input); resize the raw frame to model size on host if needed
+        base_img = frame_u8
+        if base_img.shape[:2] != (self.height, self.width):
+            from PIL import Image as _Image
+
+            base_img = np.asarray(
+                _Image.fromarray(base_img).resize((self.width, self.height),
+                                                  _Image.BILINEAR),
+                np.uint8,
+            )
+        overlay = overlay_heatmap(result.norm_err_u8, base_img)
         save_rgb(frame_u8, os.path.join(d, "frames", basename))
         save_rgb(result.norm_err_u8, os.path.join(d, "err", basename))
         save_rgb(heatmap, os.path.join(d, "heatmap", basename))
@@ -609,24 +643,37 @@ class StreamingEngine:
         )
 
     def schedule_model_save(self) -> None:
+        """Request a cache save at the next tick IF the model is dirty
+        (reference :915-916; the flag is consumed either way, :992-994)."""
         self.schedule_model_save_flag = True
 
+    def schedule_model_save_override(self) -> None:
+        """Force a cache save at the next tick even if clean (the reference's
+        manual action sets both flags, :919-923)."""
+        self.schedule_model_save_flag = True
+        self.model_changed_flag = True
+
     def _maybe_autosave(self, now: float) -> None:
-        """5-minute dirty-flag autosave to the cache dir (reference :251-253,
-        :991-1010)."""
+        """Autosave to the cache dir, mirroring the reference exactly: the
+        5-minute timer (:251-253) only SETS the schedule flag; each tick's
+        save_model_to_cache (:991-1008) consumes the flag and saves iff the
+        model is dirty."""
         if self.model_cache_dir is None:
             return
-        if now - self._last_autosave_t < self.autosave_period_s:
+        if self._last_autosave_t is None:
+            self._last_autosave_t = now
+        if now - self._last_autosave_t >= self.autosave_period_s:
+            self._last_autosave_t = now
+            self.schedule_model_save_flag = True  # the reference's QTimer
+        if not self.schedule_model_save_flag:
             return
-        self._last_autosave_t = now
-        if not self.schedule_model_save_flag and not self.model_changed_flag:
+        self.schedule_model_save_flag = False  # consumed (reference :992-994)
+        if not self.model_changed_flag:
             return
-        if self.model_changed_flag:
-            try:
-                self.save_model_to_dir(self.model_cache_dir)
-            finally:
-                self.model_changed_flag = False
-                self.schedule_model_save_flag = False
+        try:
+            self.save_model_to_dir(self.model_cache_dir)
+        finally:
+            self.model_changed_flag = False
 
 
 def load_engine_from_directory(log_dir: str, **kwargs) -> StreamingEngine:
@@ -634,10 +681,11 @@ def load_engine_from_directory(log_dir: str, **kwargs) -> StreamingEngine:
     (reference load-model flow :630-696)."""
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
 
-    model, config = load_model_from_directory(log_dir)
     # CL resume: restore Adam moments when checkpointed (compiles as needed);
-    # an unconditional compile() here would re-init and wipe them
-    model.load_model(log_dir, restore_optimizer=True)
+    # an unconditional compile() here would re-init and wipe them. One read
+    # restores params AND moments (a second load_model call would re-read and
+    # re-upload the full weight tree).
+    model, config = load_model_from_directory(log_dir, restore_optimizer=True)
     if model.optimizer is None:
         model.compile()
     engine = StreamingEngine(model, config, cam_info=config.get("cam_info"), **kwargs)

@@ -64,6 +64,10 @@ class MultiCameraEngine:
         self.model = model
         self.config = config
         self.n_streams = int(n_streams)
+        if anomaly_settings is not None:
+            from trustedai_cl_vae_ad_tpu.stream.engine import validate_anomaly_settings
+
+            validate_anomaly_settings(anomaly_settings)
         self.anomaly_settings = anomaly_settings
         self.stream_error_ma = float(stream_error_ma)
         self.anomaly_ma_weight = float(anomaly_ma_weight)

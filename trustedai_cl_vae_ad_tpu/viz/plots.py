@@ -105,10 +105,12 @@ def save_rgb(arr_u8: np.ndarray, path: str) -> None:
     Image.fromarray(arr_u8, mode=mode).save(path)
 
 
-def overlay_heatmap(norm_err_u8: np.ndarray, rec_u8: np.ndarray) -> np.ndarray:
-    """50/50 JET-heatmap/reconstruction blend (reference :1418-1435)."""
+def overlay_heatmap(norm_err_u8: np.ndarray, base_u8: np.ndarray) -> np.ndarray:
+    """50/50 JET-heatmap blend over a base image (camera_streamer_qt.py:1420
+    blends with the model-input frame; do_anomaly_detection.py:171 with the
+    original). The caller picks the base."""
     heat = jet_heatmap(norm_err_u8)
-    return (0.5 * heat + 0.5 * rec_u8).astype(np.uint8)
+    return (0.5 * heat + 0.5 * base_u8).astype(np.uint8)
 
 
 __all__ = [
