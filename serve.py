@@ -48,7 +48,7 @@ class MicroBatcher:
     BUCKETS = (1, 2, 4, 8, 16)
 
     def __init__(self, model, config, stats=None, max_batch: int = 8,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, quantize: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -63,6 +63,18 @@ class MicroBatcher:
 
         core = model.core
         out_hw = self.hwc[:2]
+        self.quantized = bool(quantize)
+        if self.quantized:
+            # int8 big-dense kernels: serving batches are weight-streaming
+            # bound, so halving the dominant kernel bytes cuts the tick time
+            # (ops/quant.py; fidelity in tests/test_quant.py)
+            from trustedai_cl_vae_ad_tpu.ops import quant as _quant
+
+            self._serve_params = _quant.quantize_params(core, model.params)
+            _forward = lambda p, x: _quant.call_quantized(core, p, x)
+        else:
+            self._serve_params = model.params
+            _forward = lambda p, x: core.call(p, x, training=False)
 
         def score_batch(params, x_u8):
             x = x_u8.astype(jnp.float32) / 255.0
@@ -71,7 +83,7 @@ class MicroBatcher:
                     x, (x.shape[0], out_hw[0], out_hw[1], x.shape[3]),
                     method="linear", antialias=True,
                 )
-            x_hat = core.call(params, x, training=False)
+            x_hat = _forward(params, x)
             err = jnp.sum((x - x_hat) ** 2, axis=3)
             eps = jnp.sum(err, axis=(1, 2))  # per-frame scalar (ref :62)
             rec_u8 = jnp.clip(jnp.round(255.0 * x_hat), 0, 255).astype(jnp.uint8)
@@ -96,7 +108,7 @@ class MicroBatcher:
 
         for b in buckets or [x for x in self.BUCKETS if x <= self.max_batch]:
             batch = np.zeros((b, *self.hwc), np.uint8)
-            eps, _ = self._score_j(self.model.params, batch)
+            eps, _ = self._score_j(self._serve_params, batch)
             float(eps[0])
 
     def submit(self, img_u8) -> Future:
@@ -142,7 +154,7 @@ class MicroBatcher:
             for i, (img, _f) in enumerate(items):
                 batch[i] = img
             try:
-                eps, rec = self._score_j(self.model.params, batch)
+                eps, rec = self._score_j(self._serve_params, batch)
                 eps = np.asarray(eps)
                 rec = np.asarray(rec)
                 for i, (_img, fut) in enumerate(items):
@@ -226,7 +238,8 @@ def make_handler(batcher: MicroBatcher, stats, threshold: float):
 
 def build_server(model_dir: str, port: int = 8000, stats_path: str | None = None,
                  threshold: float = 3.0, max_batch: int = 8,
-                 max_wait_ms: float = 5.0, warmup: bool = True):
+                 max_wait_ms: float = 5.0, warmup: bool = True,
+                 quantize: bool = False):
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
 
     model, config = load_model_from_directory(model_dir)
@@ -236,7 +249,7 @@ def build_server(model_dir: str, port: int = 8000, stats_path: str | None = None
         with open(stats_path) as f:
             stats = json.load(f)
     batcher = MicroBatcher(model, config, stats=stats, max_batch=max_batch,
-                           max_wait_ms=max_wait_ms)
+                           max_wait_ms=max_wait_ms, quantize=quantize)
     if warmup:
         batcher.warmup()
     server = ThreadingHTTPServer(("0.0.0.0", port),
@@ -254,9 +267,12 @@ def main():
     parser.add_argument("--threshold", "-t", type=float, default=3.0)
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8-quantize the big dense kernels for serving "
+                             "(halves their HBM streaming; see ops/quant.py)")
     args = parser.parse_args()
     server = build_server(args.model_dir, args.port, args.stats, args.threshold,
-                          args.max_batch, args.max_wait_ms)
+                          args.max_batch, args.max_wait_ms, quantize=args.quantize)
     print(f"serving on :{args.port} (buckets pre-compiled, max_batch={args.max_batch})")
     try:
         server.serve_forever()

@@ -1,0 +1,153 @@
+"""Int8 quantized serving forward (ops/quant.py).
+
+Validates: (a) the unquantized transcription reproduces core.call exactly,
+(b) int8 weight quantization error bounds, (c) quantized reconstruction
+fidelity and (d) anomaly-decision parity with the float path on a synthetic
+scene — the contract the serving integrations (serve.py --quantize,
+MultiCameraEngine quantize=True) rely on.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
+from trustedai_cl_vae_ad_tpu.ops import quant
+
+
+def _small_config():
+    return {
+        "data": {"image_size": [64, 48, 3]},
+        "loss": {
+            "kurtosis": 1.8,
+            "w_kl_divergence": 0.0,
+            "w_kurtosis": 1e-4,
+            "w_mse": 1.0,
+            "w_skew": 0.0,
+            "w_x_std": 0.0,
+            "w_z_l1_reg": 0.0,
+        },
+        "model": {
+            "type": "KurtosisGlobal",
+            "latent_dimensions": 8,
+            "layers": [4, 8],
+            "decoder_dense_filters": 8,
+        },
+        "training": {"batch_size": 4, "beta": 0.98, "learning_rate": 1e-4, "max_epochs": 1},
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_input():
+    core = KurtosisGlobalCVAE(_small_config())
+    params = core.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 48, 3))
+    return core, params, x
+
+
+def test_unquantized_transcription_matches_call(model_and_input):
+    core, params, x = model_and_input
+    ref = core.call(params, x, training=False)
+    # min_elems larger than any kernel -> nothing quantized; pure transcription
+    qp = quant.quantize_params(core, params, min_elems=1 << 62)
+    got = quant.call_quantized(core, qp, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_kernel_quantization_error_bound(model_and_input):
+    core, params, _ = model_and_input
+    w = params["decoder"]["Dense_0"]["kernel"]
+    k_i8, scale = quant.quantize_dense_kernel(w)
+    assert k_i8.dtype == jnp.int8
+    err = np.abs(np.asarray(w, np.float32) - np.asarray(k_i8, np.float32) * np.asarray(scale))
+    # symmetric rounding: per-column error <= scale/2 (+ float slack)
+    assert (err <= np.asarray(scale) * 0.5 + 1e-7).all()
+
+
+@pytest.mark.parametrize("mode", ["w8", "w8a8"])
+def test_quantized_reconstruction_fidelity(model_and_input, mode):
+    core, params, x = model_and_input
+    ref = np.asarray(core.call(params, x, training=False))
+    qp = quant.quantize_params(core, params, min_elems=0)  # quantize every Dense
+    got = np.asarray(quant.call_quantized(core, qp, x, mode=mode))
+    mse = float(np.mean((got - ref) ** 2))
+    # sigmoid outputs in [0,1]; int8 per-channel weights keep the
+    # reconstruction within a tight band of the float forward
+    assert mse < 1e-4, mse
+    assert np.max(np.abs(got - ref)) < 0.05
+
+
+def test_anomaly_decision_parity(model_and_input):
+    """Per-frame anomaly z-scores (do_anomaly_detection.py:62-92 math) agree
+    between the float and quantized forwards: same eps ordering and nearly
+    identical z on a clean-vs-blob synthetic pair."""
+    core, params, _ = model_and_input
+    rng = np.random.RandomState(0)
+    clean = np.full((64, 48, 3), 0.5, np.float32) + rng.uniform(-0.02, 0.02, (64, 48, 3)).astype(np.float32)
+    blob = clean.copy()
+    blob[20:40, 15:35, :] = 1.0
+    x = jnp.asarray(np.stack([clean, blob]))
+
+    def eps_of(x_hat):
+        err = jnp.sum((x - x_hat) ** 2, axis=3)
+        return np.asarray(jnp.sum(err, axis=(1, 2)))
+
+    eps_f = eps_of(core.call(params, x, training=False))
+    qp = quant.quantize_params(core, params, min_elems=0)
+    eps_q = eps_of(quant.call_quantized(core, qp, x))
+    # identical ordering (blob scores higher) and small relative deviation
+    assert eps_f[1] > eps_f[0] and eps_q[1] > eps_q[0]
+    np.testing.assert_allclose(eps_q, eps_f, rtol=0.02)
+
+
+def test_multicam_quantized_matches_float(model_and_input):
+    """MultiCameraEngine(quantize=True) tracks the float engine's scores on
+    the same frames (the tiny model's Dense kernels are force-quantized via
+    a patched threshold, exercising the real serving integration)."""
+    from unittest import mock
+
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    cfg = _small_config()
+    model = load_model_from_config(cfg)
+    # static scene + small noise: warmup NaN ticks (zero-variance score
+    # denominators) resolve identically for both paths, unlike pure noise
+    # where quantization can tip a knife-edge zero std
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 255, (2, 64, 48, 3)).astype(np.int16)
+    frames = [
+        np.clip(base + rng.randint(-3, 4, base.shape), 0, 255).astype(np.uint8)
+        for _ in range(8)
+    ]
+    f_eng = MultiCameraEngine(model, cfg, n_streams=2)
+    with mock.patch.object(quant, "DEFAULT_MIN_ELEMS", 0):
+        q_eng = MultiCameraEngine(model, cfg, n_streams=2, quantize=True)
+    for tick in frames:
+        f_out = f_eng.process_frames(list(tick))
+        q_out = q_eng.process_frames(list(tick))
+    # decision-level parity: the discrete zz-pixel-count score of a tiny
+    # random model is knife-edge sensitive (numeric fidelity of the forward
+    # itself is asserted at rtol 2% above); what the integration guarantees
+    # is finite scoring and identical anomaly decisions on a static scene
+    for i in range(2):
+        assert np.isfinite(q_out[i].score_ma) and np.isfinite(f_out[i].score_ma)
+        assert q_out[i].anomalous == f_out[i].anomalous
+    # and both paths alarm on a large blob anomaly
+    blob = [t.copy() for t in frames[-1]]
+    for b in blob:
+        b[10:50, 10:40, :] = 255
+    f_blob = f_eng.process_frames(blob)
+    q_blob = q_eng.process_frames(blob)
+    for i in range(2):
+        assert f_blob[i].score > f_out[i].score
+        assert q_blob[i].score > q_out[i].score
+
+
+def test_quantize_params_preserves_convs(model_and_input):
+    core, params, _ = model_and_input
+    qp = quant.quantize_params(core, params, min_elems=0)
+    # convs untouched (same objects), dense entries carry int8 kernels
+    assert qp["encoder"]["Conv_0"]["kernel"] is params["encoder"]["Conv_0"]["kernel"]
+    assert "kernel_i8" in qp["decoder"]["Dense_0"]

@@ -1,0 +1,168 @@
+"""Int8 weight quantization for the serving/streaming forward path.
+
+Rationale (TPU-native, measured in BENCH_NOTES.md): at serving batch sizes
+(1-16 frames/tick) the flagship forward is *weight-streaming* bound, not
+MXU bound — the 268800x4000 encoder dense kernel alone is 2.15 GB in bf16,
+~2.6 ms/tick at the v5e's 819 GB/s HBM roofline, i.e. a third to a half of
+the whole multicam tick. Storing the big dense kernels as int8 with
+per-output-channel scales halves their HBM traffic; with dynamic per-row
+activation quantization the matmul itself runs int8 x int8 -> int32 on the
+MXU (2x bf16 peak on v5e).
+
+This is an inference-only, opt-in path (serve.py --quantize,
+MultiCameraEngine(quantize=True)). Training and the CL stream keep full
+precision: the reference has no analogue of this (its serving path is the
+same float Keras model, camera_streamer_qt.py:1263-1408); it is a new
+TPU-native capability. Fidelity is validated in tests/test_quant.py:
+the quantized reconstruction stays within a small MSE of the float path
+and anomaly z-score decisions match on synthetic scenes.
+
+Two modes:
+  * "w8a8"  — int8 weights AND dynamic int8 activations; the dot runs in
+              int8 (preferred_element_type=int32). Default.
+  * "w8"    — int8 weights dequantized in-kernel to the compute dtype;
+              activations stay bf16/f32. Fallback if a backend's int8
+              matmul lowering is slow.
+
+Only Dense kernels with >= min_elems elements are quantized (default 2^25:
+the flagship's 1.08B encoder dense and 0.27B decoder dense qualify; small
+heads and all convs stay in the compute dtype — the convs are lane-padding
+bound, not bandwidth bound, so int8 buys them nothing).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from trustedai_cl_vae_ad_tpu.ops.convt import conv_transpose_same
+
+Array = jax.Array
+
+DEFAULT_MIN_ELEMS = 1 << 25
+
+
+def quantize_dense_kernel(kernel: Array) -> Tuple[Array, Array]:
+    """Symmetric per-output-channel int8 quantization of a (in, out) kernel.
+
+    Returns (kernel_i8 int8 (in, out), scale f32 (out,)) with
+    kernel ~= kernel_i8 * scale.
+    """
+    k = kernel.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(k), axis=0) / 127.0
+    scale = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
+    k_i8 = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return k_i8, scale
+
+
+def _is_qdense(p: Any) -> bool:
+    return isinstance(p, dict) and "kernel_i8" in p
+
+
+def quantize_params(core, params: dict, min_elems: int | None = None) -> dict:
+    """Return a copy of the param tree with large Dense kernels quantized.
+
+    Quantized entries are dicts {kernel_i8, scale, bias}; everything else is
+    kept by reference. Works on the trees produced by AbstractCVAE.init /
+    checkpoint restore (models/cvae.py layout). min_elems defaults to
+    DEFAULT_MIN_ELEMS (resolved at call time, so tests can patch it).
+    """
+    if min_elems is None:
+        min_elems = DEFAULT_MIN_ELEMS
+
+    def convert(sub: dict) -> dict:
+        out = {}
+        for name, p in sub.items():
+            if (
+                name.startswith("Dense_")
+                and isinstance(p, dict)
+                and "kernel" in p
+                and p["kernel"].size >= min_elems
+            ):
+                k_i8, scale = quantize_dense_kernel(p["kernel"])
+                out[name] = {"kernel_i8": k_i8, "scale": scale, "bias": p["bias"]}
+            else:
+                out[name] = p
+        return out
+
+    return {"encoder": convert(params["encoder"]), "decoder": convert(params["decoder"])}
+
+
+def _dense(p: dict, x: Array, dtype: Any, mode: str) -> Array:
+    """Apply a Dense layer from a (possibly quantized) param entry.
+
+    Float path matches flax nn.Dense(dtype=dtype): inputs/params cast to
+    dtype, y = x @ W + b.
+    """
+    if not _is_qdense(p):
+        return x.astype(dtype) @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
+    bias = p["bias"].astype(jnp.float32)
+    if mode == "w8":
+        w = (p["kernel_i8"].astype(dtype) * p["scale"].astype(dtype)[None, :])
+        return (x.astype(dtype) @ w + bias.astype(dtype)).astype(dtype)
+    # w8a8: dynamic symmetric per-row activation quantization
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, jnp.finfo(jnp.float32).tiny)
+    x_i8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = lax.dot_general(
+        x_i8,
+        p["kernel_i8"],
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * p["scale"][None, :] + bias
+    return y.astype(dtype)
+
+
+def call_quantized(core, qparams: dict, x: Array, mode: str = "w8a8") -> Array:
+    """Eval-mode forward (== core.call(params, x, training=False)) over a
+    quantized param tree.
+
+    Transcribes Encoder/Decoder (models/cvae.py:46-139) with the Dense
+    layers swapped for their quantized evaluation; with an unquantized tree
+    (min_elems=inf) it reproduces core.call exactly (tests/test_quant.py).
+    """
+    dtype = core.dtype
+    enc = qparams["encoder"]
+
+    h = x.astype(dtype)
+    for i, _ in enumerate(core.conv_filters):
+        p = enc[f"Conv_{i}"]
+        h = (
+            lax.conv_general_dilated(
+                h,
+                p["kernel"].astype(dtype),
+                (2, 2),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + p["bias"].astype(dtype)
+        )
+        h = jax.nn.relu(h)
+    h = h.reshape((h.shape[0], -1))
+    j = 0
+    if core.encoder_dense_filters:
+        h = _dense(enc[f"Dense_{j}"], h, dtype, mode)
+        j += 1
+    out = _dense(enc[f"Dense_{j}"], h, dtype, mode).astype(jnp.float32)
+    mean, logvar = jnp.split(out, 2, axis=1)
+
+    # eval-mode reparameterize: z = mean + 0.5*logvar (eps = 0)
+    z = mean + 0.5 * logvar
+
+    dec = qparams["decoder"]
+    dw, dh, df = core.dense_shape
+    g = _dense(dec["Dense_0"], z, dtype, mode)
+    g = jax.nn.relu(g).reshape((g.shape[0], dw, dh, df))
+    filters = list(reversed(list(core.conv_filters)))
+    for i, _ in enumerate(filters):
+        p = dec[f"ConvTranspose_{i}"]
+        g = conv_transpose_same(g, p["kernel"].astype(dtype), (2, 2)) + p["bias"].astype(dtype)
+        g = jax.nn.relu(g)
+    p = dec[f"ConvTranspose_{len(filters)}"]
+    g = conv_transpose_same(g, p["kernel"].astype(dtype), (1, 1)) + p["bias"].astype(dtype)
+    return jax.nn.sigmoid(g.astype(jnp.float32))

@@ -59,9 +59,11 @@ class MultiCameraEngine:
         anomaly_settings: Optional[dict] = None,
         stream_error_ma: float = 0.99,
         anomaly_ma_weight: float = 0.9,
+        quantize: bool = False,
     ):
         assert n_streams >= 1
         self.model = model
+        self.quantized = bool(quantize)
         self.config = config
         self.n_streams = int(n_streams)
         if anomaly_settings is not None:
@@ -109,6 +111,17 @@ class MultiCameraEngine:
     def _build_jit(self):
         core = self.model.core
         out_hw = (self.height, self.width)
+        if self.quantized:
+            # int8 big-dense kernels: the per-tick forward is weight-streaming
+            # bound at multicam batch sizes, so halving the dominant kernel
+            # bytes cuts tick time (ops/quant.py; fidelity tests/test_quant.py)
+            from trustedai_cl_vae_ad_tpu.ops import quant as _quant
+
+            self._serve_params = _quant.quantize_params(core, self.model.params)
+            forward = lambda p, x: _quant.call_quantized(core, p, x)
+        else:
+            self._serve_params = self.model.params
+            forward = lambda p, x: core.call(p, x, training=False)
 
         def scorer_one(maps, scalars, img, x_hat, alpha, valid):
             state, norm, score, count = stream_score.stream_score_step_reference(
@@ -127,7 +140,7 @@ class MultiCameraEngine:
                     x, (x.shape[0], out_hw[0], out_hw[1], x.shape[3]),
                     method="linear", antialias=True,
                 )
-            x_hat = core.call(params, x, training=False)
+            x_hat = forward(params, x)
             maps, scalars, norm, score, count = jax.vmap(
                 scorer_one, in_axes=(0, 0, 0, 0, None, 0)
             )(maps, scalars, x, x_hat, alpha, valid)
@@ -162,7 +175,7 @@ class MultiCameraEngine:
                 batch[i] = f
 
         (self.maps, self.scalars, norm_u8, rec_u8, score_count) = self._step_j(
-            self.model.params, jnp.asarray(batch), self.maps, self.scalars,
+            self._serve_params, jnp.asarray(batch), self.maps, self.scalars,
             jnp.float32(self.stream_error_ma), jnp.asarray(valid),
         )
         sc = np.asarray(score_count)
