@@ -50,24 +50,31 @@ def fenced_time(fn, *args, iters=20, warmup=3):
 
 def main():
     import jax
-    import jax.numpy as jnp
-
-    from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
-    from trustedai_cl_vae_ad_tpu.ops import quant
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import _flagship_config
 
     print("devices:", jax.devices(), flush=True)
 
     # ---- 1. raw dense probe at serving batch ------------------------------
-    B, IN, OUTF = 16, 268800, 4000
+    # weights are generated ON DEVICE: a host-side randn of the 1.08B kernel
+    # is 8.6 GB of f64 and a multi-minute upload through the tunnel
     rng = np.random.RandomState(0)
-    w = jnp.asarray(rng.randn(IN, OUTF).astype(np.float32) * 0.01)
-    x = jnp.asarray(rng.randn(B, IN).astype(np.float32))
-    w_bf = w.astype(jnp.bfloat16)
-    k_i8, scale = quant.quantize_dense_kernel(w)
-    k_i8, scale = jax.device_put(k_i8), jax.device_put(scale)
+    if not os.environ.get("Q_SKIP_PROBE"):
+        _dense_probe(rng)
+
+    # ---- 2. full serving forward (flagship), float vs quantized -----------
+    _flagship(rng)
+
+
+def _dense_probe(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from trustedai_cl_vae_ad_tpu.ops import quant
+
+    B, IN, OUTF = 16, 268800, 4000
+    kw, kx = jax.random.split(jax.random.PRNGKey(0))
+    w_bf = (jax.random.normal(kw, (IN, OUTF), jnp.bfloat16) * 0.01)
+    x = jax.random.normal(kx, (B, IN), jnp.float32)
+    k_i8, scale = jax.jit(quant.quantize_dense_kernel)(w_bf)
 
     f_bf = jax.jit(lambda a, k: (a.astype(jnp.bfloat16) @ k).astype(jnp.float32))
     f_w8 = jax.jit(
@@ -86,8 +93,18 @@ def main():
     log({"probe": "dense_268800x4000_b16", "bf16_ms": t_bf * 1e3,
          "w8_ms": t_w8 * 1e3, "w8a8_ms": t_a8 * 1e3,
          "rel_err_w8": rel8, "rel_err_w8a8": rela})
+    # free the ~5 GB of probe buffers before building the flagship
 
-    # ---- 2. full serving forward (flagship), float vs quantized -----------
+
+def _flagship(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
+    from trustedai_cl_vae_ad_tpu.ops import quant
+
+    from bench import _flagship_config
+
     core = KurtosisGlobalCVAE(_flagship_config(), dtype=jnp.bfloat16,
                               param_dtype=jnp.bfloat16)
     params = core.init(jax.random.PRNGKey(0))

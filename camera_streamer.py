@@ -56,6 +56,10 @@ def get_args():
                              "concatenated) into --combine-dest and exit "
                              "(reference GUI combine action)")
     parser.add_argument("--combine-dest", type=str, default=None)
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8-quantize the big dense kernels for the "
+                             "inference dispatch (ops/quant.py); CL keeps "
+                             "float params and re-quantizes after each step")
     args = parser.parse_args()
     if args.combine_datasets and not args.combine_dest:
         parser.error("--combine-datasets requires --combine-dest")
@@ -88,7 +92,8 @@ def run_all_cameras(args):
     model, config = load_model_from_directory(args.model_dir)
     model.load_model(args.model_dir, restore_optimizer=False)
     engine = MultiCameraEngine(model, config, n_streams=len(specs),
-                               anomaly_settings=anomaly_settings)
+                               anomaly_settings=anomaly_settings,
+                               quantize=args.quantize)
     sources = [make_source(s, fps=fps) for s in specs]
     stats_file = open(args.stats_jsonl, "w") if args.stats_jsonl else None
     n = 0
@@ -180,6 +185,7 @@ def main():
         host_resize=args.host_resize,
         pipelined=args.pipelined,
         metrics=metrics,
+        quantize=args.quantize,
     )
     if cam_info:
         engine.cam_info = cam_info

@@ -145,6 +145,37 @@ def test_multicam_quantized_matches_float(model_and_input):
         assert q_blob[i].score > q_out[i].score
 
 
+def test_streaming_engine_quantized_cl_requantizes(model_and_input):
+    """StreamingEngine(quantize=True): the inference dispatch runs on the
+    int8 serving copy, and a CL step re-quantizes it from the freshly
+    trained float params."""
+    from unittest import mock
+
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+
+    cfg = _small_config()
+    model = load_model_from_config(cfg)
+    with mock.patch.object(quant, "DEFAULT_MIN_ELEMS", 0):
+        eng = StreamingEngine(model, cfg, quantize=True)
+        eng.inference_period_ms = 0.0
+        eng.continuous_learning_period_ms = 0.0
+        eng.enable_cont_learning = True
+
+        assert "kernel_i8" in eng._serve_params["decoder"]["Dense_0"]
+        before = np.asarray(eng._serve_params["decoder"]["Dense_0"]["kernel_i8"])
+
+        rng = np.random.RandomState(3)
+        r = None
+        for t in range(3):
+            r = eng.process_frame(rng.randint(0, 255, (64, 48, 3), np.uint8),
+                                  now=float(t + 1))
+        assert r is not None and np.isfinite(r.pixel_count)
+        assert eng.cl_epochs >= 1  # CL actually stepped
+        after = np.asarray(eng._serve_params["decoder"]["Dense_0"]["kernel_i8"])
+        assert (before != after).any()  # serving copy tracked the CL update
+
+
 def test_quantize_params_preserves_convs(model_and_input):
     core, params, _ = model_and_input
     qp = quant.quantize_params(core, params, min_elems=0)

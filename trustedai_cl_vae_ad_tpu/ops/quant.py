@@ -71,7 +71,14 @@ def quantize_params(core, params: dict, min_elems: int | None = None) -> dict:
     DEFAULT_MIN_ELEMS (resolved at call time, so tests can patch it).
     """
     if min_elems is None:
-        min_elems = DEFAULT_MIN_ELEMS
+        import os
+
+        min_elems = int(os.environ.get("TCVAE_QUANT_MIN_ELEMS", DEFAULT_MIN_ELEMS))
+
+    # jit so the bf16 -> int8 rounding fuses into one streaming kernel: the
+    # eager path materializes f32 temps of the full kernel (4.3 GB x3 for
+    # the flagship's 1.08B dense — OOMs a 16 GB chip)
+    quantize_j = jax.jit(quantize_dense_kernel)
 
     def convert(sub: dict) -> dict:
         out = {}
@@ -82,7 +89,7 @@ def quantize_params(core, params: dict, min_elems: int | None = None) -> dict:
                 and "kernel" in p
                 and p["kernel"].size >= min_elems
             ):
-                k_i8, scale = quantize_dense_kernel(p["kernel"])
+                k_i8, scale = quantize_j(p["kernel"])
                 out[name] = {"kernel_i8": k_i8, "scale": scale, "bias": p["bias"]}
             else:
                 out[name] = p

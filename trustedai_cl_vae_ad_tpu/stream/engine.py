@@ -121,8 +121,15 @@ class StreamingEngine:
         pipelined: bool = False,
         metrics=None,
         replay_capacity: int = 256,
+        quantize: bool = False,
     ):
         self.model = model
+        # int8 big-dense kernels for the inference dispatch (ops/quant.py):
+        # the per-frame forward is weight-streaming bound, so halving the
+        # dominant kernel bytes cuts frame latency. CL keeps float params;
+        # after each CL step the serving copy is re-quantized (a bandwidth
+        # pass over the params, ~ms — cheap at the 500 ms CL cadence).
+        self.quantized = bool(quantize)
         self.config = config
         # validate here, not just in load_cam_config: the CDF-threshold path
         # still needs the fixed threshold during warm-up, so a settings dict
@@ -218,9 +225,28 @@ class StreamingEngine:
         self._build_jits()
 
     # ------------------------------------------------------------------ jits
+    def _refresh_serve_params(self) -> None:
+        """Snapshot the params used by the inference dispatch (re-quantizing
+        when the int8 path is on). Called at build time and after CL steps."""
+        if self.quantized:
+            from trustedai_cl_vae_ad_tpu.ops import quant as _quant
+
+            self._serve_params = _quant.quantize_params(
+                self.model.core, self.model.params
+            )
+        else:
+            self._serve_params = self.model.params
+
     def _build_jits(self):
         core = self.model.core
         out_hw = (self.height, self.width)
+        self._refresh_serve_params()
+        if self.quantized:
+            from trustedai_cl_vae_ad_tpu.ops import quant as _quant
+
+            forward = lambda p, b: _quant.call_quantized(core, p, b)
+        else:
+            forward = lambda p, b: core.call(p, b, training=False)
 
         def infer_score(params, ring, idx, frame_u8, maps, scalars, alpha, seed_ring):
             x = frame_u8.astype(jnp.float32) / 255.0
@@ -240,7 +266,7 @@ class StreamingEngine:
                 lambda: jnp.broadcast_to(b, ring.shape),
                 lambda: jax.lax.dynamic_update_slice(ring, b, (idx, 0, 0, 0)),
             )
-            x_hat = core.call(params, b, training=False)[0]
+            x_hat = forward(params, b)[0]
             state, norm, score, count = stream_score.stream_score_step(
                 StreamScoreState(maps, scalars), img, x_hat, alpha
             )
@@ -299,7 +325,7 @@ class StreamingEngine:
         self.ring_filled = min(self.ring_filled + 1, self.RING_SIZE)
 
         (self.ring, maps, scalars, norm_u8, rec_u8, score_count) = self._infer_score_j(
-            self.model.params, self.ring, idx, jnp.asarray(frame_u8),
+            self._serve_params, self.ring, idx, jnp.asarray(frame_u8),
             self.score_state.maps, self.score_state.scalars, alpha,
             jnp.bool_(self.ring_filled == 1),
         )
@@ -411,6 +437,7 @@ class StreamingEngine:
             self.model.params, self.model.opt_state, stacked, weights, rng
         )
         self.cl_epochs += 1
+        self._refresh_serve_params()  # serving copy tracks the trained params
         loss = {k: float(v) for k, v in loss.items()}
         loss["anomaly_score"] = self.anomaly_score
         loss["anomaly_score_ma"] = self.anomaly_score_ma
