@@ -28,6 +28,11 @@ def get_args():
         "--no-parallel", action="store_true",
         help="Disable multi-device batch sharding for the scoring passes",
     )
+    parser.add_argument(
+        "--quantize", action="store_true",
+        help="int8-quantize the big dense kernels for both scoring passes "
+             "(ops/quant.py; 1.4-1.7x faster forward, z-scores near-identical)",
+    )
     args = parser.parse_args()
 
     assert os.path.isdir(args.model_dir)
@@ -67,7 +72,8 @@ def main():
             model.params = replicate(model.params, mesh)
 
     train_data = load_data(config)
-    data_scale = get_data_scale(model, config, train_data, mesh=mesh)
+    data_scale = get_data_scale(model, config, train_data, mesh=mesh,
+                                quantize=args.quantize)
 
     # reference do_anomaly_detection.py:217-219: re-point dataset_path and
     # reload with the SAME dataset kind (raite eval sets stay raite-format;
@@ -82,6 +88,7 @@ def main():
         keep_maps=False,
         artifact_path=None if args.histogram_only else args.output_path,
         mesh=mesh,
+        quantize=args.quantize,
     )
     output_anomalies(
         evaluation_data, anomaly_results, data_scale, args.output_path,

@@ -42,6 +42,31 @@ def test_two_pass_scoring(tiny_model):
     )
 
 
+def test_two_pass_scoring_quantized(tiny_model):
+    """--quantize runs both passes on the int8-dense forward; decisions and
+    the z-score distribution track the float pipeline (ops/quant.py)."""
+    from unittest import mock
+
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import evaluate_anomalies, get_data_scale
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+    from trustedai_cl_vae_ad_tpu.ops import quant
+
+    model, config = tiny_model
+    data = load_data(config)
+    scale_f = get_data_scale(model, config, data)
+    res_f = evaluate_anomalies(model, config, data, scale_f, 3.0, keep_maps=False)
+    with mock.patch.object(quant, "DEFAULT_MIN_ELEMS", 0):
+        scale_q = get_data_scale(model, config, data, quantize=True)
+        res_q = evaluate_anomalies(model, config, data, scale_q, 3.0,
+                                   keep_maps=False, quantize=True)
+    # reference distribution barely moves under quantization...
+    np.testing.assert_allclose(scale_q["meu"], scale_f["meu"], rtol=0.02)
+    # ...and per-frame decisions match (same data as the reference set, so
+    # everything is well under the z=3 threshold in both pipelines)
+    np.testing.assert_array_equal(res_q["anomalies"], res_f["anomalies"])
+    np.testing.assert_allclose(res_q["z_scores"], res_f["z_scores"], atol=0.25)
+
+
 def test_output_artifacts(tiny_model, tmp_path):
     from trustedai_cl_vae_ad_tpu.anomaly.offline import (
         evaluate_anomalies,

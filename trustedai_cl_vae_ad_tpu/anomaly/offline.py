@@ -28,14 +28,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _score_fns(model, mesh=None):
+def _score_fns(model, mesh=None, quantize=False):
     """Jitted scoring passes; with ``mesh`` set, the batch is sharded over
     the 'data' axis (bulk eval scales over chips — scoring is embarrassingly
-    batch-parallel; reductions to per-frame scalars stay exact)."""
+    batch-parallel; reductions to per-frame scalars stay exact). With
+    ``quantize``, both passes run the int8-dense forward (ops/quant.py) on a
+    quantized copy of the params — returned as the 4th element, which callers
+    must pass instead of model.params.
+
+    (call_detailed's latents are discarded by pass 2 — eval mode z is
+    mean + 0.5*logvar deterministically — so the quantized eval forward is
+    the same computation, reference do_anomaly_detection.py:86.)"""
     core = model.core
+    if quantize:
+        from trustedai_cl_vae_ad_tpu.ops import quant as _quant
+
+        score_params = _quant.quantize_params(core, model.params)
+        forward = lambda p, x: _quant.call_quantized(core, p, x)
+    else:
+        score_params = model.params
+        forward = lambda p, x: core.call(p, x, training=False)
 
     def batch_err(params, x):
-        x_rec = core.call(params, x, training=False)
+        x_rec = forward(params, x)
         err = jnp.sum((x - x_rec) ** 2, axis=3)  # per-pixel, channel-summed
         err_reduced = jnp.sum(err, axis=(1, 2))  # per-frame scalar
         err_min = jnp.min(err)
@@ -43,7 +58,7 @@ def _score_fns(model, mesh=None):
         return err_reduced, err_min, err_max
 
     def batch_eval(params, x, mu, sigma, emin, emax):
-        x_rec, _, _, _ = core.call_detailed(params, x, training=False)
+        x_rec = forward(params, x)
         err = jnp.sum((x - x_rec) ** 2, axis=3)
         err_reduced = jnp.sum(err, axis=(1, 2))
         z = (err_reduced - mu) / sigma
@@ -57,7 +72,7 @@ def _score_fns(model, mesh=None):
             # (a device->host fetch + re-upload per batch)
             return jnp.asarray(x, jnp.float32), int(x.shape[0])
 
-        return jax.jit(batch_err), jax.jit(batch_eval), place
+        return jax.jit(batch_err), jax.jit(batch_eval), place, score_params
 
     from trustedai_cl_vae_ad_tpu.parallel.mesh import (
         batch_sharding,
@@ -76,7 +91,12 @@ def _score_fns(model, mesh=None):
     # NOTE: shard_batch pads ragged batches by repeating the last frame; the
     # two-pass pipeline pairs results BY INDEX, so padding rows must be
     # dropped again after the fetch.
-    return err_j, eval_j, lambda x: (shard_batch(np.asarray(x, np.float32), mesh), x.shape[0])
+    return (
+        err_j,
+        eval_j,
+        lambda x: (shard_batch(np.asarray(x, np.float32), mesh), x.shape[0]),
+        score_params,
+    )
 
 
 def _iter_images(dataset: Iterable):
@@ -89,13 +109,13 @@ def _iter_images(dataset: Iterable):
             yield batch
 
 
-def get_data_scale(model, config: dict, data: dict, mesh=None) -> dict:
+def get_data_scale(model, config: dict, data: dict, mesh=None, quantize=False) -> dict:
     """Reference-error distribution over training data (reference :57-79)."""
-    batch_err, _, place = _score_fns(model, mesh=mesh)
+    batch_err, _, place, score_params = _score_fns(model, mesh=mesh, quantize=quantize)
     err_list, mins, maxs = [], [], []
     for x in _iter_images(data["train"]):
         x, n = place(x)
-        err_reduced, emin, emax = batch_err(model.params, x)
+        err_reduced, emin, emax = batch_err(score_params, x)
         err_list.append(np.asarray(err_reduced)[:n])
         mins.append(float(emin))
         maxs.append(float(emax))
@@ -122,6 +142,7 @@ def evaluate_anomalies(
     artifact_path: str | None = None,
     num_workers: int = 8,
     mesh=None,
+    quantize: bool = False,
 ) -> dict:
     """Score the eval dataset against the training distribution (ref :82-117).
 
@@ -132,7 +153,7 @@ def evaluate_anomalies(
     and ``output_anomalies`` skips its own dataset re-walk. ``keep_maps``
     preserves the accumulate-everything behavior for small sets/tests.
     """
-    _, batch_eval, place = _score_fns(model, mesh=mesh)
+    _, batch_eval, place, score_params = _score_fns(model, mesh=mesh, quantize=quantize)
     mu = jnp.float32(data_scale["meu"])
     sigma = jnp.float32(data_scale["sigma"])
     emin = jnp.float32(data_scale["min"])
@@ -143,7 +164,7 @@ def evaluate_anomalies(
     idx = 0
     for x in _iter_images(data["train"]):
         x, n = place(x)
-        x_rec, err, z, norm_err = batch_eval(model.params, x, mu, sigma, emin, emax)
+        x_rec, err, z, norm_err = batch_eval(score_params, x, mu, sigma, emin, emax)
         zs.append(np.asarray(z)[:n])
         if sink is not None:
             x_host = np.asarray(x)
