@@ -117,9 +117,9 @@ def profile_train_step():
           f"{summary['device_busy_us_union'] / 3 / 1e3:.2f} ms", flush=True)
 
 
-def profile_stream_frame():
+def profile_stream_frame(quantize: bool = False):
     """Flagship engine, 1080p input frame: device time for the fused
-    infer+score dispatch."""
+    infer+score dispatch (optionally on the int8-dense forward)."""
     import jax
     import jax.numpy as jnp
 
@@ -128,11 +128,12 @@ def profile_stream_frame():
     from trustedai_cl_vae_ad_tpu.models.wrapper import VAEModel
     from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
 
+    tag = "stream_frame_1080p_int8" if quantize else "stream_frame_1080p"
     config = _flagship_config()
     core = KurtosisGlobalCVAE(config, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     model = VAEModel(core)
     model.compile()
-    engine = StreamingEngine(model, config)
+    engine = StreamingEngine(model, config, quantize=quantize)
     engine.inference_period_ms = 0.0
 
     rng = np.random.RandomState(0)
@@ -143,7 +144,7 @@ def profile_stream_frame():
         engine.process_frame(f)
         lat.append((time.perf_counter() - t0) * 1e3)
 
-    tdir = os.path.join(TRACE_ROOT, "stream_frame_1080p")
+    tdir = os.path.join(TRACE_ROOT, tag)
     os.makedirs(tdir, exist_ok=True)
     with jax.profiler.trace(tdir, create_perfetto_trace=True):
         for f in frames[3:]:
@@ -154,7 +155,7 @@ def profile_stream_frame():
     summary["frames_traced"] = 3
     summary["e2e_latency_ms"] = [round(v, 2) for v in lat]
     summary["device_ms_per_frame"] = round(summary["device_busy_us_union"] / 3 / 1e3, 3)
-    with open(os.path.join(TRACE_ROOT, "stream_frame_1080p_summary.json"), "w") as f:
+    with open(os.path.join(TRACE_ROOT, tag + "_summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(f"stream frame: device {summary['device_ms_per_frame']} ms/frame, "
           f"e2e {lat}", flush=True)
@@ -166,3 +167,5 @@ if __name__ == "__main__":
         profile_train_step()
     if which in ("stream", "both"):
         profile_stream_frame()
+    if which == "stream_q":
+        profile_stream_frame(quantize=True)
