@@ -31,7 +31,8 @@ def get_args():
     parser.add_argument(
         "--quantize", action="store_true",
         help="int8-quantize the big dense kernels for both scoring passes "
-             "(ops/quant.py; 1.4-1.7x faster forward, z-scores near-identical)",
+             "(ops/quant.py; ~9%% faster at bulk batch — the gain grows as "
+             "batch shrinks, up to 1.65x at batch 1 — z-scores near-identical)",
     )
     args = parser.parse_args()
 
@@ -72,8 +73,15 @@ def main():
             model.params = replicate(model.params, mesh)
 
     train_data = load_data(config)
+    # the quantized param tree is built once and shared by both passes
+    score_params = None
+    if args.quantize:
+        from trustedai_cl_vae_ad_tpu.ops.quant import serving_forward
+
+        _, score_params = serving_forward(model.core, model.params, quantize=True)
+
     data_scale = get_data_scale(model, config, train_data, mesh=mesh,
-                                quantize=args.quantize)
+                                quantize=args.quantize, score_params=score_params)
 
     # reference do_anomaly_detection.py:217-219: re-point dataset_path and
     # reload with the SAME dataset kind (raite eval sets stay raite-format;
@@ -89,6 +97,7 @@ def main():
         artifact_path=None if args.histogram_only else args.output_path,
         mesh=mesh,
         quantize=args.quantize,
+        score_params=score_params,
     )
     output_anomalies(
         evaluation_data, anomaly_results, data_scale, args.output_path,

@@ -64,17 +64,14 @@ class MicroBatcher:
         core = model.core
         out_hw = self.hwc[:2]
         self.quantized = bool(quantize)
-        if self.quantized:
-            # int8 big-dense kernels: serving batches are weight-streaming
-            # bound, so halving the dominant kernel bytes cuts the tick time
-            # (ops/quant.py; fidelity in tests/test_quant.py)
-            from trustedai_cl_vae_ad_tpu.ops import quant as _quant
+        # int8 big-dense kernels when quantized: serving batches are
+        # weight-streaming bound, so halving the dominant kernel bytes cuts
+        # the tick time (ops/quant.py; fidelity in tests/test_quant.py)
+        from trustedai_cl_vae_ad_tpu.ops.quant import serving_forward
 
-            self._serve_params = _quant.quantize_params(core, model.params)
-            _forward = lambda p, x: _quant.call_quantized(core, p, x)
-        else:
-            self._serve_params = model.params
-            _forward = lambda p, x: core.call(p, x, training=False)
+        _forward, self._serve_params = serving_forward(
+            core, model.params, quantize=self.quantized
+        )
 
         def score_batch(params, x_u8):
             x = x_u8.astype(jnp.float32) / 255.0

@@ -46,13 +46,44 @@ def model_and_input():
     return core, params, x
 
 
-def test_unquantized_transcription_matches_call(model_and_input):
-    core, params, x = model_and_input
+@pytest.mark.parametrize("encoder_dense", [None, 16])
+def test_unquantized_transcription_matches_call(encoder_dense):
+    """Covers both encoder shapes: with and without the optional
+    encoder_dense_filters bottleneck (Dense_0 -> Dense_1 naming)."""
+    cfg = _small_config()
+    if encoder_dense:
+        cfg["model"]["encoder_dense_filters"] = encoder_dense
+    core = KurtosisGlobalCVAE(cfg)
+    params = core.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 48, 3))
     ref = core.call(params, x, training=False)
     # min_elems larger than any kernel -> nothing quantized; pure transcription
     qp = quant.quantize_params(core, params, min_elems=1 << 62)
     got = quant.call_quantized(core, qp, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_chunked_int8_contraction_matches_single_dot():
+    """The int32-headroom chunked accumulation (K > _I32_SAFE_K) equals the
+    single-dot path (patched threshold forces chunking on a small K)."""
+    from unittest import mock
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 300).astype(np.float32))
+    w = jnp.asarray(rng.randn(300, 7).astype(np.float32))
+    k_i8, scale = quant.quantize_dense_kernel(w)
+    p = {"kernel_i8": k_i8, "scale": scale, "bias": jnp.zeros((7,), jnp.float32)}
+    ref = quant._dense(p, x, jnp.float32, "w8a8")
+    with mock.patch.object(quant, "_I32_SAFE_K", 128):  # 300 -> 3 chunks
+        got = quant._dense(p, x, jnp.float32, "w8a8")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-5)
+
+
+def test_dense_rejects_unknown_mode(model_and_input):
+    core, params, _ = model_and_input
+    p = params["decoder"]["Dense_0"]
+    with pytest.raises(ValueError, match="unknown quantization mode"):
+        quant._dense(p, jnp.zeros((1, p["kernel"].shape[0])), jnp.float32, "w8a16")
 
 
 def test_kernel_quantization_error_bound(model_and_input):

@@ -28,25 +28,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _score_fns(model, mesh=None, quantize=False):
+def _score_fns(model, mesh=None, quantize=False, score_params=None):
     """Jitted scoring passes; with ``mesh`` set, the batch is sharded over
     the 'data' axis (bulk eval scales over chips — scoring is embarrassingly
     batch-parallel; reductions to per-frame scalars stay exact). With
     ``quantize``, both passes run the int8-dense forward (ops/quant.py) on a
     quantized copy of the params — returned as the 4th element, which callers
-    must pass instead of model.params.
+    must pass instead of model.params. A caller running both passes can pass
+    the first pass's ``score_params`` back in to skip re-quantizing the tree.
 
     (call_detailed's latents are discarded by pass 2 — eval mode z is
     mean + 0.5*logvar deterministically — so the quantized eval forward is
     the same computation, reference do_anomaly_detection.py:86.)"""
-    core = model.core
-    if quantize:
-        from trustedai_cl_vae_ad_tpu.ops import quant as _quant
+    from trustedai_cl_vae_ad_tpu.ops import quant as _quant
 
-        score_params = _quant.quantize_params(core, model.params)
+    core = model.core
+    if score_params is None:
+        forward, score_params = _quant.serving_forward(
+            core, model.params, quantize=quantize
+        )
+    elif quantize:  # pre-quantized tree supplied: pick the matching forward
         forward = lambda p, x: _quant.call_quantized(core, p, x)
     else:
-        score_params = model.params
         forward = lambda p, x: core.call(p, x, training=False)
 
     def batch_err(params, x):
@@ -109,9 +112,11 @@ def _iter_images(dataset: Iterable):
             yield batch
 
 
-def get_data_scale(model, config: dict, data: dict, mesh=None, quantize=False) -> dict:
+def get_data_scale(model, config: dict, data: dict, mesh=None, quantize=False,
+                   score_params=None) -> dict:
     """Reference-error distribution over training data (reference :57-79)."""
-    batch_err, _, place, score_params = _score_fns(model, mesh=mesh, quantize=quantize)
+    batch_err, _, place, score_params = _score_fns(
+        model, mesh=mesh, quantize=quantize, score_params=score_params)
     err_list, mins, maxs = [], [], []
     for x in _iter_images(data["train"]):
         x, n = place(x)
@@ -143,6 +148,7 @@ def evaluate_anomalies(
     num_workers: int = 8,
     mesh=None,
     quantize: bool = False,
+    score_params=None,
 ) -> dict:
     """Score the eval dataset against the training distribution (ref :82-117).
 
@@ -153,7 +159,8 @@ def evaluate_anomalies(
     and ``output_anomalies`` skips its own dataset re-walk. ``keep_maps``
     preserves the accumulate-everything behavior for small sets/tests.
     """
-    _, batch_eval, place, score_params = _score_fns(model, mesh=mesh, quantize=quantize)
+    _, batch_eval, place, score_params = _score_fns(
+        model, mesh=mesh, quantize=quantize, score_params=score_params)
     mu = jnp.float32(data_scale["meu"])
     sigma = jnp.float32(data_scale["sigma"])
     emin = jnp.float32(data_scale["min"])

@@ -98,12 +98,19 @@ def quantize_params(core, params: dict, min_elems: int | None = None) -> dict:
     return {"encoder": convert(params["encoder"]), "decoder": convert(params["decoder"])}
 
 
+# largest contraction length whose worst-case int8 x int8 accumulation
+# (127*127 per element) provably fits int32: floor(2^31 / 127^2) = 133152
+_I32_SAFE_K = 1 << 17  # 131072
+
+
 def _dense(p: dict, x: Array, dtype: Any, mode: str) -> Array:
     """Apply a Dense layer from a (possibly quantized) param entry.
 
     Float path matches flax nn.Dense(dtype=dtype): inputs/params cast to
     dtype, y = x @ W + b.
     """
+    if mode not in ("w8", "w8a8"):
+        raise ValueError(f"unknown quantization mode {mode!r} (w8 | w8a8)")
     if not _is_qdense(p):
         return x.astype(dtype) @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
     bias = p["bias"].astype(jnp.float32)
@@ -115,14 +122,48 @@ def _dense(p: dict, x: Array, dtype: Any, mode: str) -> Array:
     sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     sx = jnp.maximum(sx, jnp.finfo(jnp.float32).tiny)
     x_i8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    acc = lax.dot_general(
-        x_i8,
-        p["kernel_i8"],
-        (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = acc.astype(jnp.float32) * sx * p["scale"][None, :] + bias
+    k_i8 = p["kernel_i8"]
+    K = k_i8.shape[0]
+    dims = (((x.ndim - 1,), (0,)), ((), ()))
+    if K <= _I32_SAFE_K:
+        acc = lax.dot_general(x_i8, k_i8, dims, preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+    else:
+        # int32-headroom guard: the encoder dense contracts over K=268800,
+        # where a worst-case all-saturated row (post-ReLU activations are
+        # non-negative) could wrap int32. Split the contraction into
+        # provably-safe chunks and accumulate the partials in f32 — each
+        # chunk still runs int8 on the MXU and the kernel slice is streamed
+        # exactly once in total.
+        n = -(-K // _I32_SAFE_K)
+        acc = None
+        for c in range(n):
+            s, e = c * _I32_SAFE_K, min((c + 1) * _I32_SAFE_K, K)
+            part = lax.dot_general(
+                lax.slice_in_dim(x_i8, s, e, axis=x.ndim - 1),
+                lax.slice_in_dim(k_i8, s, e, axis=0),
+                dims,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            acc = part if acc is None else acc + part
+    y = acc * sx * p["scale"][None, :] + bias
     return y.astype(dtype)
+
+
+def serving_forward(core, params: dict, quantize: bool = False, mode: str = "w8a8"):
+    """One-stop forward selection for the serving/scoring integrations.
+
+    Returns ``(forward_fn, serve_params)``: the float eval forward over the
+    given params, or (with ``quantize``) call_quantized over a quantized
+    copy. All serving surfaces (serve.py, stream/engine.py,
+    stream/multicam.py, anomaly/offline.py) route through this so precision
+    selection lives in exactly one place.
+    """
+    if quantize:
+        qparams = quantize_params(core, params)
+        return (lambda p, x: call_quantized(core, p, x, mode=mode)), qparams
+    return (lambda p, x: core.call(p, x, training=False)), params
 
 
 def call_quantized(core, qparams: dict, x: Array, mode: str = "w8a8") -> Array:

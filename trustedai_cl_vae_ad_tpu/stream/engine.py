@@ -228,25 +228,20 @@ class StreamingEngine:
     def _refresh_serve_params(self) -> None:
         """Snapshot the params used by the inference dispatch (re-quantizing
         when the int8 path is on). Called at build time and after CL steps."""
-        if self.quantized:
-            from trustedai_cl_vae_ad_tpu.ops import quant as _quant
+        from trustedai_cl_vae_ad_tpu.ops.quant import serving_forward
 
-            self._serve_params = _quant.quantize_params(
-                self.model.core, self.model.params
-            )
-        else:
-            self._serve_params = self.model.params
+        _, self._serve_params = serving_forward(
+            self.model.core, self.model.params, quantize=self.quantized
+        )
 
     def _build_jits(self):
+        from trustedai_cl_vae_ad_tpu.ops.quant import serving_forward
+
         core = self.model.core
         out_hw = (self.height, self.width)
-        self._refresh_serve_params()
-        if self.quantized:
-            from trustedai_cl_vae_ad_tpu.ops import quant as _quant
-
-            forward = lambda p, b: _quant.call_quantized(core, p, b)
-        else:
-            forward = lambda p, b: core.call(p, b, training=False)
+        forward, self._serve_params = serving_forward(
+            core, self.model.params, quantize=self.quantized
+        )
 
         def infer_score(params, ring, idx, frame_u8, maps, scalars, alpha, seed_ring):
             x = frame_u8.astype(jnp.float32) / 255.0

@@ -111,17 +111,14 @@ class MultiCameraEngine:
     def _build_jit(self):
         core = self.model.core
         out_hw = (self.height, self.width)
-        if self.quantized:
-            # int8 big-dense kernels: the per-tick forward is weight-streaming
-            # bound at multicam batch sizes, so halving the dominant kernel
-            # bytes cuts tick time (ops/quant.py; fidelity tests/test_quant.py)
-            from trustedai_cl_vae_ad_tpu.ops import quant as _quant
+        # int8 big-dense kernels when quantized: the per-tick forward is
+        # weight-streaming bound at multicam batch sizes, so halving the
+        # dominant kernel bytes cuts tick time (ops/quant.py)
+        from trustedai_cl_vae_ad_tpu.ops.quant import serving_forward
 
-            self._serve_params = _quant.quantize_params(core, self.model.params)
-            forward = lambda p, x: _quant.call_quantized(core, p, x)
-        else:
-            self._serve_params = self.model.params
-            forward = lambda p, x: core.call(p, x, training=False)
+        forward, self._serve_params = serving_forward(
+            core, self.model.params, quantize=self.quantized
+        )
 
         def scorer_one(maps, scalars, img, x_hat, alpha, valid):
             state, norm, score, count = stream_score.stream_score_step_reference(
