@@ -53,3 +53,25 @@ def test_src_compat_shims():
     from src.kurtosis_single_cvae import KurtosisSingleCVAE  # noqa: F401
     from src.load_model import load_model_from_directory  # noqa: F401
     from src.raite_loader import RaiteDataset  # noqa: F401
+
+
+def test_compile_cache_env_applied():
+    """TCVAE_COMPILE_CACHE wires jax's persistent compilation cache at
+    package import (serving cold-start: 406 -> 48 s on the flagship,
+    BENCH_NOTES r4)."""
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import trustedai_cl_vae_ad_tpu, jax; "
+             "print(jax.config.jax_compilation_cache_dir)"],
+            env={"PATH": "/usr/bin:/bin", "TCVAE_PLATFORM": "cpu",
+                 "TCVAE_COMPILE_CACHE": d, "HOME": "/root",
+                 "PYTHONPATH": "/root/repo"},
+            capture_output=True, text=True, timeout=180,
+        )
+        assert out.returncode == 0, out.stderr
+        assert d in out.stdout

@@ -36,6 +36,22 @@ if _plat:
     except Exception:
         pass
 
+# TCVAE_COMPILE_CACHE=<dir>: persistent XLA compilation cache. On
+# remote-compile TPU runtimes the flagship's first jit costs 90-200 s PER
+# PROCESS; with the cache, restarts (serving rollouts, tool CLIs) reload
+# the compiled executable in seconds (measured: 29 s cold -> 4.5 s warm on
+# the probe shape). Opt-in because the cache dir must be writable and
+# per-XLA-version.
+_cc = _os.environ.get("TCVAE_COMPILE_CACHE")
+if _cc:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cc)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 # TCVAE_CPU_DEVICES=N: virtual CPU device count for the multi-device code
 # paths (train.py / do_anomaly_detection.py batch sharding) off-accelerator.
 # Must land before backend init; ignored afterwards.
