@@ -26,6 +26,15 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache (benchmarks/.xla_cache, gitignored):
+# repeated bench runs skip the multi-minute flagship compile. Set BEFORE the
+# package import so __init__ applies it (jax may be pre-imported, so the
+# plain env var would otherwise be eaten — see CLAUDE.md).
+os.environ.setdefault(
+    "TCVAE_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks", ".xla_cache"),
+)
+
 
 def _flagship_config(latent=2000):
     return {
