@@ -89,8 +89,7 @@ def run_all_cameras(args):
         names = [f"synthetic{i}" for i in range(n)]
         fps = 20.0
 
-    model, config = load_model_from_directory(args.model_dir)
-    model.load_model(args.model_dir, restore_optimizer=False)
+    model, config = load_model_from_directory(args.model_dir)  # restores params
     engine = MultiCameraEngine(model, config, n_streams=len(specs),
                                anomaly_settings=anomaly_settings,
                                quantize=args.quantize)

@@ -49,6 +49,9 @@ def get_args():
     parser.add_argument("--cam-config-index", type=int, default=0)
     parser.add_argument("--model-cache-dir", type=str, default="model_cache")
     parser.add_argument("--model-dir", "-m", type=str, default=None)
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 inference dispatch (ops/quant.py); CL "
+                             "re-quantizes the serving copy after each step")
     return parser.parse_args()
 
 
@@ -78,6 +81,7 @@ if HAVE_QT:
             self.cam_info = self.cam_config["camera_list"][args.cam_config_index]
             self.anomaly_settings = self.cam_config.get("anomaly_settings")
             self.model_cache_dir = args.model_cache_dir
+            self.quantize = bool(getattr(args, "quantize", False))
             self.engine = None
             self.source = None
             self.last_frame = None
@@ -188,6 +192,7 @@ if HAVE_QT:
                 anomaly_settings=self.anomaly_settings,
                 model_cache_dir=self.model_cache_dir,
                 metrics=metrics,
+                quantize=self.quantize,
             )
             self.engine.cam_info = self.cam_info
 

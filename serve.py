@@ -239,8 +239,9 @@ def build_server(model_dir: str, port: int = 8000, stats_path: str | None = None
                  quantize: bool = False):
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
 
+    # load_model_from_directory already restores the params (registry.py);
+    # a second load_model call would re-read the multi-GB checkpoint
     model, config = load_model_from_directory(model_dir)
-    model.load_model(model_dir, restore_optimizer=False)
     stats = None
     if stats_path:
         with open(stats_path) as f:

@@ -224,3 +224,30 @@ def test_sharded_scoring_matches_single_device(tiny_model):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(res_sh["norm_errs"], res_ref["norm_errs"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_cdf_below_distribution_floor():
+    """P(X <= x) for x below the data minimum is 0, not the first bin's mass
+    (a far-below-distribution score must not be credited probability)."""
+    from trustedai_cl_vae_ad_tpu.anomaly.cdf import CDFObject
+
+    cdf = CDFObject(np.linspace(10.0, 11.0, 200))
+    assert cdf.get_prob_by_value(0.0) == 0.0
+    assert cdf.get_prob_by_value(9.999) == 0.0
+    assert cdf.get_prob_by_value(11.5) == 1.0
+    arr = cdf.get_prob_by_value(np.array([0.0, 10.5, 12.0]))
+    assert arr[0] == 0.0 and 0.3 < arr[1] < 0.7 and arr[2] == 1.0
+
+
+def test_degenerate_scale_yields_finite_z(tiny_model):
+    """sigma=0 / flat error maps (single-frame reference set) must not
+    produce NaN z-scores that read as 'no anomalies'."""
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import evaluate_anomalies
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    model, config = tiny_model
+    data = load_data(config)
+    scale = {"meu": 5.0, "sigma": 0.0, "min": 2.0, "max": 2.0, "z_scores": np.zeros(1)}
+    res = evaluate_anomalies(model, config, data, scale, 3.0, keep_maps=True)
+    assert np.isfinite(res["z_scores"]).all()
+    assert np.isfinite(res["norm_errs"]).all()

@@ -263,3 +263,43 @@ def test_train_step_accepts_device_resident_batch(small_config):
         model.compile(mesh=mesh)
         losses.append(float(model.train_step(feed)["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_place_on_mesh_honors_zero1(setup):
+    """Resume-into-dp with training.zero1: restored Adam moments land in the
+    ZeRO-1 sharded layout, not silently replicated per chip."""
+    import copy
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE, VAEModel
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    core, _, _ = setup
+    config = copy.deepcopy(core.config)
+    config["training"]["zero1"] = True
+    # latent 256 -> encoder dense kernel 256x512 = 131072 elems: above the
+    # zero1 min_elems threshold (2^16), so its moments actually shard
+    config["model"]["latent_dimensions"] = 256
+    z_core = KurtosisGlobalCVAE(config)
+    model = VAEModel(z_core)
+    model.compile()  # single-device, as after a checkpoint restore
+    x = np.random.RandomState(1).random((8, 16, 16, 3)).astype(np.float32)
+    model.train_step(x)
+    mu_before = jax.device_get(model.opt_state.inner_state[0].mu)
+
+    model.place_on_mesh(make_mesh())
+    # the big moment leaves carry the data-axis sharding...
+    specs = {
+        tuple(getattr(lf.sharding, "spec", P())) for lf in
+        jax.tree_util.tree_leaves(model.opt_state.inner_state[0].mu)
+        if lf.size >= 2**16
+    }
+    assert (DATA_AXIS,) in specs, specs
+    # ...with values preserved bit-exactly
+    for a, b in zip(jax.tree_util.tree_leaves(mu_before),
+                    jax.tree_util.tree_leaves(jax.device_get(model.opt_state.inner_state[0].mu))):
+        np.testing.assert_array_equal(a, b)
+    loss = model.train_step(x)
+    assert np.isfinite(float(loss["loss"]))

@@ -83,3 +83,36 @@ def test_autosave_flow(tmp_path):
     eng.process_frame(frame)  # autosave fires here (dirty + period elapsed)
     assert os.path.isdir(cache / "encoder")
     assert not eng.model_changed_flag
+
+
+def test_midtrain_exception_still_checkpoints(tmp_path):
+    """A mid-epoch failure checkpoints progress and flushes metrics like the
+    Ctrl-C path does (train_model's finally block)."""
+    import os
+
+    import pytest
+
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.train.loop import train_model
+
+    config = {
+        "data": {"dataset": "synthetic", "image_size": [16, 16, 3],
+                 "n_train": 8, "n_val": 4},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3,
+                     "max_epochs": 1},
+        "logdir": str(tmp_path),
+    }
+    model = load_model_from_config(config)
+
+    def exploding_batches():
+        yield np.random.RandomState(0).random((4, 16, 16, 3)).astype(np.float32)
+        raise RuntimeError("corrupt frame")
+
+    with pytest.raises(RuntimeError, match="corrupt frame"):
+        train_model(config, model, {"train": exploding_batches(), "val": None},
+                    parallel=False)
+    assert os.path.isdir(os.path.join(str(tmp_path), "encoder"))

@@ -98,9 +98,13 @@ class CDFObject:
         self.cdf = np.cumsum(self.hist)
 
     def get_prob_by_value(self, x):
-        """P(X <= x) from the histogram CDF (scalar or array)."""
+        """P(X <= x) from the histogram CDF (scalar or array).
+
+        Queries below the distribution floor return 0 — not the first bin's
+        mass (a far-below-distribution anomaly score must not be credited
+        with substantial probability in the CL threshold mechanism)."""
         idx = np.clip(np.searchsorted(self.bin_edges[1:], x, side="left"), 0, len(self.cdf) - 1)
-        out = self.cdf[idx]
+        out = np.where(np.asarray(x) < self.bin_edges[0], 0.0, self.cdf[idx])
         return float(out) if np.isscalar(x) else out
 
     def get_value_by_prob(self, p):

@@ -26,6 +26,7 @@ from typing import Iterable
 import jax
 import jax.numpy as jnp
 import numpy as np
+from trustedai_cl_vae_ad_tpu.data.loader import iter_images as _iter_images
 
 
 def _score_fns(model, mesh=None, quantize=False, score_params=None):
@@ -102,16 +103,6 @@ def _score_fns(model, mesh=None, quantize=False, score_params=None):
     )
 
 
-def _iter_images(dataset: Iterable):
-    for batch in dataset:
-        if isinstance(batch, dict):
-            yield batch["image"]
-        elif isinstance(batch, (tuple, list)):
-            yield batch[0]
-        else:
-            yield batch
-
-
 def get_data_scale(model, config: dict, data: dict, mesh=None, quantize=False,
                    score_params=None) -> dict:
     """Reference-error distribution over training data (reference :57-79)."""
@@ -162,9 +153,14 @@ def evaluate_anomalies(
     _, batch_eval, place, score_params = _score_fns(
         model, mesh=mesh, quantize=quantize, score_params=score_params)
     mu = jnp.float32(data_scale["meu"])
-    sigma = jnp.float32(data_scale["sigma"])
+    # degenerate reference sets (one frame / identical errors) store sigma=0
+    # or emax==emin; dividing by them makes every z NaN (silently reported
+    # non-anomalous) and NaN error-map PNGs. Mirror get_data_scale's own
+    # sigma>0 guard: z=0 / flat maps instead.
+    sigma = jnp.float32(data_scale["sigma"] if data_scale["sigma"] > 0 else 1.0)
     emin = jnp.float32(data_scale["min"])
-    emax = jnp.float32(data_scale["max"])
+    span = data_scale["max"] - data_scale["min"]
+    emax = jnp.float32(data_scale["min"] + (span if span > 0 else 1.0))
 
     sink = _ArtifactSink(artifact_path, num_workers) if artifact_path else None
     recs, errs, zs, norms = [], [], [], []
@@ -299,6 +295,8 @@ def output_anomalies(
         with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
             futures = []
             for x_batch in _iter_images(evaluation_data["train"]):
+                if idx >= len(anomaly_results["z_scores"]):
+                    break  # scored frames exhausted: stop pulling batches
                 x_batch = np.asarray(x_batch)
                 for x in x_batch:
                     if idx >= len(anomaly_results["z_scores"]):

@@ -117,6 +117,21 @@ class SyntheticDataset:
             remaining -= b
 
 
+def iter_images(dataset):
+    """Yield image ndarrays from batches that may be dicts or tuples.
+
+    The single definition of the batch contract (dict 'image' key / tuple
+    first element / raw array) shared by the train loop and the offline
+    anomaly pipeline."""
+    for batch in dataset:
+        if isinstance(batch, dict):
+            yield batch["image"]
+        elif isinstance(batch, (tuple, list)):
+            yield batch[0]
+        else:
+            yield batch
+
+
 def load_data(config: dict) -> dict:
     data_config = config["data"]
     dataset_path = data_config.get("dataset_path")

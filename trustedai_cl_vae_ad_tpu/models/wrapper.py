@@ -109,28 +109,44 @@ class VAEModel:
             from trustedai_cl_vae_ad_tpu.parallel.mesh import replicate
 
             self.params = replicate(self.params, mesh)
-            opt_state = self.optimizer.init(self.params)
             if self._zero1:
-                from trustedai_cl_vae_ad_tpu.parallel.zero import place_zero1
+                # allocate the moments DIRECTLY in their sharded layout:
+                # an eager init would materialize the full replicated state
+                # on every chip first — exactly the memory zero1 is meant
+                # to never allocate (flagship moments: 5.4 GB bf16/chip)
+                from trustedai_cl_vae_ad_tpu.parallel.zero import zero1_shardings
 
-                self.opt_state = place_zero1(opt_state, mesh)
+                abstract = jax.eval_shape(self.optimizer.init, self.params)
+                osh = zero1_shardings(abstract, mesh)
+                self.opt_state = jax.jit(
+                    self.optimizer.init, out_shardings=osh
+                )(self.params)
             else:
-                self.opt_state = replicate(opt_state, mesh)
+                self.opt_state = replicate(self.optimizer.init(self.params), mesh)
         else:
             self.opt_state = self.optimizer.init(self.params)
         self._build_train_jits()
 
     def place_on_mesh(self, mesh) -> None:
         """Move an already-compiled model onto a device mesh WITHOUT touching
-        its state (replicates params and the existing optimizer moments, then
+        its state (places params and the existing optimizer moments, then
         rebuilds the sharded train step). Used when resuming a checkpoint into
-        a data-parallel run: a fresh compile(mesh=...) would re-init Adam."""
+        a data-parallel run: a fresh compile(mesh=...) would re-init Adam.
+
+        Honors ``training.zero1``: restored moments land in their sharded
+        layout instead of silently replicating the full state per chip."""
         from trustedai_cl_vae_ad_tpu.parallel.mesh import replicate
 
         self.mesh = mesh
+        self._zero1 = bool(self.config.get("training", {}).get("zero1", False))
         self.params = replicate(self.params, mesh)
         if self.opt_state is not None:
-            self.opt_state = replicate(self.opt_state, mesh)
+            if self._zero1:
+                from trustedai_cl_vae_ad_tpu.parallel.zero import place_zero1
+
+                self.opt_state = place_zero1(self.opt_state, mesh)
+            else:
+                self.opt_state = replicate(self.opt_state, mesh)
         if self.optimizer is not None:
             self._build_train_jits()
 
@@ -174,6 +190,14 @@ class VAEModel:
         if self.mesh is not None:
             from trustedai_cl_vae_ad_tpu.parallel.dp import build_train_step
 
+            if int((self.config.get("training") or {}).get("loss_chunks", 0) or 0) > 1:
+                print(
+                    "WARNING: training.loss_chunks is not supported on the "
+                    "data-parallel path (chunk slicing would reshard the "
+                    "batch-sharded axis); using the full-batch loss. The "
+                    "per-chip batch is already 1/N of global — shrink the "
+                    "batch or run single-device if chunking is required."
+                )
             osh = None
             if getattr(self, "_zero1", False):
                 from trustedai_cl_vae_ad_tpu.parallel.zero import zero1_shardings

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from trustedai_cl_vae_ad_tpu.models.wrapper import VAEModel
+from trustedai_cl_vae_ad_tpu.data.loader import iter_images as _iter_images
 from trustedai_cl_vae_ad_tpu.utils.metrics import MetricsWriter
 
 
@@ -88,22 +89,14 @@ def train_model(
             writer.log(step, {"beta": model.beta, "epoch": epoch}, prefix="train/")
     except KeyboardInterrupt:
         print("Keyboard Interrupt")  # parity: train.py:124-125 saves on Ctrl-C
-
-    model.save_model(logdir)
-    if owns_writer:
-        writer.close()
+    finally:
+        # any mid-epoch failure (OOM, corrupt frame, device error) still
+        # checkpoints the progress and flushes buffered metrics — the Ctrl-C
+        # path saved while an exception path silently lost both
+        model.save_model(logdir)
+        if owns_writer:
+            writer.close()
     return model
-
-
-def _iter_images(dataset: Iterable):
-    """Yield image ndarrays from batches that may be dicts or tuples."""
-    for batch in dataset:
-        if isinstance(batch, dict):
-            yield batch["image"]
-        elif isinstance(batch, (tuple, list)):
-            yield batch[0]
-        else:
-            yield batch
 
 
 def evaluate(config: dict, model: VAEModel, data: dict, n: int = 10) -> None:

@@ -95,8 +95,7 @@ def export_tf_checkpoint(log_dir: str, out_dir: str) -> Tuple[str, str]:
         _encoder_layer_names,
     )
 
-    model, config = load_model_from_directory(log_dir)
-    model.load_model(log_dir, restore_optimizer=False)
+    model, config = load_model_from_directory(log_dir)  # restores params
     params = jax.device_get(model.params)
 
     encoder, decoder = build_reference_models(config)
