@@ -26,7 +26,7 @@ def get_args():
     return parser.parse_args()
 
 
-def _save_png(path, arr, mode=None):
+def _save_png(path, arr):
     from trustedai_cl_vae_ad_tpu.viz.plots import save_rgb
 
     save_rgb(arr, path)
@@ -67,8 +67,8 @@ def process_train_val_reconstructions(log_dir: str, model, config: dict, data: d
                 for i in range(len(x_np)):
                     orig_u8 = np.clip(np.round(255.0 * x_np[i]), 0, 255).astype(np.uint8)
                     rec_u8 = np.clip(np.round(255.0 * xh_np[i]), 0, 255).astype(np.uint8)
-                    futs.append(pool.submit(_save_png, os.path.join(orig_dir, f"{img_num}.png"), orig_u8, "RGB"))
-                    futs.append(pool.submit(_save_png, os.path.join(rec_dir, f"{img_num}.png"), rec_u8, "RGB"))
+                    futs.append(pool.submit(_save_png, os.path.join(orig_dir, f"{img_num}.png"), orig_u8))
+                    futs.append(pool.submit(_save_png, os.path.join(rec_dir, f"{img_num}.png"), rec_u8))
                     rec_err[img_num] = float(se_np[i])
                     err_maps[img_num] = em_np[i]
                     origs[img_num] = orig_u8

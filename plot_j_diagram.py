@@ -29,12 +29,15 @@ def load_images(paths, config: dict) -> np.ndarray:
 
     from trustedai_cl_vae_ad_tpu.data.ingest import preprocess_batch
 
-    imgs = []
+    # each image is resized to the model input INDIVIDUALLY (reference
+    # plot_j_diagram.py:65-68): attribute images normally come from different
+    # sources/resolutions, so stacking before the resize would crash
+    out = []
     for p in paths:
         assert os.path.isfile(p), p
-        imgs.append(np.asarray(Image.open(p).convert("RGB")))
-    batch = np.stack(imgs)
-    return np.asarray(preprocess_batch(batch, config["data"]["image_size"]))
+        img = np.asarray(Image.open(p).convert("RGB"))
+        out.append(np.asarray(preprocess_batch(img[None], config["data"]["image_size"])))
+    return np.concatenate(out, axis=0)
 
 
 def plot_j_diagram(model, imgs: np.ndarray, output_filename: str, N: int = 11):

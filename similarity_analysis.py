@@ -47,10 +47,28 @@ def similarity_analysis(model, config: dict, data: dict, sim_dir: str) -> None:
 
     z_samples = []
     filepaths = []
-    if "train_labels" in data:
+    if "train_full" in data:
+        # single-pass {'image','filepath'} stream (loader 'train_full'):
+        # zipping data['train'] with data['train_labels'] would run TWO full
+        # decode passes over the split concurrently
+        pairs = ((b["image"], b["filepath"]) for b in data["train_full"])
+    elif "train_labels" in data:
         pairs = zip(data["train"], data["train_labels"])
     else:
-        pairs = ((b["image"], b["filepath"]) for b in data["train"])
+        def _pairs():
+            # batches without a 'filepath' key (e.g. the tfds catalog branch)
+            # get synthesized stable identifiers instead of a KeyError
+            idx = 0
+            for b in data["train"]:
+                img = b["image"] if isinstance(b, dict) else b
+                if isinstance(b, dict) and "filepath" in b:
+                    fps = b["filepath"]
+                else:
+                    fps = [f"item_{idx + j:06d}" for j in range(len(img))]
+                idx += len(img)
+                yield img, fps
+
+        pairs = _pairs()
     for batch_img, batch_filepath in pairs:
         _, z, _, _ = model.call_detailed(jnp.asarray(batch_img, jnp.float32))
         z_samples.append(np.asarray(z))

@@ -78,6 +78,22 @@ def test_plot_j_diagram_cli(tool_env, monkeypatch, tmp_path):
     assert os.path.getsize(out) > 0
 
 
+def test_plot_j_diagram_mixed_resolutions(tool_env, monkeypatch, tmp_path):
+    """Attribute images from different sources/resolutions are resized
+    individually before stacking (reference plot_j_diagram.py:65-68) —
+    a raw np.stack would crash on mismatched shapes."""
+    rng = np.random.RandomState(5)
+    paths = []
+    for i, hw in enumerate(((20, 24), (32, 16), (12, 40))):
+        p = tmp_path / f"mix_{i}.png"
+        Image.fromarray(rng.randint(0, 255, (*hw, 3), np.uint8)).save(p)
+        paths.append(str(p))
+    out = tmp_path / "j_mixed.png"
+    _run(monkeypatch, "plot_j_diagram",
+         [tool_env["logdir"], *paths, "-o", str(out), "-n", "3"])
+    assert os.path.getsize(out) > 0
+
+
 def test_similarity_analysis_cli(tool_env, monkeypatch, tmp_path):
     out = tmp_path / "sim"
     _run(monkeypatch, "similarity_analysis",

@@ -2,9 +2,9 @@
 
 Capability parity with reference build_veri_dataset.py:33-56
 (image_dataset_from_directory at 224x224 -> Dataset.save train/validation).
-TPU-native: decode fans out over the parallel pipeline, resize runs on device
-(antialias bilinear, matching image_dataset_from_directory's default bilinear
-224x224), and the result lands in the npz saved-dataset format
+TPU-native ingest feeds training; the BUILD resizes per image on the host in
+the decode worker pool (bilinear, matching image_dataset_from_directory's
+default) and lands in the npz saved-dataset format
 (data/saved_dataset.py), which data/loader.py's dataset_path branch reloads.
 """
 
@@ -15,7 +15,6 @@ from typing import Iterator
 
 import numpy as np
 
-from trustedai_cl_vae_ad_tpu.data import ingest
 from trustedai_cl_vae_ad_tpu.data.pipeline import ParallelDecodeIterable, batched
 from trustedai_cl_vae_ad_tpu.data.saved_dataset import save_dataset
 
@@ -34,13 +33,36 @@ def list_images(data_path: str) -> list:
 
 
 def resized_batches(data_path: str, image_size=(224, 224), batch_size: int = 32) -> Iterator[dict]:
-    """Decode + device-resize to image_size, yield uint8 batches."""
+    """Decode + resize to image_size in the worker pool, yield uint8 batches.
+
+    The resize happens per image ON THE HOST (as the reference's
+    image_dataset_from_directory does): VeRi crops come in hundreds of
+    distinct resolutions, so batching raw shapes would fragment into
+    near-singleton batches (batched() flushes on shape change) and compile
+    one device-resize program per unique (B, H, W) — a fresh jit shape costs
+    90-200 s on remote-compile runtimes. Uniform host-resized images form
+    full batches and a single device shape downstream.
+    """
+    from trustedai_cl_vae_ad_tpu.data.pipeline import decode_image_rgb
+
+    h, w = int(image_size[0]), int(image_size[1])
+
+    def decode_resized(path):
+        img = decode_image_rgb(path)
+        if img is None:
+            return None
+        if img.shape[:2] != (h, w):
+            from PIL import Image
+
+            img = np.asarray(
+                Image.fromarray(img).resize((w, h), Image.BILINEAR), np.uint8
+            )
+        return img
+
     paths = list_images(data_path)
-    source = ParallelDecodeIterable(paths)
+    source = ParallelDecodeIterable(paths, decode_fn=decode_resized)
     for batch in batched(source, batch_size):
-        x = ingest.preprocess_batch(batch["image"], [image_size[0], image_size[1], 3])
-        u8 = np.clip(np.round(np.asarray(x) * 255.0), 0, 255).astype(np.uint8)
-        yield {"image": u8, "filepath": batch["filepath"]}
+        yield {"image": batch["image"], "filepath": batch["filepath"]}
 
 
 def build_veri_dataset(

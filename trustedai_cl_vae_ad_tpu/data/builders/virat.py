@@ -252,6 +252,12 @@ def extract_frames(
     from trustedai_cl_vae_ad_tpu.data.saved_dataset import save_dataset
 
     def batches():
+        # VIRAT mixes resolutions (1080p/720p/480p). A saved dataset must be
+        # uniform (shards concatenate across batches), so every frame is
+        # brought to the FIRST video's size; without this, a batch spanning
+        # a video boundary — or save_dataset's shard flush — would crash on
+        # np.stack/np.concatenate of mismatched shapes.
+        target_hw = [None]
         buf_imgs, buf_paths = [], []
         for basename, entry in meta_data.items():
             video_path = entry.get("video_path")
@@ -268,7 +274,13 @@ def extract_frames(
                 if not ok:
                     break
                 if frame_id % frame_stride == 0:
-                    buf_imgs.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+                    rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    if target_hw[0] is None:
+                        target_hw[0] = rgb.shape[:2]
+                    elif rgb.shape[:2] != target_hw[0]:
+                        h, w = target_hw[0]
+                        rgb = cv2.resize(rgb, (w, h), interpolation=cv2.INTER_AREA)
+                    buf_imgs.append(rgb)
                     buf_paths.append(f"{basename}#{frame_id}")
                     taken += 1
                     if len(buf_imgs) >= batch_size:
