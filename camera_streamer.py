@@ -82,18 +82,22 @@ def run_all_cameras(args):
         anomaly_settings = cam_config.get("anomaly_settings")
         specs = [c.get("url") for c in cam_config["camera_list"]]
         names = [c.get("name", f"cam{i}") for i, c in enumerate(cam_config["camera_list"])]
-        fps = float(cam_config["camera_list"][0].get("fps", 20))
+        # each source is paced at ITS camera's fps; the batched tick runs at
+        # the fastest camera's rate (slower sources just repeat their latest
+        # frame until a new one is due)
+        fps_list = [float(c.get("fps", 20)) for c in cam_config["camera_list"]]
     else:
         n = args.n_streams or 2
         specs = ["synthetic"] * n
         names = [f"synthetic{i}" for i in range(n)]
-        fps = 20.0
+        fps_list = [20.0] * n
+    fps = max(fps_list)
 
     model, config = load_model_from_directory(args.model_dir)  # restores params
     engine = MultiCameraEngine(model, config, n_streams=len(specs),
                                anomaly_settings=anomaly_settings,
                                quantize=args.quantize)
-    sources = [make_source(s, fps=fps) for s in specs]
+    sources = [make_source(s, fps=f) for s, f in zip(specs, fps_list)]
     stats_file = open(args.stats_jsonl, "w") if args.stats_jsonl else None
     n = 0
     try:

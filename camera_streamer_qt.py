@@ -59,7 +59,7 @@ if HAVE_QT:
 
     import numpy as np
 
-    from trustedai_cl_vae_ad_tpu.anomaly.offline import _jet_heatmap
+    from trustedai_cl_vae_ad_tpu.viz.plots import jet_heatmap as _jet_heatmap
     from trustedai_cl_vae_ad_tpu.stream.capture import make_source
     from trustedai_cl_vae_ad_tpu.stream.engine import (
         StreamingEngine,
@@ -68,6 +68,8 @@ if HAVE_QT:
     )
 
     def _np_to_pixmap(arr: np.ndarray) -> QPixmap:
+        if arr.ndim == 3 and arr.shape[-1] == 1:
+            arr = arr[..., 0]  # 1-channel models: render as grayscale
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
         h, w, _ = arr.shape
@@ -181,11 +183,23 @@ if HAVE_QT:
             # a new model replaces the writer — close the old one (file
             # handle + TB event writer) instead of leaking it.
             old = getattr(self, "engine", None)
-            if old is not None and getattr(old, "metrics", None) is not None:
-                try:
-                    old.metrics.close()
-                except Exception:
-                    pass
+            if old is not None:
+                # an in-flight recording must be finalized (labels.json with
+                # anomaly-score annotations + model snapshot) before the old
+                # engine is dropped, or the recorded dataset is unusable —
+                # the headless CLI does this in its finally block
+                if getattr(old, "recording_flag", False):
+                    try:
+                        old.terminate_recording()
+                    except Exception:
+                        pass
+                    if hasattr(self, "record_btn"):
+                        self.record_btn.setChecked(False)
+                if getattr(old, "metrics", None) is not None:
+                    try:
+                        old.metrics.close()
+                    except Exception:
+                        pass
             metrics = MetricsWriter(os.path.join(self.model_cache_dir, "metrics"))
             self.engine = load_engine_from_directory(
                 model_dir,
@@ -213,6 +227,9 @@ if HAVE_QT:
 
         def _toggle_record(self, checked):
             if not self.engine:
+                # don't leave the button pressed with nothing recording
+                if checked:
+                    self.record_btn.setChecked(False)
                 return
             if checked:
                 d = QFileDialog.getExistingDirectory(self, "Recording Directory")

@@ -53,7 +53,11 @@ def decode_z_to_png(model, config, z_values, output_path):
     z[0, : min(len(z_values), latent)] = z_values[:latent]
     img = np.asarray(model.decode(z, apply_sigmoid=True))[0]
     u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
-    Image.fromarray(u8, mode="RGB" if u8.shape[-1] == 3 else "L").save(output_path)
+    if u8.shape[-1] == 3:
+        Image.fromarray(u8, mode="RGB").save(output_path)
+    else:
+        # PIL's 'L' mode needs a 2-D array, not (H, W, 1)
+        Image.fromarray(u8[..., 0], mode="L").save(output_path)
     print(f"decoded z -> {output_path}")
 
 
@@ -68,10 +72,11 @@ def latent_histograms_to_png(model, config, output_path):
     data = load_data(config)
     import jax.numpy as jnp
 
+    from trustedai_cl_vae_ad_tpu.data.loader import iter_images
+
     def encode_split(split):
         zs = []
-        for batch in split:
-            img = batch["image"] if isinstance(batch, dict) else batch
+        for img in iter_images(split):
             zs.append(np.asarray(model.call_detailed(jnp.asarray(img, jnp.float32))[1]))
         return np.concatenate(zs) if zs else np.zeros((0, 1))
 

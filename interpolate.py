@@ -29,9 +29,10 @@ def example_interpolate(config: dict, model, output_path: str, k_sample_points: 
     from trustedai_cl_vae_ad_tpu.data.loader import load_data
 
     data = load_data(config)
+    from trustedai_cl_vae_ad_tpu.data.loader import iter_images
+
     xs = []
-    for batch in data["val"] if data.get("val") is not None else data["train"]:
-        img = batch["image"] if isinstance(batch, dict) else batch
+    for img in iter_images(data["val"] if data.get("val") is not None else data["train"]):
         xs.append(np.asarray(img))
         if sum(b.shape[0] for b in xs) >= 2 * N:
             break

@@ -65,9 +65,10 @@ def make_embedder(n_neighbors, min_distance, metric):
 def encode_all(model, split):
     import jax.numpy as jnp
 
+    from trustedai_cl_vae_ad_tpu.data.loader import iter_images
+
     zs = []
-    for batch in split:
-        img = batch["image"] if isinstance(batch, dict) else batch
+    for img in iter_images(split):
         zs.append(np.asarray(model.call_detailed(jnp.asarray(img, jnp.float32))[1]))
     return np.concatenate(zs, axis=0)
 

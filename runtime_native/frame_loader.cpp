@@ -459,9 +459,15 @@ int fl_decode_batch(void* pool_ptr, const char** paths, int n, unsigned char* ou
         std::memset(out + size_t(i) * frame_bytes, 0, frame_bytes);
         ok_flags[i] = 0;
       }
-      if (remaining.fetch_sub(1) == 1) {
+      // The decrement must happen UNDER the mutex: decrementing first would
+      // let the waiter observe remaining==0 (spurious wakeup), return, and
+      // destroy done_mu/done_cv on its stack while this thread is about to
+      // lock/notify them (use-after-free). With the decrement inside the
+      // lock, the waiter can only see 0 after this thread releases the
+      // mutex — its last touch of either object.
+      {
         std::lock_guard<std::mutex> lk(done_mu);
-        done_cv.notify_one();
+        if (remaining.fetch_sub(1) == 1) done_cv.notify_one();
       }
     });
   }

@@ -73,7 +73,7 @@ class MicroBatcher:
             core, model.params, quantize=self.quantized
         )
 
-        def score_batch(params, x_u8):
+        def _eps_and_rec(params, x_u8):
             x = x_u8.astype(jnp.float32) / 255.0
             if x.shape[1:3] != out_hw:
                 x = jax.image.resize(
@@ -83,10 +83,21 @@ class MicroBatcher:
             x_hat = _forward(params, x)
             err = jnp.sum((x - x_hat) ** 2, axis=3)
             eps = jnp.sum(err, axis=(1, 2))  # per-frame scalar (ref :62)
+            return eps, x_hat
+
+        def score_batch(params, x_u8):
+            # /score-only dispatch: no reconstruction leaves the device (the
+            # rec fetch is bucket x H x W x 3 bytes/tick of discarded data)
+            eps, _ = _eps_and_rec(params, x_u8)
+            return eps
+
+        def score_rec_batch(params, x_u8):
+            eps, x_hat = _eps_and_rec(params, x_u8)
             rec_u8 = jnp.clip(jnp.round(255.0 * x_hat), 0, 255).astype(jnp.uint8)
             return eps, rec_u8
 
         self._score_j = jax.jit(score_batch)
+        self._score_rec_j = jax.jit(score_rec_batch)
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -100,17 +111,22 @@ class MicroBatcher:
         return next(b for b in cls.BUCKETS if b >= max_batch)
 
     def warmup(self, buckets=None) -> None:
-        """Pre-compile the bucket shapes (one-time cost, off the request path)."""
+        """Pre-compile the bucket shapes (one-time cost, off the request path).
+
+        Both the score-only and score+reconstruction variants are warmed so
+        no request mix hits a fresh jit shape (TCVAE_COMPILE_CACHE makes
+        restarts cheap on remote-compile runtimes)."""
         import numpy as np
 
         for b in buckets or [x for x in self.BUCKETS if x <= self.max_batch]:
             batch = np.zeros((b, *self.hwc), np.uint8)
-            eps, _ = self._score_j(self._serve_params, batch)
-            float(eps[0])
+            eps = self._score_j(self._serve_params, batch)
+            eps2, _ = self._score_rec_j(self._serve_params, batch)
+            float(eps[0]) + float(eps2[0])
 
-    def submit(self, img_u8) -> Future:
+    def submit(self, img_u8, want_rec: bool = False) -> Future:
         fut: Future = Future()
-        self.queue.put((img_u8, fut))
+        self.queue.put((img_u8, want_rec, fut))
         return fut
 
     def close(self):
@@ -121,7 +137,7 @@ class MicroBatcher:
         # their own result() timeout
         while True:
             try:
-                _img, fut = self.queue.get_nowait()
+                _img, _want_rec, fut = self.queue.get_nowait()
             except queue.Empty:
                 break
             if not fut.done():
@@ -147,17 +163,24 @@ class MicroBatcher:
                     break
             n = len(items)
             bucket = next(b for b in self.BUCKETS if b >= n)
-            batch = np.zeros((bucket, *self.hwc), np.uint8)
-            for i, (img, _f) in enumerate(items):
-                batch[i] = img
+            # EVERYTHING per-batch lives inside the try: a bad image shape in
+            # batch assembly must fail these futures, not kill the batcher
+            # thread (which would leave every later request hanging for its
+            # full client timeout)
             try:
-                eps, rec = self._score_j(self._serve_params, batch)
+                batch = np.zeros((bucket, *self.hwc), np.uint8)
+                for i, (img, _wr, _f) in enumerate(items):
+                    batch[i] = img
+                if any(wr for _img, wr, _f in items):
+                    eps, rec = self._score_rec_j(self._serve_params, batch)
+                    rec = np.asarray(rec)
+                else:
+                    eps, rec = self._score_j(self._serve_params, batch), None
                 eps = np.asarray(eps)
-                rec = np.asarray(rec)
-                for i, (_img, fut) in enumerate(items):
-                    fut.set_result((float(eps[i]), rec[i]))
-            except Exception as e:  # pragma: no cover - device failure
-                for _img, fut in items:
+                for i, (_img, wr, fut) in enumerate(items):
+                    fut.set_result((float(eps[i]), rec[i] if rec is not None else None))
+            except Exception as e:
+                for _img, _wr, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
 
@@ -166,11 +189,16 @@ def _decode_to_model_size(body: bytes, hwc):
     import numpy as np
     from PIL import Image
 
-    img = Image.open(io.BytesIO(body)).convert("RGB")
-    h, w, _ = hwc
+    h, w, c = hwc
+    # honor the model's channel count: a 1-channel model (image_size [..,..,1])
+    # must receive (H, W, 1), not an RGB conversion that can't fit its batch
+    img = Image.open(io.BytesIO(body)).convert("L" if c == 1 else "RGB")
     if img.size != (w, h):
         img = img.resize((w, h), Image.BILINEAR)
-    return np.asarray(img, np.uint8)
+    arr = np.asarray(img, np.uint8)
+    if c == 1:
+        arr = arr[..., None]
+    return arr
 
 
 def make_handler(batcher: MicroBatcher, stats, threshold: float):
@@ -205,7 +233,8 @@ def make_handler(batcher: MicroBatcher, stats, threshold: float):
                 self._json(400, {"error": f"undecodable image: {e}"})
                 return
             try:
-                eps, rec = batcher.submit(img).result(timeout=120)
+                want_rec = self.path == "/reconstruct"
+                eps, rec = batcher.submit(img, want_rec=want_rec).result(timeout=120)
             except Exception as e:
                 self._json(500, {"error": str(e)})
                 return
@@ -213,7 +242,10 @@ def make_handler(batcher: MicroBatcher, stats, threshold: float):
                 from PIL import Image
 
                 buf = io.BytesIO()
-                Image.fromarray(rec, mode="RGB").save(buf, format="PNG")
+                if rec.shape[-1] == 1:
+                    Image.fromarray(rec[..., 0], mode="L").save(buf, format="PNG")
+                else:
+                    Image.fromarray(rec, mode="RGB").save(buf, format="PNG")
                 png = buf.getvalue()
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")

@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+_LIVE = {}  # the live MicroBatcher, exposed for direct-submit tests
+
 
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
@@ -37,6 +39,7 @@ def server(tmp_path_factory):
 
     srv = serve.build_server(str(d), port=0, stats_path=str(stats),
                              threshold=3.0, max_batch=4, max_wait_ms=10.0)
+    _LIVE["batcher"] = srv.batcher
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -123,6 +126,21 @@ def test_max_batch_clamps_to_bucket():
         assert got == expected, (requested, got)
 
 
+def test_bad_submit_fails_future_not_thread(server):
+    """A malformed direct submit fails ITS future; the batcher thread
+    survives and later requests still succeed (batch assembly runs inside
+    the per-batch try)."""
+    batcher = _LIVE["batcher"]
+    fut = batcher.submit(np.zeros((99, 99, 99), np.uint8))
+    with pytest.raises(Exception):
+        fut.result(timeout=30)
+    # thread still alive: a well-formed score-only request completes, with
+    # no reconstruction fetched off-device
+    good = batcher.submit(np.zeros(batcher.hwc, np.uint8))
+    eps, rec = good.result(timeout=30)
+    assert np.isfinite(eps) and rec is None
+
+
 def test_close_fails_queued_futures():
     """close() must resolve still-queued futures instead of abandoning them."""
     import queue as _q
@@ -140,7 +158,7 @@ def test_close_fails_queued_futures():
 
     batcher.thread = _DoneThread()
     fut = Future()
-    batcher.queue.put((None, fut))
+    batcher.queue.put((None, False, fut))
     batcher.close()
     with pytest.raises(RuntimeError, match="shutting down"):
         fut.result(timeout=1)
