@@ -376,3 +376,63 @@ def test_batched_drop_remainder_on_shape_change():
 
     loose = list(batched(source(), batch_size=4, drop_remainder=False))
     assert [b["image"].shape[0] for b in loose] == [3, 4, 1]
+
+
+def test_catalog_grayscale_and_len(monkeypatch):
+    """(H, W, 1) catalog examples (e.g. mnist) resize and widen to the
+    model's channel count, and a sized catalog gives len() through the
+    device stream."""
+    import sys
+    import types
+
+    class FakeGrayTFDS:
+        def __init__(self, n):
+            rng = np.random.RandomState(1)
+            self.examples = [
+                {"image": rng.randint(0, 255, (28, 28, 1), np.uint8)}
+                for _ in range(n)
+            ]
+
+        def as_numpy_iterator(self):
+            return iter(self.examples)
+
+        def __len__(self):
+            return len(self.examples)
+
+    mod = types.ModuleType("tensorflow_datasets")
+    mod.load = lambda name, **kw: FakeGrayTFDS(6 if kw.get("split") == "train" else 2)
+    monkeypatch.setitem(sys.modules, "tensorflow_datasets", mod)
+
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    config = {"data": {"dataset": "mnist", "image_size": [8, 8, 3]},
+              "training": {"batch_size": 4}}
+    data = load_data(config)
+    assert len(data["train"]) == 2  # ceil(6 / 4) batches
+    batches = [np.asarray(b["image"]) for b in data["train"]]
+    assert batches[0].shape == (4, 8, 8, 3)  # widened to 3 channels
+
+    # 1-channel model keeps 1 channel
+    config1 = {"data": {"dataset": "mnist", "image_size": [8, 8, 1]},
+               "training": {"batch_size": 4}}
+    b = next(iter(load_data(config1)["train"]))
+    assert np.asarray(b["image"]).shape == (4, 8, 8, 1)
+
+
+def test_directory_source_skips_corrupt_frame(tmp_path):
+    """A single undecodable file is a transient gap: iteration skips it and
+    continues to the remaining frames instead of ending the stream."""
+    from PIL import Image as PILImage
+
+    from trustedai_cl_vae_ad_tpu.stream.capture import DirectorySource
+
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        PILImage.fromarray(rng.randint(0, 255, (8, 8, 3), np.uint8)).save(
+            tmp_path / f"f{i}.png")
+    (tmp_path / "f1.png").write_bytes(b"not a png at all")  # corrupt mid-stream
+
+    src = DirectorySource(str(tmp_path))
+    frames = list(src)
+    assert len(frames) == 3  # 4 files, 1 corrupt, stream did NOT end at it
+    assert src.exhausted

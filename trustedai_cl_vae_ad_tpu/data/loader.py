@@ -62,6 +62,23 @@ class TFDSCatalogDataset:
         )
         self.image_size = list(image_size)
         self.batch_size = int(batch_size)
+        # sized streams power progress/epoch math everywhere else; without
+        # this, len(DeviceStream) raises only on the catalog branch
+        self._n = None
+        try:
+            self._n = int(self.ds.cardinality())  # tf.data datasets
+        except Exception:
+            try:
+                self._n = len(self.ds)
+            except Exception:
+                pass
+        if self._n is not None and self._n < 0:  # UNKNOWN/INFINITE cardinality
+            self._n = None
+
+    def __len__(self):
+        if self._n is None:
+            raise TypeError("catalog dataset size unknown (tfds cardinality unavailable)")
+        return (self._n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
         from PIL import Image
@@ -74,16 +91,22 @@ class TFDSCatalogDataset:
             batch.clear()
             return out
 
+        channels = self.image_size[2] if len(self.image_size) > 2 else 3
         it = self.ds.as_numpy_iterator() if hasattr(self.ds, "as_numpy_iterator") else iter(self.ds)
         for ex in it:
             img = ex["image"] if isinstance(ex, dict) else ex[0]
             img = np.asarray(img)
+            # grayscale catalogs (e.g. mnist) arrive as (H, W, 1): PIL can't
+            # resize that layout, and a 1-channel batch wouldn't match a
+            # 3-channel model — normalize to 2-D first, widen after
+            if img.ndim == 3 and img.shape[-1] == 1:
+                img = img[..., 0]
             if img.shape[:2] != (h, w):
                 img = np.asarray(
                     Image.fromarray(img).resize((w, h), Image.BILINEAR)
                 )
             if img.ndim == 2:
-                img = np.stack([img] * 3, axis=-1)
+                img = img[..., None] if channels == 1 else np.stack([img] * 3, axis=-1)
             batch.append(img.astype(np.uint8))
             if len(batch) == self.batch_size:
                 yield emit()
@@ -167,7 +190,11 @@ def load_data(config: dict) -> dict:
             "train": MappedDataset(train_stream, lambda b: b["image"]),
             # labels come straight from the host-side batch source — mapping
             # the device stream would upload+resize every image just to
-            # discard it
+            # discard it. NOTE: zipping 'train' with 'train_labels' BEFORE
+            # the cache has filled runs two concurrent decode passes (each
+            # CachedDataset iterator fills independently); consumers that
+            # need image+filepath in one pass should use 'train_full'
+            # (similarity_analysis.py does).
             "train_labels": MappedDataset(rdb.train_data, lambda b: b["filepath"]),
             "val": MappedDataset(val_stream, lambda b: b["image"]),
             "val_labels": MappedDataset(rdb.test_data, lambda b: b["filepath"]),

@@ -31,9 +31,11 @@ def decode_image_rgb(filepath: str) -> Optional[np.ndarray]:
         import cv2
 
         img = cv2.imread(filepath)
-        if img is None:
-            return None
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if img is not None:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        # cv2 failing to decode is NOT the end of the chain: a 16-bit PNG or
+        # CMYK JPEG that PIL handles would otherwise be silently dropped
+        # from the dataset
     except ImportError:
         pass
     if filepath.lower().endswith((".png", ".jpg", ".jpeg")):

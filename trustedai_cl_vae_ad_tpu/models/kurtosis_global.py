@@ -84,34 +84,27 @@ class KurtosisGlobalCVAE(AbstractCVAE):
             r_min = jnp.min(x_hat_prob)
             r_max = jnp.max(x_hat_prob)
         else:
-            w = jnp.asarray(weights, jnp.float32)
-            wx = w[:, None, None, None]
-            wsum = jnp.sum(w)
-            n_el = wsum * (x.shape[1] * x.shape[2] * x.shape[3])
+            from trustedai_cl_vae_ad_tpu.models.batch_stats import (
+                weighted_image_stats,
+                weighted_z_l1,
+            )
+
+            st = weighted_image_stats(x, x_hat_prob, weights)
+            w, wx, wsum, n_el = st["w"], st["wx"], st["wsum"], st["n_el"]
+            mse, x_std_loss = st["mse"], st["x_std_loss"]
+            r_min, r_max = st["r_min"], st["r_max"]
 
             x_logit = jnp.log(jnp.exp(x) / jnp.sum(wx * jnp.exp(x)))
             likelihood_cross_entropy = -jnp.sum(wx * x_hat_prob * x_logit) / n_el
 
-            mse = jnp.sum(wx * (x - x_hat_prob) ** 2) / n_el
-
             z_mean, z_var, z_skew, z_kurtosis = global_moments_weighted(z, w)
             z_std = jnp.sqrt(z_var)
-
-            # weighted population std over the batch axis (ddof=0, as tf/jnp)
-            x_wmean = jnp.sum(wx * x, axis=0) / wsum
-            x_std = jnp.sqrt(jnp.sum(wx * (x - x_wmean) ** 2, axis=0) / wsum)
-            xh_wmean = jnp.sum(wx * x_hat_prob, axis=0) / wsum
-            x_hat_std = jnp.sqrt(jnp.sum(wx * (x_hat_prob - xh_wmean) ** 2, axis=0) / wsum)
-            x_std_loss = jnp.mean((x_std - x_hat_std) ** 2)
 
             wl = w[:, None]
             kl_div_gaus = 0.5 * jnp.sum(
                 wl * jnp.abs(1.0 + logvar**2 - mean**2 - jnp.exp(logvar**2))
             )
-            z_l1_reg = jnp.sum(wl * jnp.abs(z)) / (wsum * z.shape[1])
-            valid = wx > 0
-            r_min = jnp.min(jnp.where(valid, x_hat_prob, jnp.inf))
-            r_max = jnp.max(jnp.where(valid, x_hat_prob, -jnp.inf))
+            z_l1_reg = weighted_z_l1(z, w, wsum)
 
         mean_loss = z_mean**2  # computed, not optimized (metric only)
         var_loss = jnp.abs(1.0 - z_var)

@@ -50,24 +50,17 @@ class KurtosisSingleCVAE(AbstractCVAE):
             r_min = jnp.min(x_hat_prob)
             r_max = jnp.max(x_hat_prob)
         else:
-            w = jnp.asarray(weights, jnp.float32)
-            wx = w[:, None, None, None]
-            wsum = jnp.sum(w)
-            n_el = wsum * (x.shape[1] * x.shape[2] * x.shape[3])
+            from trustedai_cl_vae_ad_tpu.models.batch_stats import (
+                weighted_image_stats,
+                weighted_z_l1,
+            )
 
-            mse = jnp.sum(wx * (x - x_hat_prob) ** 2) / n_el
+            st = weighted_image_stats(x, x_hat_prob, weights)
+            mse, x_std_loss = st["mse"], st["x_std_loss"]
+            r_min, r_max = st["r_min"], st["r_max"]
 
-            x_wmean = jnp.sum(wx * x, axis=0) / wsum
-            x_std = jnp.sqrt(jnp.sum(wx * (x - x_wmean) ** 2, axis=0) / wsum)
-            xh_wmean = jnp.sum(wx * x_hat_prob, axis=0) / wsum
-            x_hat_std = jnp.sqrt(jnp.sum(wx * (x_hat_prob - xh_wmean) ** 2, axis=0) / wsum)
-            x_std_loss = jnp.mean((x_std - x_hat_std) ** 2)
-
-            z_meu, _, z_skew, z_kurtosis = perdim_moments_weighted(z, w)
-            z_l1_reg = jnp.sum(w[:, None] * jnp.abs(z)) / (wsum * z.shape[1])
-            valid = wx > 0
-            r_min = jnp.min(jnp.where(valid, x_hat_prob, jnp.inf))
-            r_max = jnp.max(jnp.where(valid, x_hat_prob, -jnp.inf))
+            z_meu, _, z_skew, z_kurtosis = perdim_moments_weighted(z, st["w"])
+            z_l1_reg = weighted_z_l1(z, st["w"], st["wsum"])
 
         z_kurtosis_loss = jnp.mean((z_kurtosis - self.kurtosis_target) ** 2)
         z_skew_loss = jnp.mean(z_skew**2)

@@ -317,7 +317,19 @@ class VAEModel:
             else:
                 x = shard_batch(np.asarray(x, np.float32), self.mesh)
         else:
-            x = jnp.asarray(x, jnp.float32)
+            lc = int((self.config.get("training") or {}).get("loss_chunks", 0) or 0)
+            if (
+                lc > 1
+                and getattr(x, "dtype", None) == np.uint8
+                and x.shape[0] % lc == 0
+                and hasattr(self.core, "compute_loss_chunked")
+            ):
+                # the chunked loss normalizes uint8 per chunk (encoder_view);
+                # casting here would materialize exactly the full-resolution
+                # f32 tensor the knob exists to avoid
+                x = jnp.asarray(x)
+            else:
+                x = jnp.asarray(x, jnp.float32)
         rng = self._next_rng()
         self.params, self.opt_state, loss, x_hat = self._train_step_j(
             self.params, self.opt_state, x, rng

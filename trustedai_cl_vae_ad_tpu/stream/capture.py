@@ -18,9 +18,16 @@ import numpy as np
 
 
 class FrameSource:
-    """Iterator protocol: yields RGB uint8 HWC frames (None on transient gap)."""
+    """Iterator protocol: yields RGB uint8 HWC frames.
+
+    read() returns None for a TRANSIENT gap (corrupt frame, RTSP hiccup);
+    sources set ``exhausted`` when the stream has truly ended. Iteration
+    skips transient gaps (up to MAX_CONSECUTIVE_GAPS, so a permanently dead
+    live source still terminates) and stops only on exhaustion."""
 
     fps: float = 20.0
+    exhausted: bool = False
+    MAX_CONSECUTIVE_GAPS = 10
 
     def read(self) -> Optional[np.ndarray]:
         raise NotImplementedError
@@ -29,10 +36,17 @@ class FrameSource:
         pass
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        gaps = 0
         while True:
             frame = self.read()
             if frame is None:
-                return
+                if self.exhausted:
+                    return
+                gaps += 1
+                if gaps >= self.MAX_CONSECUTIVE_GAPS:
+                    return  # persistently dead source
+                continue
+            gaps = 0
             yield frame
 
 
@@ -63,6 +77,7 @@ class SyntheticSource(FrameSource):
 
     def read(self) -> Optional[np.ndarray]:
         if self._i >= self.n_frames:
+            self.exhausted = True
             return None
         t = self.motion * self._i / max(self.fps, 1.0)
         r = 0.5 + 0.4 * np.sin(2 * np.pi * (self._xx + 0.1 * t))
@@ -96,6 +111,7 @@ class DirectorySource(FrameSource):
     def read(self) -> Optional[np.ndarray]:
         if self._i >= len(self.files):
             if not self.loop:
+                self.exhausted = True
                 return None
             self._i = 0
         from trustedai_cl_vae_ad_tpu.data.pipeline import decode_image_rgb
@@ -160,6 +176,7 @@ class OpenCVSource(FrameSource):
         ok, frame = self.cap.read()
         if not ok:
             if self._is_file:
+                self.exhausted = True
                 return None  # end of file
             ts = time.strftime("%Y%m%d-%H%M%S")
             print(f"{ts}: Failed to read capture device: {self.url}")

@@ -530,14 +530,30 @@ class StreamingEngine:
         # worker-pool decode (ordered, skips unreadable — same semantics as
         # the serial loop it replaces) so a mid-stream buffer load doesn't
         # stall the engine thread for the full serial decode time
-        imgs, ok_paths = [], []
-        for img, p in ParallelDecodeIterable(filelist):
-            imgs.append(np.asarray(
-                preprocess_batch(img[None], [self.height, self.width, self.channels])[0]
-            ))
-            ok_paths.append(os.path.abspath(p))
-        if not ok_paths:
+        decoded = [(img, os.path.abspath(p)) for img, p in ParallelDecodeIterable(filelist)]
+        if not decoded:
             return 0
+        # device preprocess in FIXED-SIZE chunks grouped by native shape: the
+        # jit cache then holds one shape per source resolution, independent
+        # of how many images a load contains (a per-image dispatch paid a
+        # device round trip each; a whole-group dispatch would retrace per
+        # distinct group length — 90-200 s per compile on remote runtimes)
+        CHUNK = 32
+        target = [self.height, self.width, self.channels]
+        by_shape: dict = {}
+        for i, (img, _p) in enumerate(decoded):
+            by_shape.setdefault(img.shape, []).append(i)
+        imgs = [None] * len(decoded)
+        for idxs in by_shape.values():
+            for c0 in range(0, len(idxs), CHUNK):
+                block = idxs[c0 : c0 + CHUNK]
+                stack = [decoded[i][0] for i in block]
+                while len(stack) < CHUNK:  # pad tail to the one chunk shape
+                    stack.append(stack[-1])
+                proc = np.asarray(preprocess_batch(np.stack(stack), target))
+                for j, i in enumerate(block):
+                    imgs[i] = proc[j]
+        ok_paths = [p for _img, p in decoded]
         n = len(ok_paths)
         if n > self.replay_capacity:
             # grow in RING_SIZE buckets so repeated oversized loads converge
@@ -692,10 +708,16 @@ class StreamingEngine:
         self.schedule_model_save_flag = False  # consumed (reference :992-994)
         if not self.model_changed_flag:
             return
+        # a transient save failure (disk full, permissions) must not kill the
+        # caller's frame loop (reference :1004-1008 prints and carries on) —
+        # and must keep the model DIRTY so the next scheduled autosave
+        # retries instead of believing the state is persisted
         try:
             self.save_model_to_dir(self.model_cache_dir)
-        finally:
-            self.model_changed_flag = False
+        except Exception as e:
+            print(f"autosave failed (will retry at the next schedule): {e}")
+            return  # model stays dirty; the next 5-min schedule retries
+        self.model_changed_flag = False
 
 
 def load_engine_from_directory(log_dir: str, **kwargs) -> StreamingEngine:
