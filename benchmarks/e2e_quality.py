@@ -25,7 +25,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "QUALITY_r2.json")
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   os.environ.get("QUALITY_OUT", "QUALITY_r4.json"))
 
 H, W = 224, 300
 N_TRAIN = 512
@@ -139,6 +140,40 @@ def main():
         "false_positives": int((det & ~is_anom).sum()),
         "n_anomalous": N_ANOM,
         "n_normal": N_EVAL - N_ANOM,
+    }
+
+    # int8 fidelity ON THE TRAINED MODEL (the r4 serving path): re-run both
+    # scoring passes with the quantized forward; detection must match
+    from trustedai_cl_vae_ad_tpu.ops import quant
+
+    qparams = quant.quantize_params(core, params)
+
+    @jax.jit
+    def batch_err_q(qp, x_u8):
+        x = x_u8.astype(jnp.float32) / 255.0
+        x_hat = quant.call_quantized(core, qp, x)
+        err = jnp.sum((x - x_hat) ** 2, axis=3)
+        return jnp.sum(err, axis=(1, 2))
+
+    eps_train_q = np.concatenate([
+        np.asarray(batch_err_q(qparams, train_dev[i:i + BATCH]))
+        for i in range(0, N_TRAIN, BATCH)
+    ])
+    meu_q, sigma_q = float(eps_train_q.mean()), float(eps_train_q.std())
+    eps_eval_q = np.concatenate([
+        np.asarray(batch_err_q(qparams, eval_dev[i:i + BATCH]))
+        for i in range(0, N_EVAL, BATCH)
+    ])
+    z_q = (eps_eval_q - meu_q) / sigma_q
+    det_q = z_q > 3.0
+    result["int8"] = {
+        "eps_max_rel_dev": round(float(np.max(np.abs(eps_eval_q - eps_eval)
+                                               / np.abs(eps_eval))), 5),
+        "z_anomalous_mean": round(float(z_q[is_anom].mean()), 2),
+        "z_normal_max": round(float(z_q[~is_anom].max()), 2),
+        "detected": int((det_q & is_anom).sum()),
+        "false_positives": int((det_q & ~is_anom).sum()),
+        "decisions_match_float": bool((det_q == det).all()),
     }
     with open(OUT, "w") as f:
         json.dump(result, f, indent=1)
