@@ -213,3 +213,47 @@ def test_quantize_params_preserves_convs(model_and_input):
     # convs untouched (same objects), dense entries carry int8 kernels
     assert qp["encoder"]["Conv_0"]["kernel"] is params["encoder"]["Conv_0"]["kernel"]
     assert "kernel_i8" in qp["decoder"]["Dense_0"]
+
+
+def test_sharded_quantized_scoring_matches_single_device():
+    """do_anomaly_detection supports --quantize AND multi-device batch
+    sharding together: the sharded quantized passes must equal the
+    single-device quantized passes (the int8 param tree replicates over the
+    mesh like any pytree)."""
+    from unittest import mock
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import evaluate_anomalies, get_data_scale
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh, replicate
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    cfg = {
+        "data": {"dataset": "synthetic", "image_size": [16, 16, 3],
+                 "n_train": 16, "n_val": 8},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 8, "beta": 1e-6, "learning_rate": 1e-3,
+                     "max_epochs": 1},
+    }
+    model = load_model_from_config(cfg)
+    data = load_data(cfg)
+    with mock.patch.object(quant, "DEFAULT_MIN_ELEMS", 0):
+        scale_1 = get_data_scale(model, cfg, data, quantize=True)
+        res_1 = evaluate_anomalies(model, cfg, data, scale_1, 3.0, keep_maps=False,
+                                   quantize=True)
+        mesh = make_mesh()
+        model.params = replicate(model.params, mesh)
+        scale_m = get_data_scale(model, cfg, data, mesh=mesh, quantize=True)
+        res_m = evaluate_anomalies(model, cfg, data, scale_m, 3.0, keep_maps=False,
+                                   mesh=mesh, quantize=True)
+    np.testing.assert_allclose(scale_m["meu"], scale_1["meu"], rtol=1e-5)
+    np.testing.assert_allclose(res_m["z_scores"], res_1["z_scores"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(res_m["anomalies"], res_1["anomalies"])
