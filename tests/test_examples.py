@@ -41,10 +41,12 @@ def test_kurtosis_single_example(monkeypatch, tmp_path):
     assert out.stat().st_size > 0
 
 
-def test_kurtosis_pso(monkeypatch, capsys):
+def test_kurtosis_pso(monkeypatch, capsys, tmp_path):
+    out = tmp_path / "pso.png"
     _run(monkeypatch, "kurtosis_pso",
-         ["-p", "8", "-b", "16", "-d", "4", "-n", "10"])
+         ["-p", "8", "-b", "16", "-d", "4", "-n", "10", "-o", str(out)])
     assert "kurtosis" in capsys.readouterr().out.lower()
+    assert out.stat().st_size > 0
 
 
 def test_gamma_example(monkeypatch, capsys):
