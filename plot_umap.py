@@ -18,7 +18,7 @@ import numpy as np
 def get_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("log_dir", type=str, help="Log Directory containing model and config")
-    parser.add_argument("--output-path", "-o", type=str, default="umap.png")
+    parser.add_argument("--output-path", "-o", type=str, default="umap_plot.png")
     parser.add_argument("--n-neighbors", "-n", type=int, default=15)
     parser.add_argument("--min-distance", "-d", type=float, default=0.1)
     parser.add_argument("--metric", "-m", type=str, default="euclidean")

@@ -21,11 +21,15 @@ def get_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-dir", "-m", required=True, type=str)
     parser.add_argument("--dataset-dir", "-d", required=True, type=str)
-    parser.add_argument("--output-dir", "-o", type=str, default="similarity_output")
+    parser.add_argument("--output-dir", "-o", type=str, default=None,
+                        help="Override output path")
     parser.add_argument("--force", "-f", action="store_true")
     args = parser.parse_args()
 
-    sim_dir = args.output_dir
+    # reference semantics (similarity_analysis.py:32-56): output lands in
+    # <output_dir or model_dir>/similarity
+    base = args.output_dir if args.output_dir else args.model_dir
+    sim_dir = os.path.join(base, "similarity")
     if not args.force:
         assert not os.path.exists(sim_dir), f"output exists (use --force): {sim_dir}"
         os.makedirs(sim_dir)

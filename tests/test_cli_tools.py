@@ -95,13 +95,14 @@ def test_plot_j_diagram_mixed_resolutions(tool_env, monkeypatch, tmp_path):
 
 
 def test_similarity_analysis_cli(tool_env, monkeypatch, tmp_path):
+    # reference path semantics: output lands in <output_dir>/similarity
+    # (and in <model_dir>/similarity when -o is omitted)
     out = tmp_path / "sim"
     _run(monkeypatch, "similarity_analysis",
          ["-m", tool_env["logdir"], "-d", tool_env["dataset"], "-o", str(out), "-f"])
-    assert os.path.getsize(out / "distances.json") > 0
-    assert (out / "summary.png").exists() or any(
-        f.endswith(".png") for f in os.listdir(out)
-    )
+    sim = out / "similarity"
+    assert os.path.getsize(sim / "distances.json") > 0
+    assert any(f.endswith(".png") for f in os.listdir(sim))
 
 
 def test_output_reconstructions_cli(tool_env, monkeypatch):
