@@ -23,6 +23,9 @@ def get_args():
              "dataset (the reference stores annotations only)",
     )
     parser.add_argument("--max-frames-per-video", type=int, default=None)
+    # reference flag (build_virat_dataset.py:--batchsize/-b): batch size for
+    # processing frames; here it sizes the extracted-frame batches
+    parser.add_argument("--batchsize", "-b", type=int, default=32)
     return parser.parse_args()
 
 
@@ -34,6 +37,7 @@ def main():
         extract_frames(
             meta_data, args.output_path, frame_stride=args.extract_frames,
             max_frames_per_video=args.max_frames_per_video,
+            batch_size=args.batchsize,
         )
 
 

@@ -16,12 +16,27 @@ import numpy as np
 
 
 def get_args():
+    # reference surface (create_video_from_logs.py:28-34): --input-directory/-i,
+    # recording.mkv default, --frame-rate-fps 20, --force. The positional form
+    # is kept as a convenience alias for the input directory.
     parser = argparse.ArgumentParser()
-    parser.add_argument("log_directory", type=str, help="Recording directory")
-    parser.add_argument("--output-path", "-o", type=str, default="playback.mkv")
-    parser.add_argument("--frame-rate", "-r", type=int, default=10)
+    parser.add_argument("log_directory", type=str, nargs="?", default=None,
+                        help="Recording directory (== --input-directory)")
+    parser.add_argument("--input-directory", "-i", type=str, default=None,
+                        help="Input Log Directory containing output directories")
+    parser.add_argument("--output-path", "-o", type=str, default="recording.mkv")
+    parser.add_argument("--frame-rate-fps", "--frame-rate", "-r", type=int,
+                        default=20, dest="frame_rate")
+    parser.add_argument("--force", "-f", action="store_true",
+                        help="Force overwrite of the output file")
     parser.add_argument("--codec", "-c", type=str, default="mp4v")
-    return parser.parse_args()
+    args = parser.parse_args()
+    args.log_directory = args.log_directory or args.input_directory
+    if args.log_directory is None:
+        parser.error("provide a recording directory (positional or -i)")
+    if os.path.exists(args.output_path) and not args.force:
+        parser.error(f"{args.output_path} exists (use --force)")
+    return args
 
 
 def load_data_from_directory(log_directory: str) -> dict:
