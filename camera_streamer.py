@@ -68,6 +68,39 @@ def get_args():
     return args
 
 
+class PacedReader:
+    """Reads a source at its own fps relative to the batched tick rate.
+
+    The multicam tick runs at the fastest camera's fps; a slower source is
+    only read() on the ticks where a new frame is due (fractional-accumulator
+    schedule, deterministic) and repeats its latest frame in between — so
+    mixed-fps camera lists don't drain slower file/directory sources early.
+    """
+
+    def __init__(self, source, fps: float, tick_fps: float):
+        self.source = source
+        self._ratio = min(max(fps, 1e-6) / max(tick_fps, 1e-6), 1.0)
+        self._acc = 0.0
+        self._last = None
+
+    def read(self):
+        if self.source.exhausted:
+            return None
+        self._acc += self._ratio
+        if self._last is None or self._acc >= 1.0:
+            if self._acc >= 1.0:
+                self._acc -= 1.0
+            f = self.source.read()
+            if f is not None:
+                self._last = f
+            elif self.source.exhausted:
+                return None
+        return self._last
+
+    def release(self):
+        self.source.release()
+
+
 def run_all_cameras(args):
     """Batched multi-stream scoring: one device dispatch covers every camera
     in camera_list per tick (stream/multicam.py)."""
@@ -82,9 +115,6 @@ def run_all_cameras(args):
         anomaly_settings = cam_config.get("anomaly_settings")
         specs = [c.get("url") for c in cam_config["camera_list"]]
         names = [c.get("name", f"cam{i}") for i, c in enumerate(cam_config["camera_list"])]
-        # each source is paced at ITS camera's fps; the batched tick runs at
-        # the fastest camera's rate (slower sources just repeat their latest
-        # frame until a new one is due)
         fps_list = [float(c.get("fps", 20)) for c in cam_config["camera_list"]]
     else:
         n = args.n_streams or 2
@@ -97,7 +127,10 @@ def run_all_cameras(args):
     engine = MultiCameraEngine(model, config, n_streams=len(specs),
                                anomaly_settings=anomaly_settings,
                                quantize=args.quantize)
-    sources = [make_source(s, fps=f) for s, f in zip(specs, fps_list)]
+    # the batched tick runs at the fastest camera's rate; each source is
+    # paced at ITS fps by PacedReader (repeats its latest frame between dues)
+    sources = [PacedReader(make_source(s, fps=f), f, fps)
+               for s, f in zip(specs, fps_list)]
     stats_file = open(args.stats_jsonl, "w") if args.stats_jsonl else None
     n = 0
     try:

@@ -253,9 +253,10 @@ def make_handler(batcher: MicroBatcher, stats, threshold: float):
                 self.end_headers()
                 self.wfile.write(png)
                 return
-            # "reconstruction_error" is the score; the "error" key is kept
-            # (deprecated) but never collides: failures are non-200 responses
-            out = {"reconstruction_error": eps, "error": eps}
+            # "reconstruction_error" is the score. No "error" alias: that key
+            # is reserved for the 400/500 failure payloads, so clients can
+            # detect failures by its presence as well as by HTTP status.
+            out = {"reconstruction_error": eps}
             if stats is not None and stats.get("sigma"):
                 z = (eps - stats["meu"]) / stats["sigma"]
                 out["z"] = z

@@ -99,6 +99,52 @@ def test_reset_stream(setup):
     assert np.abs(np.asarray(multi.maps[1])).max() > 0
 
 
+def test_per_stream_cdf_threshold(setup):
+    """anomaly_score_method 'cdf' keeps one CDF PER STREAM, and new_task(i)
+    resets only stream i's history/threshold (engine parity, per stream)."""
+    import pytest
+
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, settings = setup
+    settings = dict(settings, anomaly_score_method="cdf", cdf_quantile=0.9)
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=settings)
+    fixed = float(settings["anomaly_score_threshold"])
+    # cold: both streams fall back to the fixed threshold
+    assert multi.current_threshold(0) == pytest.approx(fixed)
+    assert multi.current_threshold(1) == pytest.approx(fixed)
+    rng = np.random.RandomState(0)
+    multi._score_history[0].extend(rng.normal(0.0, 1.0, 200).tolist())
+    multi._score_history[1].extend(rng.normal(10.0, 1.0, 200).tolist())
+    multi._cdf_dirty = [99, 99]
+    thr0, thr1 = multi.current_threshold(0), multi.current_threshold(1)
+    assert 0.9 < thr0 < 2.3, thr0  # ~q90 of N(0,1) + one histogram bin
+    assert 10.9 < thr1 < 12.3, thr1  # stream 1's own distribution
+    multi.new_task(0)
+    assert len(multi._score_history[0]) == 0
+    assert multi.current_threshold(0) == pytest.approx(fixed)
+    # stream 1 untouched
+    assert multi.current_threshold(1) == pytest.approx(thr1)
+
+
+def test_host_resize_single_channel(setup):
+    """_host_resize handles (H, W, 1) frames (PIL rejects them raw) and
+    RGB -> single-channel conversion instead of crashing the tick."""
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, settings = setup
+    multi = MultiCameraEngine(model, config, n_streams=1,
+                              anomaly_settings=settings)
+    gray1 = np.random.RandomState(0).randint(0, 255, (8, 8, 1), np.uint8)
+    out = multi._host_resize(0, gray1, (16, 16, 3))
+    assert out.shape == (16, 16, 3)
+    assert (out[..., 0] == out[..., 1]).all()  # replicated luminance
+    rgb = np.random.RandomState(1).randint(0, 255, (8, 8, 3), np.uint8)
+    out = multi._host_resize(0, rgb, (16, 16, 1))
+    assert out.shape == (16, 16, 1)
+
+
 def test_mixed_resolution_streams(setup):
     """camera_list entries need not share a resolution: the batch shape is
     pinned at the first tick and mismatched streams are resized on host.

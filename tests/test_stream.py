@@ -543,3 +543,31 @@ def test_state_machine_honors_injected_clock(engine):
     assert engine.anomalous_state  # inside the hold period
     engine.check_anomalous_state(now=100.0 + hold + 0.01)
     assert not engine.anomalous_state  # expired on the injected clock
+
+
+def test_paced_reader_mixed_fps():
+    """PacedReader samples each source at its own fps relative to the tick
+    rate: a 5 fps source in a 20 fps tick loop advances one frame every 4
+    ticks (repeating its latest in between), so mixed-fps camera lists don't
+    exhaust slower sources early (camera_streamer.py)."""
+    from camera_streamer import PacedReader
+    from trustedai_cl_vae_ad_tpu.stream.capture import SyntheticSource
+
+    slow = PacedReader(SyntheticSource(width=8, height=8, n_frames=10), 5.0, 20.0)
+    fast = PacedReader(SyntheticSource(width=8, height=8, n_frames=10), 20.0, 20.0)
+    slow_frames, fast_frames = [], []
+    for _ in range(16):
+        slow_frames.append(slow.read())
+        fast_frames.append(fast.read())
+    # fast consumed 10 unique frames then exhausted
+    assert fast_frames[9] is not None and fast_frames[10] is None
+    # slow bootstraps at tick 1 then advances every 4th tick (4, 8, 12, 16):
+    # 5 unique frames over 16 ticks, none None
+    assert all(f is not None for f in slow_frames)
+    uniques = 1 + sum(
+        not np.array_equal(a, b)
+        for a, b in zip(slow_frames[1:], slow_frames[:-1])
+    )
+    assert uniques == 5, uniques
+    # repeats are the cached frame, bit-identical
+    assert np.array_equal(slow_frames[0], slow_frames[1])

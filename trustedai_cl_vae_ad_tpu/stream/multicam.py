@@ -84,6 +84,16 @@ class MultiCameraEngine:
         self.anomalous = np.zeros(k, bool)
         self.anomalous_start = [None] * k
 
+        # per-stream CDF thresholding (anomaly_score_method: 'cdf'), mirroring
+        # the single-stream engine's per-task mechanism (stream/engine.py
+        # current_threshold): each stream keeps its own score history so a
+        # task/camera change on one stream re-derives only ITS threshold.
+        from collections import deque
+
+        self._score_history = [deque(maxlen=1024) for _ in range(k)]
+        self._cdf = [None] * k
+        self._cdf_dirty = [0] * k
+
         self._ref_shape = None  # pinned at the first tick (one jit shape)
         self._resize_warned = set()
 
@@ -100,12 +110,20 @@ class MultiCameraEngine:
                 f"multicam: stream {i} delivers {frame.shape}, resizing to "
                 f"the pinned batch shape {ref_shape}"
             )
+        if frame.ndim == 3 and frame.shape[-1] == 1:
+            frame = frame[..., 0]  # PIL rejects (H, W, 1) arrays
         img = Image.fromarray(frame).resize((ref_shape[1], ref_shape[0]),
                                             Image.BILINEAR)
         out = np.asarray(img, np.uint8)
-        if out.shape != tuple(ref_shape):  # channel mismatch (e.g. gray)
-            out = np.broadcast_to(out[..., None] if out.ndim == 2 else out,
-                                  ref_shape).copy()
+        if out.shape != tuple(ref_shape):  # channel mismatch
+            if out.ndim == 2:  # gray -> replicate across ref channels
+                out = np.broadcast_to(out[..., None], ref_shape).copy()
+            elif ref_shape[-1] == 1:  # RGB -> single-channel: luminance
+                lum = (0.299 * out[..., 0] + 0.587 * out[..., 1]
+                       + 0.114 * out[..., 2])
+                out = np.clip(np.round(lum), 0, 255).astype(np.uint8)[..., None]
+            else:
+                out = np.broadcast_to(out[..., :1], ref_shape).copy()
         return out
 
     def _build_jit(self):
@@ -186,6 +204,9 @@ class MultiCameraEngine:
             ma = self.anomaly_ma_weight * self.score_ma[i] + (1 - self.anomaly_ma_weight) * score
             if not np.isnan(ma):
                 self.score_ma[i] = ma
+            if np.isfinite(score):
+                self._score_history[i].append(score)
+                self._cdf_dirty[i] += 1
             self._update_state_machine(i, score, now)
             out.append(StreamStatus(
                 score=score,
@@ -197,12 +218,27 @@ class MultiCameraEngine:
             ))
         return out
 
+    def current_threshold(self, i: int) -> float:
+        """Active threshold for stream i: fixed, or its per-stream CDF
+        quantile once enough history exists (engine.current_threshold)."""
+        threshold = float(self.anomaly_settings.get("anomaly_score_threshold"))
+        method = str(self.anomaly_settings.get("anomaly_score_method", "fixed"))
+        if method.startswith("cdf") and len(self._score_history[i]) >= 32:
+            if self._cdf[i] is None or self._cdf_dirty[i] >= 16:
+                from trustedai_cl_vae_ad_tpu.anomaly.cdf import CDFObject
+
+                self._cdf[i] = CDFObject(np.asarray(self._score_history[i]))
+                self._cdf_dirty[i] = 0
+            q = float(self.anomaly_settings.get("cdf_quantile", 0.995))
+            return float(self._cdf[i].get_value_by_prob(q))
+        return threshold
+
     def _update_state_machine(self, i: int, score: float, now: float) -> None:
         """Per-stream threshold + hold period (reference :898-914)."""
         if self.anomaly_settings is None:
             self.anomalous[i] = False
             return
-        threshold = float(self.anomaly_settings.get("anomaly_score_threshold"))
+        threshold = self.current_threshold(i)
         if score > threshold:
             if not self.anomalous[i]:
                 self.anomalous_start[i] = now
@@ -219,3 +255,14 @@ class MultiCameraEngine:
         self.score_ma[i] = 0.0
         self.anomalous[i] = False
         self.anomalous_start[i] = None
+
+    def new_task(self, i: Optional[int] = None) -> None:
+        """Task boundary for stream i (or ALL streams when None): reset the
+        per-stream score CDF and EMA state so thresholds re-adapt, mirroring
+        the single-stream engine's new_task (stream/engine.py)."""
+        streams = range(self.n_streams) if i is None else [i]
+        for s in streams:
+            self._score_history[s].clear()
+            self._cdf[s] = None
+            self._cdf_dirty[s] = 0
+            self.reset_stream(s)
