@@ -107,8 +107,11 @@ def test_registry(tiny_config):
     assert import_vae_based_on_type(None) is KurtosisGlobalCVAE
     assert import_vae_based_on_type("KurtosisGlobal") is KurtosisGlobalCVAE
     assert import_vae_based_on_type("KurtosisSingle") is KurtosisSingleCVAE
-    with pytest.raises(NotImplementedError):
-        import_vae_based_on_type("KLGaussian")
+    # deviation from the reference (NotImplementedError, load_model.py:24):
+    # KLGaussian is a working model type here (docs/MIGRATION.md)
+    from trustedai_cl_vae_ad_tpu.models import KLGaussianCVAE
+
+    assert import_vae_based_on_type("KLGaussian") is KLGaussianCVAE
     with pytest.raises(Exception, match="not found in available types"):
         import_vae_based_on_type("Bogus")
 

@@ -1,9 +1,10 @@
 """Model-type registry and directory loaders.
 
-Parity with reference src/load_model.py:9-83: the same three type names
-('KLGaussian' raising NotImplementedError, 'KurtosisGlobal', 'KurtosisSingle'),
+Parity with reference src/load_model.py:9-83: the same three type names,
 KurtosisGlobal as the default when no type is given, the deepcopy guard, and
-the log-directory loader (config.yml + weights).
+the log-directory loader (config.yml + weights). Deviation: 'KLGaussian'
+resolves to a working textbook-ELBO model (models/kl_gaussian.py) where the
+reference raises NotImplementedError (docs/MIGRATION.md).
 
 The checkpoint ABI differs TPU-side: instead of Keras SavedModels, the log
 dir holds Orbax checkpoints (see train/checkpoint.py) under the same
@@ -33,7 +34,12 @@ def import_vae_based_on_type(vae_type: str | None):
                 f"Error, type {vae_type} not found in available types: {AVAILABLE_TYPES}"
             )
         if vae_type.lower() == "klgaussian":
-            raise NotImplementedError("KLGaussian not yet implemented")
+            # The reference raises NotImplementedError here (load_model.py:24);
+            # this build ships the working textbook-ELBO model instead
+            # (models/kl_gaussian.py; deviation recorded in docs/MIGRATION.md).
+            from trustedai_cl_vae_ad_tpu.models.kl_gaussian import KLGaussianCVAE
+
+            return KLGaussianCVAE
         elif vae_type.lower() == "kurtosisglobal":
             from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
 
