@@ -303,3 +303,80 @@ def test_place_on_mesh_honors_zero1(setup):
         np.testing.assert_array_equal(a, b)
     loss = model.train_step(x)
     assert np.isfinite(float(loss["loss"]))
+
+
+def test_zero1_composes_with_tp(setup):
+    """dp x tp x zero1 on ONE mesh (the shipped multi-chip recipe): three
+    composed train steps match the known-good replicated dp path, and the
+    moments of a TP-sharded kernel actually carry P('data', 'model')."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from trustedai_cl_vae_ad_tpu.parallel.dp import (
+        build_train_step,
+        build_train_step_sharded,
+    )
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import (
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+    from trustedai_cl_vae_ad_tpu.parallel.tp import param_shardings
+    from trustedai_cl_vae_ad_tpu.parallel.zero import zero1_shardings
+
+    core, params, optimizer = setup
+    rng = jax.random.PRNGKey(7)
+    rs = np.random.RandomState(2)
+    batches = [rs.random((16, 16, 16, 3)).astype(np.float32) for _ in range(3)]
+
+    # reference: replicated dp over all 8 devices. replicate() may ALIAS the
+    # source buffers and the step donates them (mesh.py footgun) — place from
+    # a host copy so `params` survives for the composed run below.
+    host_params = jax.tree_util.tree_map(np.asarray, params)
+    ref_mesh = make_mesh()
+    p_ref = replicate(host_params, ref_mesh)
+    o_ref = replicate(optimizer.init(host_params), ref_mesh)
+    ref_step = build_train_step(core, optimizer, ref_mesh)
+    for x in batches:
+        p_ref, o_ref, loss_ref, _ = ref_step(p_ref, o_ref, shard_batch(x, ref_mesh), rng)
+
+    # composed: data=4 x model=2, TP-sharded kernels (min_params=1 so the
+    # tiny test model's dense kernels shard), zero1 moments on the same mesh
+    mesh = make_mesh(n_data=4, n_model=2)
+    psh = param_shardings(params, mesh, min_params=1)
+    p_c = jax.device_put(host_params, psh)
+    o_c0 = optimizer.init(p_c)  # moments inherit the TP placements
+    osh = zero1_shardings(o_c0, mesh, min_elems=1)
+    o_c = jax.device_put(o_c0, osh)
+
+    # the composed layout really is composed: a TP-sharded kernel's moment
+    # leaf is sharded over BOTH axes
+    flat_p = dict(
+        ("/".join(str(getattr(k, "key", k)) for k in path), s)
+        for path, s in jax.tree_util.tree_flatten_with_path(psh)[0]
+    )
+    tp_kernels = [k for k, s in flat_p.items() if s.spec == P(None, "model")]
+    assert tp_kernels, "no TP-sharded kernel in the test model"
+    flat_o = dict(
+        ("/".join(str(getattr(k, "key", k)) for k in path), s)
+        for path, s in jax.tree_util.tree_flatten_with_path(osh)[0]
+    )
+    composed = [k for k, s in flat_o.items()
+                if tuple(s.spec) == ("data", "model")]
+    assert composed, f"no P('data','model') moment leaf: {set(map(str, {tuple(s.spec) for s in flat_o.values()}))}"
+
+    step = build_train_step_sharded(core, optimizer, mesh, psh, osh)
+    for x in batches:
+        p_c, o_c, loss_c, _ = step(p_c, o_c, shard_batch(x, mesh), rng)
+
+    np.testing.assert_allclose(float(loss_c["loss"]), float(loss_ref["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # layout is stable across steps (outputs pinned to the same shardings)
+    for path, s in jax.tree_util.tree_flatten_with_path(
+            jax.tree_util.tree_map(lambda l: l.sharding, o_c))[0]:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        assert tuple(s.spec) == tuple(flat_o[key].spec), key

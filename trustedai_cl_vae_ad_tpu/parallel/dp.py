@@ -82,6 +82,44 @@ def build_train_step_auto(
     return jax.jit(train_step, donate_argnums=(0, 1))
 
 
+def build_train_step_sharded(
+    core: AbstractCVAE,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    params_shardings,
+    opt_state_shardings,
+) -> Callable:
+    """Fully explicit composed layout: dp x tp x zero1 on ONE mesh.
+
+    ``params_shardings`` (parallel/tp.param_shardings: big dense kernels
+    P(None, 'model')) and ``opt_state_shardings`` (parallel/zero
+    .zero1_shardings on the TP-initialized state: moments P('data', 'model')
+    / P('data')) pin both the input and output placements, so the layout is
+    stable across steps — GSPMD derives the schedule: reduce-scatter(grads)
+    into each local moment update, all-gather(param delta), model-axis
+    collectives for the sharded matmuls.
+    """
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+
+    def train_step(params, opt_state, x, rng):
+        def loss_fn(p):
+            loss_dict, x_hat = core.compute_loss(p, x, training=True, return_inf=True, rng=rng)
+            return loss_dict["loss"], (loss_dict, x_hat)
+
+        grads, (loss_dict, x_hat) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, loss_dict, x_hat
+
+    return jax.jit(
+        train_step,
+        in_shardings=(params_shardings, opt_state_shardings, bsh, rep),
+        out_shardings=(params_shardings, opt_state_shardings, rep, bsh),
+        donate_argnums=(0, 1),
+    )
+
+
 def build_eval_step(core: AbstractCVAE, mesh: Mesh) -> Callable:
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)

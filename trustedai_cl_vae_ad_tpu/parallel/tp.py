@@ -29,8 +29,11 @@ from trustedai_cl_vae_ad_tpu.parallel.mesh import MODEL_AXIS
 _SHARD_MIN_PARAMS = 1 << 20  # 1M
 
 
-def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding tree: column-shard big dense kernels on the model axis."""
+def param_shardings(params: Any, mesh: Mesh,
+                    min_params: int = _SHARD_MIN_PARAMS) -> Any:
+    """NamedSharding tree: column-shard big dense kernels on the model axis.
+
+    ``min_params`` overrides the size threshold (tests shard tiny models)."""
     n_model = mesh.shape[MODEL_AXIS]
     rep = NamedSharding(mesh, P())
 
@@ -39,7 +42,7 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
         if (
             n_model > 1
             and leaf.ndim == 2
-            and leaf.size >= _SHARD_MIN_PARAMS
+            and leaf.size >= min_params
             and "Dense" in name
             and leaf.shape[1] % n_model == 0
         ):
@@ -49,6 +52,7 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def place_params(params: Any, mesh: Mesh) -> Any:
+def place_params(params: Any, mesh: Mesh,
+                 min_params: int = _SHARD_MIN_PARAMS) -> Any:
     """device_put params according to param_shardings."""
-    return jax.device_put(params, param_shardings(params, mesh))
+    return jax.device_put(params, param_shardings(params, mesh, min_params))
