@@ -6,9 +6,12 @@ inference/scoring/CL/recording logic lives in the engine (which also powers
 the headless camera_streamer.py). GUI parity with the reference
 camera_streamer_qt.py:116-1502: stream + error view panes, view-mode menu
 (reconstruction / JET heatmap / overlay / raw error), continual-learning
-toggle, learning-rate and img-noise mantissa/exponent dials, EMA dials,
+toggle, learning-rate and img-noise mantissa/exponent dials,
 replay-buffer load, record start/stop + record-period dial (:247-249),
-model load/save, dataset-combine action (:798-850), per-phase timing
+model load/save, New Model from a config file (:573-630), runtime
+camera-switch menu (:517-536), toggle-inference button (:391, :853-855),
+manual anomalous-state override button + Enable checkbox (:379-390,
+:885-895), dataset-combine action (:798-850), per-phase timing
 readout (:1111-1139), anomalous-state visual indicator (:898-914),
 5-minute autosave, CL-epoch metric persistence (:1410-1416).
 
@@ -23,6 +26,8 @@ try:
     from PyQt5.QtCore import Qt, QTimer
     from PyQt5.QtGui import QImage, QPixmap
     from PyQt5.QtWidgets import (
+        QAction,
+        QActionGroup,
         QApplication,
         QCheckBox,
         QDoubleSpinBox,
@@ -80,7 +85,8 @@ if HAVE_QT:
         def __init__(self, args):
             super().__init__()
             self.cam_config = load_cam_config(args.cam_config, args.cam_config_index)
-            self.cam_info = self.cam_config["camera_list"][args.cam_config_index]
+            self.cam_config_idx = int(args.cam_config_index)
+            self.cam_info = self.cam_config["camera_list"][self.cam_config_idx]
             self.anomaly_settings = self.cam_config.get("anomaly_settings")
             self.model_cache_dir = args.model_cache_dir
             self.quantize = bool(getattr(args, "quantize", False))
@@ -125,6 +131,30 @@ if HAVE_QT:
             self.replay_btn.clicked.connect(self._load_replay_dialog)
             self.combine_btn = QPushButton("Combine Datasets")
             self.combine_btn.clicked.connect(self._combine_datasets_dialog)
+            self.new_model_btn = QPushButton("New Model")
+            self.new_model_btn.clicked.connect(self._new_model_dialog)
+
+            # toggle-inference (reference :391, :853-855): unchecking stops
+            # the per-tick engine dispatch; the raw stream keeps drawing
+            self.toggle_inference_btn = QPushButton("Toggle Inference")
+            self.toggle_inference_btn.setCheckable(True)
+            self.toggle_inference_btn.setChecked(True)
+
+            # manual anomalous-state override + its Enable gate (reference
+            # :379-390, :885-895: the override AND the automatic state
+            # machine both act only while Enable is checked)
+            self.anomaly_state_btn = QPushButton("Anomalous State")
+            self.anomaly_state_btn.setCheckable(True)
+            self.anomaly_state_btn.setChecked(False)
+            self.anomaly_state_btn.clicked.connect(self._anomaly_state_btn_pressed)
+            self.enable_anomaly_cbx = QCheckBox("Enable")
+            self.enable_anomaly_cbx.setChecked(False)  # reference default :386
+            self.enable_anomaly_cbx.toggled.connect(self._enable_anomaly_toggled)
+
+            # runtime camera-switch menu (reference :517-536)
+            self.cam_menu = self.menuBar().addMenu("Camera")
+            self.build_select_cam_menu()
+
             self.anomaly_lbl = QLabel("AS: n/a")
             self.anomaly_lbl.setAutoFillBackground(True)
             self.timing_lbl = QLabel("timings: n/a")
@@ -156,11 +186,14 @@ if HAVE_QT:
             panes.addWidget(self.stream_label)
             panes.addWidget(self.error_label)
             controls = QHBoxLayout()
-            for w in (self.view_mode, self.cl_checkbox, self.record_btn,
+            for w in (self.view_mode, self.cl_checkbox, self.toggle_inference_btn,
+                      self.record_btn,
                       QLabel("rec period:"), self.record_period, self.load_model_btn,
-                      self.save_model_btn, self.replay_btn, self.combine_btn,
+                      self.save_model_btn, self.new_model_btn, self.replay_btn,
+                      self.combine_btn,
                       QLabel("lr:"), self.lr_man,
                       self.lr_exp, QLabel("noise:"), self.noise_man, self.noise_exp,
+                      self.anomaly_state_btn, self.enable_anomaly_cbx,
                       self.anomaly_lbl):
                 controls.addWidget(w)
             layout = QVBoxLayout()
@@ -171,6 +204,7 @@ if HAVE_QT:
             main.setLayout(layout)
             self.setCentralWidget(main)
             self.resize(1280, 480)
+            self._apply_ui_state_to_engine()
 
         # ------------------------------------------------------------ engine
         def load_engine(self, model_dir):
@@ -182,24 +216,7 @@ if HAVE_QT:
             # the reference's TensorBoard CallbackList (:1410-1416). Loading
             # a new model replaces the writer — close the old one (file
             # handle + TB event writer) instead of leaking it.
-            old = getattr(self, "engine", None)
-            if old is not None:
-                # an in-flight recording must be finalized (labels.json with
-                # anomaly-score annotations + model snapshot) before the old
-                # engine is dropped, or the recorded dataset is unusable —
-                # the headless CLI does this in its finally block
-                if getattr(old, "recording_flag", False):
-                    try:
-                        old.terminate_recording()
-                    except Exception:
-                        pass
-                    if hasattr(self, "record_btn"):
-                        self.record_btn.setChecked(False)
-                if getattr(old, "metrics", None) is not None:
-                    try:
-                        old.metrics.close()
-                    except Exception:
-                        pass
+            self._close_engine()
             metrics = MetricsWriter(os.path.join(self.model_cache_dir, "metrics"))
             self.engine = load_engine_from_directory(
                 model_dir,
@@ -208,16 +225,146 @@ if HAVE_QT:
                 metrics=metrics,
                 quantize=self.quantize,
             )
+            self._apply_ui_state_to_engine()
+
+        def _close_engine(self):
+            old = getattr(self, "engine", None)
+            if old is None:
+                return
+            # an in-flight recording must be finalized (labels.json with
+            # anomaly-score annotations + model snapshot) before the old
+            # engine is dropped, or the recorded dataset is unusable —
+            # the headless CLI does this in its finally block
+            if getattr(old, "recording_flag", False):
+                try:
+                    old.terminate_recording()
+                except Exception:
+                    pass
+                if hasattr(self, "record_btn"):
+                    self.record_btn.setChecked(False)
+            if getattr(old, "metrics", None) is not None:
+                try:
+                    old.metrics.close()
+                except Exception:
+                    pass
+
+        def _apply_ui_state_to_engine(self):
+            """The UI toggles are the source of truth when an engine is
+            (re)attached — before _build_ui runs, leave engine defaults."""
+            if not self.engine:
+                return
             self.engine.cam_info = self.cam_info
+            if hasattr(self, "cl_checkbox"):
+                self.engine.enable_cont_learning = self.cl_checkbox.isChecked()
+            if hasattr(self, "enable_anomaly_cbx"):
+                self.engine.enable_anomaly_state = self.enable_anomaly_cbx.isChecked()
 
         def _open_source(self):
             self.source = make_source(
                 self.cam_info.get("url"), fps=float(self.cam_info.get("fps", 20))
             )
 
+        # ----------------------------------------------- camera switch menu
+        def build_select_cam_menu(self):
+            """One checkable exclusive action per camera_list entry
+            (reference :517-536)."""
+            self.cam_menu.clear()
+            self.cam_action_group = QActionGroup(self)
+            for idx, cam_obj in enumerate(self.cam_config["camera_list"]):
+                action = self.cam_menu.addAction(str(cam_obj.get("name", f"cam{idx}")))
+                action.setCheckable(True)
+                if idx == self.cam_config_idx:
+                    action.setChecked(True)
+                self.cam_action_group.addAction(action)
+                action.triggered.connect(
+                    lambda checked=False, index=idx: self.select_camera_from_idx(index)
+                )
+
+        def select_camera_from_idx(self, idx: int):
+            """Switch the live source to camera_list[idx] (reference
+            :499-502): reopen the capture and retime the grab loop at the
+            new camera's fps; the engine's streaming-score EMA state carries
+            over, as in the reference (only the source changes)."""
+            if not (0 <= idx < len(self.cam_config["camera_list"])):
+                return
+            self.cam_config_idx = idx
+            self.cam_info = self.cam_config["camera_list"][idx]
+            if self.source is not None:
+                self.source.release()
+            self._open_source()
+            self.stream_timer.stop()
+            self.stream_timer.start(int(1000.0 / float(self.cam_info.get("fps", 20))))
+            if self.engine:
+                self.engine.cam_info = self.cam_info
+
+        def select_camera_from_name(self, name: str) -> bool:
+            """reference :507-515."""
+            for idx, cam_obj in enumerate(self.cam_config["camera_list"]):
+                if cam_obj.get("name") == name:
+                    self.select_camera_from_idx(idx)
+                    return True
+            return False
+
         def _toggle_cl(self, checked):
             if self.engine:
                 self.engine.enable_cont_learning = checked
+
+        def _enable_anomaly_toggled(self, checked):
+            """Gate for BOTH the manual override and the automatic state
+            machine (reference :885-895: toggle_anomalous_state no-ops and
+            clears the state while Enable is unchecked)."""
+            if self.engine:
+                self.engine.enable_anomaly_state = bool(checked)
+                if not checked:
+                    self.engine.toggle_anomalous_state(False)
+            if not checked:
+                self.anomaly_state_btn.setChecked(False)
+
+        def _anomaly_state_btn_pressed(self):
+            """Manual anomalous-state override (reference :568-571)."""
+            if self.engine:
+                self.engine.toggle_anomalous_state(self.anomaly_state_btn.isChecked())
+                # the engine may refuse (Enable unchecked) — reflect reality
+                self.anomaly_state_btn.setChecked(self.engine.anomalous_state)
+
+        def _new_model_dialog(self):
+            """Build a fresh (random-init) model from a config file in-app
+            (reference new_model_btn_pressed :573-630)."""
+            f, _ = QFileDialog.getOpenFileName(
+                self, "Load Configuration File", "", "YAML (*.yml *.yaml)"
+            )
+            if f:
+                try:
+                    self.new_model_from_config(f)
+                except Exception as e:
+                    QMessageBox.critical(None, "New model failed", str(e))
+
+        def new_model_from_config(self, config_path):
+            import math
+            import os
+
+            from trustedai_cl_vae_ad_tpu.registry import load_model_from_config_path
+            from trustedai_cl_vae_ad_tpu.utils.metrics import MetricsWriter
+
+            model, config = load_model_from_config_path(config_path)
+            model.compile()
+            self._close_engine()
+            metrics = MetricsWriter(os.path.join(self.model_cache_dir, "metrics"))
+            self.engine = StreamingEngine(
+                model,
+                config,
+                anomaly_settings=self.anomaly_settings,
+                cam_info=self.cam_info,
+                model_cache_dir=self.model_cache_dir,
+                metrics=metrics,
+                quantize=self.quantize,
+            )
+            self._apply_ui_state_to_engine()
+            # seed the lr dials from the new config (reference :596-600)
+            lr = float(config["training"]["learning_rate"])
+            exp = int(math.floor(math.log10(lr)))
+            self.lr_exp.setValue(exp)
+            self.lr_man.setValue(lr / (10.0**exp))
 
         def _dials_changed(self, *_):
             if not self.engine:
@@ -311,6 +458,10 @@ if HAVE_QT:
             )
             if self.engine is None:
                 return
+            # toggle-inference off: stream keeps drawing, no engine dispatch
+            # (reference :1263-1266)
+            if not self.toggle_inference_btn.isChecked():
+                return
             result = self.engine.process_frame(self.last_frame)
             if result is None:
                 return
@@ -339,6 +490,9 @@ if HAVE_QT:
                 if result.anomalous
                 else ""
             )
+            # the override button mirrors the live state (reference
+            # toggle_anomalous_state sets the button, :892-895)
+            self.anomaly_state_btn.setChecked(bool(result.anomalous))
             t = self.engine.timings
             if t:
                 self.timing_lbl.setText(

@@ -228,6 +228,62 @@ class QApplication:
         return 0
 
 
+class QAction(_WidgetBase):
+    def __init__(self, text="", *a, **k):
+        super().__init__()
+        self._text = text
+        self.triggered = Signal()
+
+    def text(self):
+        return self._text
+
+    def trigger(self):
+        # real Qt passes the checked state to triggered slots
+        self.triggered.emit(self.isChecked())
+
+
+class QMenu(_WidgetBase):
+    def __init__(self, title="", *a, **k):
+        super().__init__()
+        self.title = title
+        self.actions_ = []
+
+    def addAction(self, text):
+        a = QAction(text)
+        self.actions_.append(a)
+        return a
+
+    def clear(self):
+        self.actions_ = []
+
+
+class QMenuBar(_WidgetBase):
+    def __init__(self, *a, **k):
+        super().__init__()
+        self.menus = []
+
+    def addMenu(self, title):
+        m = QMenu(title)
+        self.menus.append(m)
+        return m
+
+
+class QActionGroup(_WidgetBase):
+    class ExclusionPolicy:
+        Exclusive = 1
+
+    def __init__(self, parent=None):
+        super().__init__()
+        self.actions_ = []
+
+    def addAction(self, a):
+        self.actions_.append(a)
+        return a
+
+    def setExclusionPolicy(self, *a):
+        pass
+
+
 def install() -> None:
     """Register the stub modules as PyQt5 in sys.modules."""
     qtcore = types.ModuleType("PyQt5.QtCore")
@@ -237,9 +293,16 @@ def install() -> None:
     qtgui.QImage = QImage
     qtgui.QPixmap = QPixmap
     qtwidgets = types.ModuleType("PyQt5.QtWidgets")
-    for name in ("QCheckBox", "QDoubleSpinBox", "QLabel", "QMainWindow",
+    for name in ("QCheckBox", "QDoubleSpinBox", "QLabel",
                  "QPushButton", "QSpinBox", "QWidget", "QComboBox"):
         setattr(qtwidgets, name, type(name, (_WidgetBase,), {}))
+    qtwidgets.QMainWindow = type("QMainWindow", (_WidgetBase,), {
+        "menuBar": lambda self: self.__dict__.setdefault("_menubar", QMenuBar()),
+    })
+    qtwidgets.QAction = QAction
+    qtwidgets.QActionGroup = QActionGroup
+    qtwidgets.QMenu = QMenu
+    qtwidgets.QMenuBar = QMenuBar
     qtwidgets.QHBoxLayout = _Layout
     qtwidgets.QVBoxLayout = _Layout
     qtwidgets.QGridLayout = _Layout

@@ -173,3 +173,119 @@ def test_decoder_window_spinbox_redraw(model_dir):
     for t in qt_stub.QTimer.instances:
         t.fire()
     assert w.image_label._pixmaps, "decoder pane never drew"
+
+
+def test_cam_window_camera_switch_menu(model_dir, tmp_path):
+    """Runtime camera-switch menu (reference :517-536): one exclusive
+    checkable action per camera_list entry; selecting reopens the source at
+    the new camera's fps and updates engine.cam_info."""
+    cam_config = {
+        "camera_list": [
+            {"name": "front", "url": "synthetic", "fps": 10},
+            {"name": "back", "url": "synthetic", "fps": 25},
+        ],
+        "anomaly_settings": {"anomaly_score_threshold": 2.0,
+                             "anomaly_score_method": "zz_count",
+                             "buffer_record_period_s": 1.0,
+                             "anomalous_state_period_s": 0.05},
+    }
+    cfg_path = tmp_path / "cam2.yml"
+    cfg_path.write_text(yaml.safe_dump(cam_config))
+
+    class Args:
+        cam_config = str(cfg_path)
+        cam_config_index = 0
+        model_cache_dir = str(tmp_path / "cache")
+        model_dir = None
+
+    Args.model_dir = model_dir
+    w = camera_streamer_qt.CameraStreamerMainWindow(Args())
+    names = [a.text() for a in w.cam_menu.actions_]
+    assert names == ["front", "back"]
+    assert w.cam_menu.actions_[0].isChecked()
+    old_source = w.source
+    w.cam_menu.actions_[1].trigger()
+    assert w.cam_config_idx == 1
+    assert w.cam_info["name"] == "back"
+    assert w.source is not old_source
+    assert w.stream_timer.interval == int(1000.0 / 25)
+    assert w.engine.cam_info["name"] == "back"
+    assert w.select_camera_from_name("front")
+    assert w.cam_config_idx == 0
+    assert not w.select_camera_from_name("nope")
+
+
+def test_cam_window_toggle_inference(cam_window):
+    """Toggle-inference (reference :391, :853-855): unchecked stops engine
+    dispatch while the raw stream keeps drawing."""
+    w = cam_window
+    _tick(w, 2)
+    w.toggle_inference_btn.setChecked(False)
+    before_err = len(w.error_label._pixmaps)
+    before_stream = len(w.stream_label._pixmaps)
+    last = w.last_result
+    _tick(w, 3)
+    assert len(w.error_label._pixmaps) == before_err  # no inference draws
+    assert len(w.stream_label._pixmaps) > before_stream  # stream still live
+    assert w.last_result is last
+    w.toggle_inference_btn.setChecked(True)
+    _tick(w)
+    assert len(w.error_label._pixmaps) > before_err
+
+
+def test_cam_window_anomaly_override(cam_window):
+    """Manual anomalous-state button gated by the Enable checkbox
+    (reference :379-390, :885-895)."""
+    w = cam_window
+    # Enable unchecked (reference default): the override is refused
+    assert not w.enable_anomaly_cbx.isChecked()
+    assert not w.engine.enable_anomaly_state
+    w.anomaly_state_btn.setChecked(True)
+    w._anomaly_state_btn_pressed()
+    assert not w.engine.anomalous_state
+    assert not w.anomaly_state_btn.isChecked()  # button reflects the refusal
+    # Enable checked: the override latches the engine state
+    w.enable_anomaly_cbx.setChecked(True)
+    assert w.engine.enable_anomaly_state
+    w.anomaly_state_btn.setChecked(True)
+    w._anomaly_state_btn_pressed()
+    assert w.engine.anomalous_state
+    assert w.anomaly_state_btn.isChecked()
+    # unchecking Enable clears the state (reference :893-895)
+    w.enable_anomaly_cbx.setChecked(False)
+    assert not w.engine.anomalous_state
+    assert not w.anomaly_state_btn.isChecked()
+
+
+def test_cam_window_new_model(cam_window, tmp_path):
+    """New Model action (reference :573-630): build a fresh model from a
+    config file in-app; the lr dials re-seed from the new config."""
+    new_cfg = {
+        "data": {"image_size": [16, 16, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 1e-4, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KLGaussian", "decoder_dense_filters": 4,
+                  "latent_dimensions": 4, "layers": [4]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 2.5e-3,
+                     "max_epochs": 1},
+    }
+    cfg_path = tmp_path / "new_model.yml"
+    cfg_path.write_text(yaml.safe_dump(new_cfg))
+    w = cam_window
+    old_engine = w.engine
+    qt_stub.QFileDialog.open_files = [str(cfg_path)]
+    w._new_model_dialog()
+    assert w.engine is not old_engine
+    assert type(w.engine.model.core).__name__ == "KLGaussianCVAE"
+    assert w.lr_exp.value() == -3
+    assert abs(w.lr_man.value() - 2.5) < 1e-9
+    w.engine.inference_period_ms = 0.0
+    _tick(w, 2)  # the new engine streams
+    assert w.last_result is not None
+    # a bad config file reports the failure instead of killing the window
+    bad = tmp_path / "bad.yml"
+    bad.write_text("model: {type: Bogus}\n")
+    qt_stub.QFileDialog.open_files = [str(bad)]
+    qt_stub.QMessageBox.messages.clear()
+    w._new_model_dialog()
+    assert qt_stub.QMessageBox.messages[-1][0] == "critical"
