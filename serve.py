@@ -48,7 +48,8 @@ class MicroBatcher:
     BUCKETS = (1, 2, 4, 8, 16)
 
     def __init__(self, model, config, stats=None, max_batch: int = 8,
-                 max_wait_ms: float = 5.0, quantize: bool = False):
+                 max_wait_ms: float = 5.0, quantize: bool = False,
+                 qparams=None):
         import jax
         import jax.numpy as jnp
 
@@ -63,14 +64,17 @@ class MicroBatcher:
 
         core = model.core
         out_hw = self.hwc[:2]
-        self.quantized = bool(quantize)
+        self.quantized = bool(quantize) or qparams is not None
         # int8 big-dense kernels when quantized: serving batches are
         # weight-streaming bound, so halving the dominant kernel bytes cuts
-        # the tick time (ops/quant.py; fidelity in tests/test_quant.py)
+        # the tick time (ops/quant.py; fidelity in tests/test_quant.py).
+        # ``qparams`` = pre-quantized checkpoint tree (int8 serving boot:
+        # half the upload, no on-device quantization pass).
         from trustedai_cl_vae_ad_tpu.ops.quant import serving_forward
 
         _forward, self._serve_params = serving_forward(
-            core, model.params, quantize=self.quantized
+            core, getattr(model, "params", None), quantize=self.quantized,
+            qparams=qparams,
         )
 
         def _eps_and_rec(params, x_u8):
@@ -270,17 +274,40 @@ def build_server(model_dir: str, port: int = 8000, stats_path: str | None = None
                  threshold: float = 3.0, max_batch: int = 8,
                  max_wait_ms: float = 5.0, warmup: bool = True,
                  quantize: bool = False):
+    import os
+    from types import SimpleNamespace
+
+    from trustedai_cl_vae_ad_tpu.ops.quant import (
+        has_quantized_checkpoint,
+        load_quantized_checkpoint,
+    )
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
 
-    # load_model_from_directory already restores the params (registry.py);
-    # a second load_model call would re-read the multi-GB checkpoint
-    model, config = load_model_from_directory(model_dir)
+    qparams = None
+    if quantize and has_quantized_checkpoint(model_dir):
+        # int8 serving boot (tools/quantize_checkpoint.py wrote
+        # <model_dir>/quantized): load the ~half-size int8 tree directly and
+        # NEVER materialize the float params — the flagship's 1.6 GB bf16
+        # upload dominated cold boot (BENCH_NOTES r4)
+        from trustedai_cl_vae_ad_tpu.config import load_config
+        from trustedai_cl_vae_ad_tpu.registry import build_core_from_config
+
+        config = load_config(os.path.join(model_dir, "config.yml"))
+        core = build_core_from_config(config)
+        qparams = load_quantized_checkpoint(model_dir)
+        model = SimpleNamespace(core=core, params=None)
+        print(f"int8 boot: loaded quantized checkpoint from {model_dir}/quantized")
+    else:
+        # load_model_from_directory already restores the params (registry.py);
+        # a second load_model call would re-read the multi-GB checkpoint
+        model, config = load_model_from_directory(model_dir)
     stats = None
     if stats_path:
         with open(stats_path) as f:
             stats = json.load(f)
     batcher = MicroBatcher(model, config, stats=stats, max_batch=max_batch,
-                           max_wait_ms=max_wait_ms, quantize=quantize)
+                           max_wait_ms=max_wait_ms, quantize=quantize,
+                           qparams=qparams)
     if warmup:
         batcher.warmup()
     server = ThreadingHTTPServer(("0.0.0.0", port),

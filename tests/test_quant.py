@@ -257,3 +257,37 @@ def test_sharded_quantized_scoring_matches_single_device():
     np.testing.assert_allclose(res_m["z_scores"], res_1["z_scores"],
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(res_m["anomalies"], res_1["anomalies"])
+
+
+def test_quantized_checkpoint_roundtrip(model_and_input, tmp_path):
+    """save_quantized_checkpoint / load_quantized_checkpoint: the restored
+    int8 tree scores bit-identically to the in-memory quantized tree (the
+    serve.py int8-boot contract)."""
+    core, params, x = model_and_input
+    qp = quant.quantize_params(core, params, min_elems=0)
+    d = str(tmp_path / "logdir")
+    import os
+
+    os.makedirs(d)
+    assert not quant.has_quantized_checkpoint(d)
+    path = quant.save_quantized_checkpoint(d, qp)
+    assert quant.has_quantized_checkpoint(d)
+    assert path.endswith("quantized")
+    rq = quant.load_quantized_checkpoint(d)
+    # identical tree: int8 kernels bit-equal, scales/biases exact
+    for a, b in zip(jax.tree_util.tree_leaves(qp), jax.tree_util.tree_leaves(rq)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ref = quant.call_quantized(core, qp, x)
+    got = quant.call_quantized(core, rq, x)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_serving_forward_accepts_pre_quantized(model_and_input):
+    """serving_forward(qparams=...) must not touch the float params at all
+    (the int8 boot passes params=None)."""
+    core, params, x = model_and_input
+    qp = quant.quantize_params(core, params, min_elems=0)
+    fwd, serve_params = quant.serving_forward(core, None, quantize=True, qparams=qp)
+    got = fwd(serve_params, x)
+    want = quant.call_quantized(core, qp, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -66,7 +66,7 @@ def test_score_with_stats(server):
     with urllib.request.urlopen(req, timeout=60) as r:
         body = json.loads(r.read())
     assert np.isfinite(body["reconstruction_error"])
-    assert body["error"] == body["reconstruction_error"]  # deprecated alias
+    assert "error" not in body  # reserved for failure payloads
     assert "z" in body and "anomalous" in body
     assert abs(body["z"] - (body["reconstruction_error"] - 100.0) / 10.0) < 1e-4
 
@@ -75,7 +75,7 @@ def test_score_resizes_foreign_sizes(server):
     req = urllib.request.Request(f"{server}/score", data=_png_bytes(2, (40, 30)),
                                  method="POST")
     with urllib.request.urlopen(req, timeout=60) as r:
-        assert np.isfinite(json.loads(r.read())["error"])
+        assert np.isfinite(json.loads(r.read())["reconstruction_error"])
 
 
 def test_reconstruct_returns_png(server):
@@ -95,7 +95,7 @@ def test_concurrent_requests_batch(server):
         req = urllib.request.Request(f"{server}/score", data=_png_bytes(7),
                                      method="POST")
         with urllib.request.urlopen(req, timeout=60) as r:
-            results[i] = json.loads(r.read())["error"]
+            results[i] = json.loads(r.read())["reconstruction_error"]
 
     threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
     for t in threads:
@@ -162,3 +162,68 @@ def test_close_fails_queued_futures():
     batcher.close()
     with pytest.raises(RuntimeError, match="shutting down"):
         fut.result(timeout=1)
+
+
+def test_int8_checkpoint_boot(tmp_path, monkeypatch):
+    """serve.build_server(quantize=True) boots from <logdir>/quantized when
+    present — no float-param materialization — and scores identically to the
+    quantize-at-boot path."""
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.ops import quant
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    import serve
+
+    config = {
+        "data": {"image_size": [16, 16, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 4, "layers": [4]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3,
+                     "max_epochs": 1},
+    }
+    d = tmp_path / "m"
+    d.mkdir()
+    model = load_model_from_config(config)
+    model.save_model(str(d), include_optimizer=False)
+    save_config(config, str(d / "config.yml"))
+
+    # quantize everything (tiny model) so the boot path has work to skip
+    monkeypatch.setenv("TCVAE_QUANT_MIN_ELEMS", "0")
+    # reference FIRST (no quantized/ dir yet): quantize-at-boot
+    # (float load + on-device quantization)
+    srv_ref = serve.build_server(str(d), port=0, quantize=True, warmup=False)
+    assert srv_ref.batcher.model.params is not None
+
+    # write the int8 checkpoint through the real CLI tool
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, TCVAE_PLATFORM="cpu", TCVAE_QUANT_MIN_ELEMS="0")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "quantize_checkpoint.py"),
+         "-m", str(d)],
+        capture_output=True, text=True, timeout=300, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert quant.has_quantized_checkpoint(str(d))
+
+    # int8 boot: finds the checkpoint, float tree never built
+    srv_q = serve.build_server(str(d), port=0, quantize=True, warmup=False)
+    assert srv_q.batcher.model.params is None
+    x = np.random.RandomState(0).randint(0, 255, (1, 16, 16, 3), np.uint8)
+    import jax.numpy as jnp
+
+    eps_ref = np.asarray(srv_ref.batcher._score_j(
+        srv_ref.batcher._serve_params, jnp.asarray(x)))
+    eps_q = np.asarray(srv_q.batcher._score_j(
+        srv_q.batcher._serve_params, jnp.asarray(x)))
+    np.testing.assert_allclose(eps_q, eps_ref, rtol=1e-5, atol=1e-6)
+    srv_ref.batcher.close()
+    srv_q.batcher.close()
+    srv_ref.server_close()
+    srv_q.server_close()

@@ -151,7 +151,8 @@ def _dense(p: dict, x: Array, dtype: Any, mode: str) -> Array:
     return y.astype(dtype)
 
 
-def serving_forward(core, params: dict, quantize: bool = False, mode: str = "w8a8"):
+def serving_forward(core, params: dict, quantize: bool = False, mode: str = "w8a8",
+                    qparams: dict | None = None):
     """One-stop forward selection for the serving/scoring integrations.
 
     Returns ``(forward_fn, serve_params)``: the float eval forward over the
@@ -159,11 +160,66 @@ def serving_forward(core, params: dict, quantize: bool = False, mode: str = "w8a
     copy. All serving surfaces (serve.py, stream/engine.py,
     stream/multicam.py, anomaly/offline.py) route through this so precision
     selection lives in exactly one place.
+
+    ``qparams`` supplies a pre-quantized tree (load_quantized_checkpoint):
+    the bf16 ``params`` are then not touched at all — the int8-checkpoint
+    serving boot path, which skips both the multi-GB float upload and the
+    on-device quantization pass.
     """
+    if qparams is not None:
+        return (lambda p, x: call_quantized(core, p, x, mode=mode)), qparams
     if quantize:
         qparams = quantize_params(core, params)
         return (lambda p, x: call_quantized(core, p, x, mode=mode)), qparams
     return (lambda p, x: core.call(p, x, training=False)), params
+
+
+QUANTIZED_SUBDIR = "quantized"
+
+
+def save_quantized_checkpoint(log_dir: str, qparams: dict) -> str:
+    """Persist a quantized param tree under ``<log_dir>/quantized``.
+
+    Serving motivation (BENCH_NOTES r4): the flagship serve.py cold boot is
+    dominated by uploading the 1.6 GB bf16 checkpoint through the
+    host->device link; the int8 tree is ~0.8 GB and already quantized, so a
+    ``--quantize`` boot that finds this directory uploads half the bytes and
+    skips the on-device quantization pass. Produced by
+    ``tools/quantize_checkpoint.py`` (or any caller of quantize_params).
+    """
+    import os
+
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(log_dir, QUANTIZED_SUBDIR))
+    host = jax.tree_util.tree_map(np.asarray, qparams)
+    ck = ocp.StandardCheckpointer()
+    ck.save(path, host, force=True)
+    ck.wait_until_finished()
+    return path
+
+
+def load_quantized_checkpoint(log_dir: str) -> dict:
+    """Load ``<log_dir>/quantized`` (dtypes/structure come from the
+    checkpoint itself — int8 kernels, f32 scales, float biases/convs)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(log_dir, QUANTIZED_SUBDIR))
+    assert os.path.isdir(path), f"no quantized checkpoint at {path}"
+    ck = ocp.StandardCheckpointer()
+    host = ck.restore(path)
+    # commit to device ONCE — a host tree passed to a jitted forward would
+    # re-upload the whole ~0.8 GB every dispatch
+    return jax.device_put(host)
+
+
+def has_quantized_checkpoint(log_dir: str) -> bool:
+    import os
+
+    return os.path.isdir(os.path.join(log_dir, QUANTIZED_SUBDIR))
 
 
 def call_quantized(core, qparams: dict, x: Array, mode: str = "w8a8") -> Array:

@@ -53,32 +53,42 @@ def import_vae_based_on_type(vae_type: str | None):
     return KurtosisGlobalCVAE
 
 
-def load_model_from_config(config: dict):
-    """Build the stateful wrapper (fresh random params). load_model.py:70-72.
+def resolve_precision(config: dict):
+    """(compute dtype, param dtype) from config['training']['precision'].
 
-    ``config['training']['precision']`` (new knob, default 'float32') selects
-    the compute/parameter dtype: 'bfloat16' is the TPU production mode used by
-    the benchmarks (f32 loss reductions either way); 'mixed' keeps f32 params
-    with bf16 compute.
+    New knob, default 'float32': 'bfloat16' is the TPU production mode used
+    by the benchmarks (f32 loss reductions either way); 'mixed' keeps f32
+    params with bf16 compute.
     """
     import jax.numpy as jnp
 
-    from trustedai_cl_vae_ad_tpu.models.wrapper import VAEModel
-
-    core_cls = import_vae_based_on_type(config["model"].get("type"))
     precision = str(config.get("training", {}).get("precision", "float32")).lower()
     if precision in ("bfloat16", "bf16"):
-        dtype = param_dtype = jnp.bfloat16
+        return jnp.bfloat16, jnp.bfloat16
     elif precision == "mixed":
-        dtype, param_dtype = jnp.bfloat16, jnp.float32
+        return jnp.bfloat16, jnp.float32
     elif precision in ("float32", "f32", "fp32"):
-        dtype = param_dtype = jnp.float32
-    else:
-        raise ValueError(
-            f"Unknown training.precision {precision!r}: "
-            f"use float32, bfloat16, or mixed"
-        )
-    return VAEModel(core_cls(deepcopy(config), dtype=dtype, param_dtype=param_dtype))
+        return jnp.float32, jnp.float32
+    raise ValueError(
+        f"Unknown training.precision {precision!r}: "
+        f"use float32, bfloat16, or mixed"
+    )
+
+
+def build_core_from_config(config: dict):
+    """The functional core only — NO parameter allocation. For consumers
+    that bring their own params (e.g. serve.py's int8-checkpoint boot, which
+    must not materialize the multi-GB float tree it is skipping)."""
+    core_cls = import_vae_based_on_type(config["model"].get("type"))
+    dtype, param_dtype = resolve_precision(config)
+    return core_cls(deepcopy(config), dtype=dtype, param_dtype=param_dtype)
+
+
+def load_model_from_config(config: dict):
+    """Build the stateful wrapper (fresh random params). load_model.py:70-72."""
+    from trustedai_cl_vae_ad_tpu.models.wrapper import VAEModel
+
+    return VAEModel(build_core_from_config(config))
 
 
 def load_model_from_config_path(config_path: str):
