@@ -251,3 +251,34 @@ def test_degenerate_scale_yields_finite_z(tiny_model):
     res = evaluate_anomalies(model, config, data, scale, 3.0, keep_maps=True)
     assert np.isfinite(res["z_scores"]).all()
     assert np.isfinite(res["norm_errs"]).all()
+
+
+def test_normal_ppf_accuracy():
+    from trustedai_cl_vae_ad_tpu.anomaly.cdf import normal_ppf
+
+    # round-trip against the error function (no scipy dependency): check
+    # known standard-normal quantiles
+    known = {0.5: 0.0, 0.9: 1.2815515655, 0.975: 1.9599639845,
+             0.995: 2.5758293035, 0.0228: -1.9990772150}
+    for p, z in known.items():
+        assert abs(normal_ppf(p) - z) < 1e-6, p
+
+
+def test_threshold_from_cdf_robust_to_contamination():
+    """A handful of huge anomaly scores in the history must NOT drag the
+    robust threshold up (the raw empirical quantile IS those scores)."""
+    import numpy as np
+
+    from trustedai_cl_vae_ad_tpu.anomaly.cdf import CDFObject, threshold_from_cdf
+
+    rng = np.random.RandomState(0)
+    clean = rng.normal(0.0, 1.0, 1000)
+    contaminated = np.concatenate([clean, np.full(8, 50.0)])  # 8 anomalies
+    thr_clean = threshold_from_cdf(CDFObject(clean), 0.995)
+    thr_cont = threshold_from_cdf(CDFObject(contaminated), 0.995)
+    # robust: both near z(0.995)=2.58 (histogram-bin slack)
+    assert 2.0 < thr_clean < 3.6, thr_clean
+    assert abs(thr_cont - thr_clean) < 0.7, (thr_clean, thr_cont)
+    # the raw quantile collapses onto the contamination
+    raw = threshold_from_cdf(CDFObject(contaminated), 0.995, robust=False)
+    assert raw > 10.0, raw

@@ -536,6 +536,11 @@ def test_state_machine_honors_injected_clock(engine):
     """Hold-period expiry must run on the same clock as the injected `now` —
     a replayed stream with simulated timestamps must not wait wall time."""
     hold = float(engine.anomaly_settings["anomalous_state_period_s"])
+    # own the precondition: a prior test may have latched the state on the
+    # WALL clock (module-scoped engine), which must not leak into this
+    # simulated-clock scenario
+    engine.anomalous_state = False
+    engine.anomalous_start_time = None
     engine.toggle_anomalous_state(True, now=100.0)
     assert engine.anomalous_state
     engine.anomaly_score = -1e9  # below any threshold
@@ -571,3 +576,34 @@ def test_paced_reader_mixed_fps():
     assert uniques == 5, uniques
     # repeats are the cached frame, bit-identical
     assert np.array_equal(slow_frames[0], slow_frames[1])
+
+
+def test_new_task_keeps_scorer_state_by_default(engine):
+    """new_task() resets the per-task CDF but KEEPS the scorer EMA state
+    (resetting it rails scores at the z-cap for dozens of frames — the
+    measured boundary false-alarm storm, benchmarks/cl_quality.py);
+    reset_scorer=True forces the hard reset."""
+    rng = np.random.RandomState(9)
+    for _ in range(4):
+        engine.process_frame(rng.randint(0, 255, (20, 24, 3), np.uint8))
+    maps_before = np.asarray(engine.score_state.maps).copy()
+    assert np.abs(maps_before).max() > 0
+    engine._score_history.extend([1.0, 2.0])
+    engine.new_task()
+    assert len(engine._score_history) == 0
+    np.testing.assert_array_equal(np.asarray(engine.score_state.maps), maps_before)
+    engine.new_task(reset_scorer=True)
+    assert np.abs(np.asarray(engine.score_state.maps)).max() == 0
+
+
+def test_cdf_warmup_skip_excludes_transition_scores(engine):
+    """anomaly_settings['cdf_warmup_skip']: the first K post-new_task scores
+    stay out of the CDF history (the task-transition storm must not pin the
+    per-task quantile at the z-cap)."""
+    engine.anomaly_settings = dict(engine.anomaly_settings, cdf_warmup_skip=3)
+    engine.new_task()
+    for s in (9.9, 9.9, 9.9, 1.0, 1.1):
+        engine._record_score(s)
+    assert list(engine._score_history) == [1.0, 1.1]
+    engine.anomaly_settings.pop("cdf_warmup_skip")
+    engine.new_task()

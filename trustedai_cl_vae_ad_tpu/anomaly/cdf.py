@@ -146,3 +146,55 @@ if __name__ == "__main__":
         print(f" - {p:0.03f}: {cdf.get_value_by_prob(p):0.03f}")
     print(f"95%: {cdf.get_value_by_prob(0.95)}")
     benchmark_reset(n=args.num_samples, alpha=args.alpha, beta=args.beta)
+
+
+def normal_ppf(p: float) -> float:
+    """Inverse standard-normal CDF (Acklam's rational approximation,
+    |rel err| < 1.15e-9 — public-domain algorithm). Used by the robust
+    tail-extrapolated threshold; avoids a scipy dependency."""
+    assert 0.0 < p < 1.0
+    a = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = np.sqrt(-2 * np.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        q = np.sqrt(-2 * np.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / \
+           (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+
+
+def threshold_from_cdf(cdf: "CDFObject", quantile: float, robust: bool = True) -> float:
+    """Anomaly threshold at ``quantile`` from a score CDF.
+
+    ``robust=True`` (the CL default) extrapolates the target quantile from
+    the distribution BULK — q50 and q90, which a few true-anomaly scores in
+    the history cannot move — scaled by the standard-normal quantile ratio:
+
+        thr = q50 + (z(quantile) / z(0.9)) * (q90 - q50)
+
+    The raw empirical quantile (robust=False) reads the top (1-q) fraction
+    of the history directly; with ~1000 samples and q=0.995 that IS the
+    handful of anomaly scores the stream just flagged, so each detection
+    raises the threshold above the next anomaly (threshold masking, measured
+    in benchmarks/cl_quality.py). The extrapolated form tracks the normal
+    distribution's scale instead.
+    """
+    if not robust:
+        return float(cdf.get_value_by_prob(quantile))
+    q50 = float(cdf.get_value_by_prob(0.5))
+    q90 = float(cdf.get_value_by_prob(0.9))
+    factor = normal_ppf(quantile) / normal_ppf(0.9)
+    return q50 + factor * max(q90 - q50, 0.0)

@@ -190,6 +190,7 @@ class StreamingEngine:
         self._score_history: deque = deque(maxlen=1024)
         self._cdf = None
         self._cdf_dirty = 0
+        self._task_scored = 0  # frames scored since the last new_task()
 
         # mutable dials (reference GUI spinboxes)
         self.enable_cont_learning = False
@@ -351,9 +352,7 @@ class StreamingEngine:
 
         score_f = float(score)
         self.anomaly_score = score_f
-        if np.isfinite(score_f):
-            self._score_history.append(score_f)
-            self._cdf_dirty += 1
+        self._record_score(score_f)
         self.check_anomalous_state(now)
         ma = self.anomaly_ma_weight * self.anomaly_score_ma + (1.0 - self.anomaly_ma_weight) * score_f
         if not np.isnan(ma):  # reference :1407-1408
@@ -393,9 +392,7 @@ class StreamingEngine:
         score_count = np.asarray(score_count)
         score_f = float(score_count[0])
         self.anomaly_score = score_f
-        if np.isfinite(score_f):
-            self._score_history.append(score_f)
-            self._cdf_dirty += 1
+        self._record_score(score_f)
         self.check_anomalous_state(now)
         ma = self.anomaly_ma_weight * self.anomaly_score_ma + (1.0 - self.anomaly_ma_weight) * score_f
         if not np.isnan(ma):
@@ -465,14 +462,46 @@ class StreamingEngine:
         else:
             self.anomalous_state = False
 
-    def new_task(self) -> None:
-        """Continual-learning task boundary: reset the per-task score CDF and
-        the streaming EMA statistics so thresholds adapt to the new task."""
+    def new_task(self, reset_scorer: bool = False) -> None:
+        """Continual-learning task boundary: reset the per-task score CDF so
+        the threshold re-derives from the new task's score distribution.
+
+        The streaming-scorer EMA state is KEPT by default: it is an
+        exponential average that re-adapts to the new scene on its own,
+        whereas re-seeding it from zero rails the score at the z-cap for
+        dozens of frames — a measured false-alarm storm at every task
+        boundary (benchmarks/cl_quality.py). Pass ``reset_scorer=True`` for
+        a hard reset (e.g. a physical camera swap where the resolution or
+        exposure regime changes)."""
         self._score_history.clear()
         self._cdf = None
         self._cdf_dirty = 0
-        self.score_state = stream_score.init_state(self.height, self.width)
+        self._task_scored = 0
+        if reset_scorer:
+            self.score_state = stream_score.init_state(self.height, self.width)
         self.anomaly_score_ma = 0.0
+
+    def _record_score(self, score_f: float) -> None:
+        """Append a score to the per-task CDF history.
+
+        ``anomaly_settings['cdf_warmup_skip']`` (optional, default 0) drops
+        the first K post-new_task() scores from the history: right after a
+        task switch the scorer EMAs are re-seeding and scores transiently
+        rail at the z-cap (sqrt(alpha/(1-alpha))); folding that transition
+        storm into the CDF pins the per-task quantile at the cap and the
+        threshold never fires again (measured in benchmarks/cl_quality.py).
+        Alarming behavior during the transition is unchanged — only the
+        threshold statistics ignore it."""
+        self._task_scored += 1
+        if not np.isfinite(score_f):
+            return
+        skip = 0
+        if self.anomaly_settings is not None:
+            skip = int(self.anomaly_settings.get("cdf_warmup_skip", 0))
+        if self._task_scored <= skip:
+            return
+        self._score_history.append(score_f)
+        self._cdf_dirty += 1
 
     def current_threshold(self) -> float:
         """Active anomaly threshold: fixed, or the per-task CDF quantile."""
@@ -484,8 +513,14 @@ class StreamingEngine:
 
                 self._cdf = CDFObject(np.asarray(self._score_history))
                 self._cdf_dirty = 0
+            from trustedai_cl_vae_ad_tpu.anomaly.cdf import threshold_from_cdf
+
             q = float(self.anomaly_settings.get("cdf_quantile", 0.995))
-            return float(self._cdf.get_value_by_prob(q))
+            # robust tail extrapolation by default: the raw empirical
+            # quantile of a ~1k-sample history is the last few anomaly
+            # scores themselves (threshold masking) — cdf.threshold_from_cdf
+            robust = bool(self.anomaly_settings.get("cdf_robust_tail", True))
+            return threshold_from_cdf(self._cdf, q, robust=robust)
         return threshold
 
     def check_anomalous_state(self, now: Optional[float] = None) -> None:

@@ -229,8 +229,11 @@ class MultiCameraEngine:
 
                 self._cdf[i] = CDFObject(np.asarray(self._score_history[i]))
                 self._cdf_dirty[i] = 0
+            from trustedai_cl_vae_ad_tpu.anomaly.cdf import threshold_from_cdf
+
             q = float(self.anomaly_settings.get("cdf_quantile", 0.995))
-            return float(self._cdf[i].get_value_by_prob(q))
+            robust = bool(self.anomaly_settings.get("cdf_robust_tail", True))
+            return threshold_from_cdf(self._cdf[i], q, robust=robust)
         return threshold
 
     def _update_state_machine(self, i: int, score: float, now: float) -> None:
