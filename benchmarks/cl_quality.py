@@ -194,6 +194,7 @@ def main():
     }
     eng_cdf = build_engine(config, cdf_settings, seed=0)
     rec_cdf = run_stream(eng_cdf, tasks_frames, use_new_task=True)
+    del eng_cdf  # flagship engine ~8 GB on device (params + Adam moments)
 
     # --- policy B: the reference behavior — one fixed threshold calibrated
     # on task 0, no reset. Calibration pass: run task 0 with an inert
@@ -202,6 +203,7 @@ def main():
                           anomaly_score_threshold=1e9)
     eng_cal = build_engine(config, calib_settings, seed=0)
     cal = run_stream(eng_cal, tasks_frames[:1], use_new_task=False)
+    del eng_cal
     anom_frames = {i for span in anom_events for i in span}
     # operator calibration: steady-state scores of task 0 (the boundary
     # window and anomaly frames excluded) — the fixed policy's best case
