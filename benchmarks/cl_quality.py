@@ -148,7 +148,11 @@ def main():
     parser.add_argument("--frames-per-task", type=int, default=240)
     parser.add_argument("--boundary", type=int, default=40,
                         help="frames after a switch counted as boundary window")
-    parser.add_argument("--blob", type=int, default=28)
+    parser.add_argument("--blob", type=int, default=64,
+                        help="anomaly blob side; default ~5%% of pixels at "
+                             "224x300 (matching the small preset's relative "
+                             "size — a 1%% blob is invisible to the count-"
+                             "based streaming scorer)")
     parser.add_argument("--calib-quantile", type=float, default=0.995)
     args = parser.parse_args()
 
@@ -167,7 +171,8 @@ def main():
         "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
                  "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
         "model": model_cfg,
-        "training": {"batch_size": 16, "beta": 1e-6, "learning_rate": 1e-3,
+        "training": {"batch_size": 16, "beta": 1e-6,
+                     "learning_rate": 1e-3 if args.preset == "small" else 1e-4,
                      "max_epochs": 1, "precision": precision},
     }
 
