@@ -58,30 +58,6 @@ def build_train_step(
     )
 
 
-def build_train_step_auto(
-    core: AbstractCVAE, optimizer: optax.GradientTransformation
-) -> Callable:
-    """Sharding-agnostic jitted train step: placements follow the data.
-
-    Use with tensor-parallel parameter layouts (parallel/tp.py): place params
-    with tp.place_params, init the optimizer on the placed params (optax
-    states inherit the shardings), shard the batch with mesh.shard_batch —
-    GSPMD propagates everything else and inserts the collectives.
-    """
-
-    def train_step(params, opt_state, x, rng):
-        def loss_fn(p):
-            loss_dict, x_hat = core.compute_loss(p, x, training=True, return_inf=True, rng=rng)
-            return loss_dict["loss"], (loss_dict, x_hat)
-
-        grads, (loss_dict, x_hat) = jax.grad(loss_fn, has_aux=True)(params)
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt_state, loss_dict, x_hat
-
-    return jax.jit(train_step, donate_argnums=(0, 1))
-
-
 def build_train_step_sharded(
     core: AbstractCVAE,
     optimizer: optax.GradientTransformation,
