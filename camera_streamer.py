@@ -47,8 +47,9 @@ def get_args():
                              "<model-cache-dir>/metrics when CL is enabled.")
     parser.add_argument("--all-cameras", action="store_true",
                         help="Batch ALL cam_config camera_list streams into one "
-                             "TPU dispatch per tick (MultiCameraEngine; inference"
-                             "+scoring only — CL stays single-stream)")
+                             "TPU dispatch per tick (MultiCameraEngine); with "
+                             "-c, fleet CL: one gradient step per period on "
+                             "the union of all streams' recent frames")
     parser.add_argument("--n-streams", type=int, default=None,
                         help="With --all-cameras --source synthetic: stream count")
     parser.add_argument("--combine-datasets", nargs="+", metavar="SRC",
@@ -123,10 +124,17 @@ def run_all_cameras(args):
         fps_list = [20.0] * n
     fps = max(fps_list)
 
+    metrics = None
+    if args.metrics_dir:
+        from trustedai_cl_vae_ad_tpu.utils.metrics import MetricsWriter
+
+        metrics = MetricsWriter(args.metrics_dir)
+
     model, config = load_model_from_directory(args.model_dir)  # restores params
     engine = MultiCameraEngine(model, config, n_streams=len(specs),
                                anomaly_settings=anomaly_settings,
-                               quantize=args.quantize)
+                               quantize=args.quantize, metrics=metrics)
+    engine.enable_cont_learning = args.continual_learning
     # the batched tick runs at the fastest camera's rate; each source is
     # paced at ITS fps by PacedReader (repeats its latest frame between dues)
     sources = [PacedReader(make_source(s, fps=f), f, fps)

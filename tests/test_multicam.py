@@ -171,3 +171,138 @@ def test_mixed_resolution_streams(setup):
         np.testing.assert_allclose(out[1].score, want[1].score,
                                    atol=1e-5, equal_nan=True)
     assert eng._ref_shape == (20, 24, 3)
+
+
+# ---------------------------------------------------------------- fleet CL
+
+def _fresh_model(config):
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    return load_model_from_config(config)
+
+
+def test_cl_step_matches_manual(setup):
+    """Fleet CL = ONE gradient step on the union ring: the params after the
+    engine's CL step must equal a hand-built optax step on the stacked
+    (ticks x streams) batch with the same rng."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    _, config, settings = setup
+    model_a = _fresh_model(config)  # CL mutates weights: never the shared model
+    model_b = _fresh_model(config)
+
+    multi = MultiCameraEngine(model_a, config, n_streams=2,
+                              anomaly_settings=dict(settings), cl_ring_ticks=2)
+    multi.enable_cont_learning = True
+
+    rng = np.random.RandomState(7)
+    ticks = [[rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)]
+             for _ in range(3)]
+    # period 500 ms: ticks at 0.1/0.2 only fill the ring; tick at 1.0 fires CL
+    multi.process_frames(ticks[0], now=0.1)
+    multi.process_frames(ticks[1], now=0.2)
+    multi.process_frames(ticks[2], now=1.0)
+    assert multi.cl_epochs == 1
+    assert np.isfinite(multi.last_epoch_loss["loss"])
+
+    # manual step on the same model init (same config -> same seeded params)
+    model_b.compile()
+    rng_b = model_b._next_rng()  # draw #2, same as the engine's CL draw
+    # ring slots at CL time: slot0 = tick2 (overwrote tick0), slot1 = tick1
+    stacked = jnp.asarray(np.stack(ticks[2] + ticks[1]).astype(np.float32) / 255.0)
+    weights = jnp.ones(4, jnp.float32)
+    core, opt = model_b.core, model_b.optimizer
+
+    def loss_fn(p):
+        ld, _ = core.compute_loss(p, stacked, training=True, return_inf=True,
+                                  rng=rng_b, weights=weights)
+        return ld["loss"], ld
+
+    grads, ld = jax.grad(loss_fn, has_aux=True)(model_b.params)
+    updates, _ = opt.update(grads, model_b.opt_state, model_b.params)
+    want = optax.apply_updates(model_b.params, updates)
+
+    np.testing.assert_allclose(
+        float(ld["loss"]), multi.last_epoch_loss["loss"], rtol=1e-5)
+    got_leaves = jax.tree_util.tree_leaves(multi.model.params)
+    want_leaves = jax.tree_util.tree_leaves(want)
+    for g, w in zip(got_leaves, want_leaves):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_cl_masks_dropped_streams(setup):
+    """Dropped frames carry weight 0: CL on [frame, None] ticks is finite and
+    steps the weights; an all-dropped ring never steps at all."""
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    _, config, settings = setup
+    model = _fresh_model(config)
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=dict(settings), cl_ring_ticks=2)
+    multi.enable_cont_learning = True
+
+    # all-dropped ticks: the CL cadence fires but no step happens
+    multi.process_frames([None, None], now=1.0)
+    assert multi.cl_epochs == 0 and multi.last_epoch_loss is None
+
+    rng = np.random.RandomState(8)
+    f = lambda: rng.randint(0, 255, (16, 16, 3), np.uint8)
+    multi.process_frames([f(), None], now=1.1)
+    multi.process_frames([f(), None], now=2.0)  # fires with half the rows
+    assert multi.cl_epochs == 1
+    assert np.isfinite(multi.last_epoch_loss["loss"])
+
+
+def test_cl_learns_static_fleet(setup):
+    """Shared weights actually fit the union of scenes: loss drops over CL
+    steps on two static (different) camera scenes, and the post-CL serving
+    forward reflects the trained weights (serve-params refresh)."""
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    _, config, settings = setup
+    model = _fresh_model(config)
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=dict(settings), cl_ring_ticks=2)
+    multi.enable_cont_learning = True
+    multi.set_learning_rate(1e-3)
+
+    rng = np.random.RandomState(9)
+    scene = [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)]
+    losses = []
+    for t in range(12):
+        multi.process_frames(list(scene), now=float(t))  # period 500ms -> fires each tick
+        if multi.last_epoch_loss is not None:
+            losses.append(multi.last_epoch_loss["loss"])
+    assert len(losses) >= 10
+    assert losses[-1] < losses[0], losses
+
+
+def test_cl_quantized_serving_refresh(setup):
+    """CL with the int8 serving path: the float weights train, the serving
+    copy re-quantizes after each step, and scoring keeps working."""
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    _, config, settings = setup
+    model = _fresh_model(config)
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=dict(settings), cl_ring_ticks=2,
+                              quantize=True)
+    multi.enable_cont_learning = True
+    rng = np.random.RandomState(11)
+    f = lambda: rng.randint(0, 255, (16, 16, 3), np.uint8)
+    import jax
+
+    before = [np.asarray(x).copy()
+              for x in jax.tree_util.tree_leaves(multi._serve_params)]
+    out = None
+    for t in range(3):
+        out = multi.process_frames([f(), f()], now=float(t))
+    assert multi.cl_epochs >= 1
+    after = jax.tree_util.tree_leaves(multi._serve_params)
+    assert any(not np.array_equal(b, np.asarray(a))
+               for b, a in zip(before, after))
+    assert out[0] is not None and out[0].norm_err_u8.shape == (16, 16)

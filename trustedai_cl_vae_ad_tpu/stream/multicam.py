@@ -8,11 +8,16 @@ keeps a batched scorer state (maps (K,2,H,W), scalars (K,6)) and runs
 resize -> forward -> vmapped EMA scorer for all streams as a single jitted
 program per tick.
 
-Scope: inference + scoring + per-stream anomaly state machines. Continual
-learning and recording remain on the single-stream StreamingEngine (CL
-mutates shared weights; batching it across cameras changes training
-semantics). Score math is identical to stream_score (vmapped jnp form —
-equivalence vs K independent engines is tested).
+Scope: inference + scoring + per-stream anomaly state machines + fleet
+continual learning. CL here is ONE gradient step on the union of all
+streams' recent frames (a device ring of the last ``cl_ring_ticks`` ticks
+x K streams, dropped frames masked out by per-row loss weights) — the
+shared weights learn every camera's scene at once, which is both the only
+coherent semantics for a shared model and the TPU-economical shape (one
+big batched train step instead of K small ones). Replay-buffer loading and
+recording remain on the single-stream StreamingEngine. Score math is
+identical to stream_score (vmapped jnp form — equivalence vs K independent
+engines is tested).
 
 Missing frames (a camera dropping a tick) are handled with a validity mask:
 that stream's EMA state is left untouched and its score reports NaN for the
@@ -60,6 +65,9 @@ class MultiCameraEngine:
         stream_error_ma: float = 0.99,
         anomaly_ma_weight: float = 0.9,
         quantize: bool = False,
+        continuous_learning_period_ms: float = 500.0,
+        cl_ring_ticks: int = 4,
+        metrics=None,
     ):
         assert n_streams >= 1
         self.model = model
@@ -96,6 +104,24 @@ class MultiCameraEngine:
 
         self._ref_shape = None  # pinned at the first tick (one jit shape)
         self._resize_warned = set()
+
+        # fleet continual learning (reference CL semantics :1319-1353, lifted
+        # to K streams). Everything is allocated lazily on the first enabled
+        # tick so an inference-only engine pays neither the optimizer-state
+        # memory (2x params) nor the train-step compile.
+        self.enable_cont_learning = False
+        self.continuous_learning_period_ms = float(continuous_learning_period_ms)
+        self.cl_ring_ticks = int(cl_ring_ticks)
+        self.metrics = metrics
+        self.cl_epochs = 0
+        self.last_epoch_loss: Optional[dict] = None
+        self.model_changed_flag = False
+        self._last_cl_t = 0.0
+        self._cl_ring = None  # (T, K, H, W, C) f32, model-resolution frames
+        self._cl_valid: Optional[np.ndarray] = None  # (T, K) row weights
+        self._cl_tick = 0
+        self._cl_step_j = None
+        self._store_tick_j = None
 
         self._build_jit()
 
@@ -162,9 +188,96 @@ class MultiCameraEngine:
             norm_u8 = jnp.clip(jnp.round(255.0 * norm), 0, 255).astype(jnp.uint8)
             rec_u8 = jnp.clip(jnp.round(255.0 * x_hat), 0, 255).astype(jnp.uint8)
             score_count = jnp.stack([score, count], axis=1)  # (K, 2), one fetch
-            return maps, scalars, norm_u8, rec_u8, score_count
+            # x (the model-resolution batch) also returns so the CL ring can
+            # store it; it stays a device buffer and is dropped when CL is off
+            return maps, scalars, norm_u8, rec_u8, score_count, x
 
         self._step_j = jax.jit(step, donate_argnums=(2, 3))
+
+    def _refresh_serve_params(self) -> None:
+        """Snapshot the params used by the inference dispatch (re-quantizing
+        when the int8 path is on). Called after every CL step, mirroring the
+        single-stream engine."""
+        from trustedai_cl_vae_ad_tpu.ops.quant import serving_forward
+
+        _, self._serve_params = serving_forward(
+            self.model.core, self.model.params, quantize=self.quantized
+        )
+
+    # ------------------------------------------------------------ fleet CL
+    def _ensure_cl(self) -> None:
+        """Lazily allocate the CL ring, optimizer state, and train-step jit."""
+        if self._cl_ring is not None:
+            return
+        if self.model.optimizer is None:
+            self.model.compile()
+        t, k = self.cl_ring_ticks, self.n_streams
+        self._cl_ring = jnp.zeros(
+            (t, k, self.height, self.width, self.channels), jnp.float32
+        )
+        self._cl_valid = np.zeros((t, k), np.float32)
+
+        def store_tick(ring, x, tick):
+            return jax.lax.dynamic_update_slice(
+                ring, x.astype(ring.dtype)[None], (tick, 0, 0, 0, 0)
+            )
+
+        self._store_tick_j = jax.jit(store_tick, donate_argnums=(0,))
+
+        core = self.model.core
+        optimizer = self.model.optimizer
+
+        def cl_step(params, opt_state, ring, weights, rng):
+            stacked = ring.reshape((-1,) + ring.shape[2:])
+
+            def loss_fn(p):
+                loss_dict, _x_hat = core.compute_loss(
+                    p, stacked, training=True, return_inf=True, rng=rng,
+                    weights=weights,
+                )
+                return loss_dict["loss"], loss_dict
+
+            grads, loss_dict = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            import optax
+
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss_dict
+
+        self._cl_step_j = jax.jit(cl_step, donate_argnums=(0, 1))
+
+    def _do_cl_step(self) -> Optional[dict]:
+        """One gradient step on the fleet ring (all streams, masked rows).
+
+        Mirrors StreamingEngine._do_cl_step: weight-0 rows (dropped frames /
+        not-yet-filled ring slots) contribute to no loss statistic, so the
+        jitted step has exactly one shape regardless of how many streams
+        delivered a frame this tick."""
+        if self._cl_valid is None or self._cl_valid.sum() == 0:
+            return None  # nothing real in the ring yet
+        weights = jnp.asarray(self._cl_valid.reshape(-1))
+        rng = self.model._next_rng()
+        (self.model.params, self.model.opt_state, loss) = self._cl_step_j(
+            self.model.params, self.model.opt_state, self._cl_ring, weights, rng
+        )
+        self.cl_epochs += 1
+        self._refresh_serve_params()  # serving copy tracks the trained params
+        loss = {k: float(v) for k, v in loss.items()}
+        self.last_epoch_loss = loss
+        self.model_changed_flag = True
+        if self.metrics is not None:
+            self.metrics.log(self.cl_epochs, loss, prefix="cl/")
+        return loss
+
+    def set_learning_rate(self, lr: float) -> None:
+        if self.model.optimizer is None:
+            self.model.compile()
+        self.model.set_learning_rate(lr)
+
+    def set_img_noise(self, beta: float) -> None:
+        """GUI img-noise dial -> model.beta (same dead-path parity note as
+        StreamingEngine.set_img_noise)."""
+        self.model.beta = beta
 
     def process_frames(
         self, frames: Sequence[Optional[np.ndarray]], now: Optional[float] = None
@@ -189,10 +302,23 @@ class MultiCameraEngine:
                     f = self._host_resize(i, f, ref_shape)
                 batch[i] = f
 
-        (self.maps, self.scalars, norm_u8, rec_u8, score_count) = self._step_j(
+        (self.maps, self.scalars, norm_u8, rec_u8, score_count, x_dev) = self._step_j(
             self._serve_params, jnp.asarray(batch), self.maps, self.scalars,
             jnp.float32(self.stream_error_ma), jnp.asarray(valid),
         )
+
+        if self.enable_cont_learning:
+            self._ensure_cl()
+            slot = self._cl_tick % self.cl_ring_ticks
+            self._cl_ring = self._store_tick_j(
+                self._cl_ring, x_dev, jnp.int32(slot)
+            )
+            self._cl_valid[slot] = valid.astype(np.float32)
+            self._cl_tick += 1
+            if (now - self._last_cl_t) * 1000.0 > self.continuous_learning_period_ms:
+                self._last_cl_t = now
+                self._do_cl_step()
+
         sc = np.asarray(score_count)
 
         out: List[Optional[StreamStatus]] = []
