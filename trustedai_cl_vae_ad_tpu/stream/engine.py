@@ -430,7 +430,9 @@ class StreamingEngine:
         )
         self.cl_epochs += 1
         self._refresh_serve_params()  # serving copy tracks the trained params
-        loss = {k: float(v) for k, v in loss.items()}
+        # one pipelined fetch for the whole dict — per-scalar float() costs a
+        # round-trip each (12 keys x RTT dominated the CL step on the tunnel)
+        loss = {k: float(v) for k, v in jax.device_get(loss).items()}
         loss["anomaly_score"] = self.anomaly_score
         loss["anomaly_score_ma"] = self.anomaly_score_ma
         self.last_epoch_loss = loss

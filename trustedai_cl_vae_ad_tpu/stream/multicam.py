@@ -262,7 +262,9 @@ class MultiCameraEngine:
         )
         self.cl_epochs += 1
         self._refresh_serve_params()  # serving copy tracks the trained params
-        loss = {k: float(v) for k, v in loss.items()}
+        # one pipelined fetch for the whole dict — per-scalar float() costs a
+        # round-trip each (12 keys x RTT dominated the CL step on the tunnel)
+        loss = {k: float(v) for k, v in jax.device_get(loss).items()}
         self.last_epoch_loss = loss
         self.model_changed_flag = True
         if self.metrics is not None:
