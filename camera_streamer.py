@@ -133,7 +133,8 @@ def run_all_cameras(args):
     model, config = load_model_from_directory(args.model_dir)  # restores params
     engine = MultiCameraEngine(model, config, n_streams=len(specs),
                                anomaly_settings=anomaly_settings,
-                               quantize=args.quantize, metrics=metrics)
+                               quantize=args.quantize, metrics=metrics,
+                               model_cache_dir=args.model_cache_dir)
     engine.enable_cont_learning = args.continual_learning
     # the batched tick runs at the fastest camera's rate; each source is
     # paced at ITS fps by PacedReader (repeats its latest frame between dues)

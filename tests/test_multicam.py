@@ -306,3 +306,39 @@ def test_cl_quantized_serving_refresh(setup):
     assert any(not np.array_equal(b, np.asarray(a))
                for b, a in zip(before, after))
     assert out[0] is not None and out[0].norm_err_u8.shape == (16, 16)
+
+
+def test_cl_autosave_roundtrip(setup, tmp_path):
+    """Fleet-CL-trained weights persist: the autosave cycle saves iff dirty
+    (consuming the schedule flag), and the saved dir is loadable through the
+    standard registry with the trained params."""
+    import jax
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    _, config, settings = setup
+    model = _fresh_model(config)
+    cache = str(tmp_path / "cache")
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=dict(settings), cl_ring_ticks=2,
+                              model_cache_dir=cache, autosave_period_s=1.0)
+    multi.enable_cont_learning = True
+
+    rng = np.random.RandomState(12)
+    f = lambda: rng.randint(0, 255, (16, 16, 3), np.uint8)
+    multi.process_frames([f(), f()], now=0.1)  # arms the autosave timer
+    multi.process_frames([f(), f()], now=1.0)  # fires CL (dirty)
+    assert multi.cl_epochs >= 1 and multi.model_changed_flag
+    multi.process_frames([f(), f()], now=1.5)  # period elapsed -> autosave
+    assert not multi.model_changed_flag  # consumed by a successful save
+
+    loaded, _ = load_model_from_directory(cache)
+    for g, w in zip(jax.tree_util.tree_leaves(loaded.params),
+                    jax.tree_util.tree_leaves(multi.model.params)):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32), atol=1e-6)
+
+    # clean model: the schedule flag is consumed without writing
+    multi.schedule_model_save()
+    multi.process_frames([f(), f()], now=1.6)
+    assert not multi.schedule_model_save_flag

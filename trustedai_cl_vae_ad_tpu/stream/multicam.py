@@ -68,6 +68,8 @@ class MultiCameraEngine:
         continuous_learning_period_ms: float = 500.0,
         cl_ring_ticks: int = 4,
         metrics=None,
+        model_cache_dir: Optional[str] = None,
+        autosave_period_s: float = 5 * 60.0,
     ):
         assert n_streams >= 1
         self.model = model
@@ -122,6 +124,15 @@ class MultiCameraEngine:
         self._cl_tick = 0
         self._cl_step_j = None
         self._store_tick_j = None
+
+        # autosave: fleet CL mutates the shared weights, so the multicam
+        # engine keeps the single-stream engine's persistence semantics
+        # (schedule flag set by the period timer, consumed per tick, saves
+        # iff dirty, failure keeps the model dirty — reference :991-1008)
+        self.model_cache_dir = model_cache_dir
+        self.autosave_period_s = float(autosave_period_s)
+        self.schedule_model_save_flag = False
+        self._last_autosave_t: Optional[float] = None
 
         self._build_jit()
 
@@ -281,6 +292,47 @@ class MultiCameraEngine:
         StreamingEngine.set_img_noise)."""
         self.model.beta = beta
 
+    # ----------------------------------------------------------- model save
+    def save_model_to_dir(self, model_dir: str) -> str:
+        """Checkpoint + config.yml — the same log-dir ABI every tool loads
+        (StreamingEngine.save_model_to_dir minus cam_info/replay, which are
+        single-stream concepts)."""
+        import os
+        from copy import deepcopy
+
+        from trustedai_cl_vae_ad_tpu.config import save_config
+
+        os.makedirs(model_dir, exist_ok=True)
+        self.model.save_model(model_dir)
+        save_config(deepcopy(self.config), os.path.join(model_dir, "config.yml"))
+        print(f"Saved Model to {model_dir}")
+        return model_dir
+
+    def schedule_model_save(self) -> None:
+        self.schedule_model_save_flag = True
+
+    def _maybe_autosave(self, now: float) -> None:
+        """Same consume-the-flag/save-iff-dirty/stay-dirty-on-failure cycle
+        as StreamingEngine._maybe_autosave."""
+        if self.model_cache_dir is None:
+            return
+        if self._last_autosave_t is None:
+            self._last_autosave_t = now
+        if now - self._last_autosave_t >= self.autosave_period_s:
+            self._last_autosave_t = now
+            self.schedule_model_save_flag = True
+        if not self.schedule_model_save_flag:
+            return
+        self.schedule_model_save_flag = False
+        if not self.model_changed_flag:
+            return
+        try:
+            self.save_model_to_dir(self.model_cache_dir)
+        except Exception as e:
+            print(f"autosave failed (will retry at the next schedule): {e}")
+            return  # model stays dirty; the next schedule retries
+        self.model_changed_flag = False
+
     def process_frames(
         self, frames: Sequence[Optional[np.ndarray]], now: Optional[float] = None
     ) -> List[Optional[StreamStatus]]:
@@ -320,6 +372,7 @@ class MultiCameraEngine:
             if (now - self._last_cl_t) * 1000.0 > self.continuous_learning_period_ms:
                 self._last_cl_t = now
                 self._do_cl_step()
+        self._maybe_autosave(now)
 
         sc = np.asarray(score_count)
 
