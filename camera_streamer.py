@@ -136,6 +136,8 @@ def run_all_cameras(args):
                                quantize=args.quantize, metrics=metrics,
                                model_cache_dir=args.model_cache_dir)
     engine.enable_cont_learning = args.continual_learning
+    if args.replay_buffer:
+        engine.load_replay_buffer_from_file(args.replay_buffer)
     # the batched tick runs at the fastest camera's rate; each source is
     # paced at ITS fps by PacedReader (repeats its latest frame between dues)
     sources = [PacedReader(make_source(s, fps=f), f, fps)

@@ -342,3 +342,67 @@ def test_cl_autosave_roundtrip(setup, tmp_path):
     multi.schedule_model_save()
     multi.process_frames([f(), f()], now=1.6)
     assert not multi.schedule_model_save_flag
+
+
+def test_cl_replay_buffer(setup, tmp_path):
+    """Fleet CL with a replay buffer: the step must equal a hand-built optax
+    step on [ring-rows ++ replay-rows] with padded replay slots at weight 0,
+    loaded through the same txt-file format as the single-stream engine."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from PIL import Image
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    _, config, settings = setup
+    model_a = _fresh_model(config)
+    model_b = _fresh_model(config)
+
+    rng = np.random.RandomState(13)
+    replay_imgs = [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(3)]
+    paths = []
+    for i, img in enumerate(replay_imgs):
+        p = str(tmp_path / f"replay{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    listfile = str(tmp_path / "replay.txt")
+    with open(listfile, "w") as f:
+        f.write("\n".join(paths) + "\n")
+
+    multi = MultiCameraEngine(model_a, config, n_streams=2,
+                              anomaly_settings=dict(settings), cl_ring_ticks=2,
+                              replay_capacity=4)
+    multi.enable_cont_learning = True
+    assert multi.load_replay_buffer_from_file(listfile) == 3
+    assert multi.replay_buffer.shape == (4, 16, 16, 3)  # capacity-padded
+
+    ticks = [[rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)]
+             for _ in range(2)]
+    multi.process_frames(ticks[0], now=0.1)
+    multi.process_frames(ticks[1], now=1.0)  # fires CL with replay
+    assert multi.cl_epochs == 1
+
+    # manual step: ring slots [tick0, tick1] ++ replay (3 live + 1 pad)
+    model_b.compile()
+    rng_b = model_b._next_rng()
+    ring_rows = np.stack(ticks[0] + ticks[1]).astype(np.float32) / 255.0
+    replay_rows = np.asarray(multi.replay_buffer)
+    stacked = jnp.asarray(np.concatenate([ring_rows, replay_rows]))
+    weights = jnp.asarray(np.array([1, 1, 1, 1, 1, 1, 1, 0], np.float32))
+    core, opt = model_b.core, model_b.optimizer
+
+    def loss_fn(p):
+        ld, _ = core.compute_loss(p, stacked, training=True, return_inf=True,
+                                  rng=rng_b, weights=weights)
+        return ld["loss"], ld
+
+    grads, ld = jax.grad(loss_fn, has_aux=True)(model_b.params)
+    updates, _ = opt.update(grads, model_b.opt_state, model_b.params)
+    want = optax.apply_updates(model_b.params, updates)
+
+    np.testing.assert_allclose(
+        float(ld["loss"]), multi.last_epoch_loss["loss"], rtol=1e-5)
+    for g, w in zip(jax.tree_util.tree_leaves(multi.model.params),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-4, atol=1e-6)

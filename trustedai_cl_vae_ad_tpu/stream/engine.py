@@ -547,51 +547,15 @@ class StreamingEngine:
     # ----------------------------------------------------------- replay buffer
     def load_replay_buffer_from_file(self, input_filename: str) -> int:
         """txt (one path per line) or csv (first column) (reference :716-795)."""
-        assert os.path.isfile(input_filename), input_filename
-        ext = os.path.splitext(input_filename)[-1].lower()
-        if ext == ".txt":
-            with open(input_filename) as f:
-                paths = [os.path.normpath(r.strip()) for r in f if r.strip()]
-        elif ext == ".csv":
-            with open(input_filename) as f:
-                paths = [row[0] for row in csv.reader(f) if row]
-        else:
-            raise ValueError(f"Unrecognized extension: {ext}")
-        paths = [p for p in paths if os.path.isfile(p)]
-        return self.load_replay_buffer_from_filelist(paths)
+        return self.load_replay_buffer_from_filelist(
+            parse_replay_file(input_filename))
 
     def load_replay_buffer_from_filelist(self, filelist: list) -> int:
-        from trustedai_cl_vae_ad_tpu.data.ingest import preprocess_batch
-        from trustedai_cl_vae_ad_tpu.data.pipeline import ParallelDecodeIterable
-
-        # worker-pool decode (ordered, skips unreadable — same semantics as
-        # the serial loop it replaces) so a mid-stream buffer load doesn't
-        # stall the engine thread for the full serial decode time
-        decoded = [(img, os.path.abspath(p)) for img, p in ParallelDecodeIterable(filelist)]
-        if not decoded:
-            return 0
-        # device preprocess in FIXED-SIZE chunks grouped by native shape: the
-        # jit cache then holds one shape per source resolution, independent
-        # of how many images a load contains (a per-image dispatch paid a
-        # device round trip each; a whole-group dispatch would retrace per
-        # distinct group length — 90-200 s per compile on remote runtimes)
-        CHUNK = 32
-        target = [self.height, self.width, self.channels]
-        by_shape: dict = {}
-        for i, (img, _p) in enumerate(decoded):
-            by_shape.setdefault(img.shape, []).append(i)
-        imgs = [None] * len(decoded)
-        for idxs in by_shape.values():
-            for c0 in range(0, len(idxs), CHUNK):
-                block = idxs[c0 : c0 + CHUNK]
-                stack = [decoded[i][0] for i in block]
-                while len(stack) < CHUNK:  # pad tail to the one chunk shape
-                    stack.append(stack[-1])
-                proc = np.asarray(preprocess_batch(np.stack(stack), target))
-                for j, i in enumerate(block):
-                    imgs[i] = proc[j]
-        ok_paths = [p for _img, p in decoded]
+        imgs, ok_paths = decode_filelist_to_model_res(
+            filelist, self.height, self.width, self.channels)
         n = len(ok_paths)
+        if n == 0:
+            return 0
         if n > self.replay_capacity:
             # grow in RING_SIZE buckets so repeated oversized loads converge
             # to few distinct shapes
@@ -755,6 +719,58 @@ class StreamingEngine:
             print(f"autosave failed (will retry at the next schedule): {e}")
             return  # model stays dirty; the next 5-min schedule retries
         self.model_changed_flag = False
+
+
+def parse_replay_file(input_filename: str) -> list:
+    """Replay-buffer file -> existing image paths. txt (one path per line)
+    or csv (first column) (reference :716-795)."""
+    assert os.path.isfile(input_filename), input_filename
+    ext = os.path.splitext(input_filename)[-1].lower()
+    if ext == ".txt":
+        with open(input_filename) as f:
+            paths = [os.path.normpath(r.strip()) for r in f if r.strip()]
+    elif ext == ".csv":
+        with open(input_filename) as f:
+            paths = [row[0] for row in csv.reader(f) if row]
+    else:
+        raise ValueError(f"Unrecognized extension: {ext}")
+    return [p for p in paths if os.path.isfile(p)]
+
+
+def decode_filelist_to_model_res(filelist: list, height: int, width: int,
+                                 channels: int):
+    """Worker-pool decode + device preprocess of a replay filelist to model
+    resolution. Returns (list of f32 HWC arrays, abs paths of readable files).
+
+    Decode is ordered and skips unreadable files so a mid-stream buffer load
+    doesn't stall the engine thread for the full serial decode time. Device
+    preprocess runs in FIXED-SIZE chunks grouped by native shape: the jit
+    cache then holds one shape per source resolution, independent of how
+    many images a load contains (a per-image dispatch paid a device round
+    trip each; a whole-group dispatch would retrace per distinct group
+    length — 90-200 s per compile on remote runtimes)."""
+    from trustedai_cl_vae_ad_tpu.data.ingest import preprocess_batch
+    from trustedai_cl_vae_ad_tpu.data.pipeline import ParallelDecodeIterable
+
+    decoded = [(img, os.path.abspath(p)) for img, p in ParallelDecodeIterable(filelist)]
+    if not decoded:
+        return [], []
+    CHUNK = 32
+    target = [height, width, channels]
+    by_shape: dict = {}
+    for i, (img, _p) in enumerate(decoded):
+        by_shape.setdefault(img.shape, []).append(i)
+    imgs = [None] * len(decoded)
+    for idxs in by_shape.values():
+        for c0 in range(0, len(idxs), CHUNK):
+            block = idxs[c0 : c0 + CHUNK]
+            stack = [decoded[i][0] for i in block]
+            while len(stack) < CHUNK:  # pad tail to the one chunk shape
+                stack.append(stack[-1])
+            proc = np.asarray(preprocess_batch(np.stack(stack), target))
+            for j, i in enumerate(block):
+                imgs[i] = proc[j]
+    return imgs, [p for _img, p in decoded]
 
 
 def load_engine_from_directory(log_dir: str, **kwargs) -> StreamingEngine:

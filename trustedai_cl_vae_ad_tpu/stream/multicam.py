@@ -70,6 +70,7 @@ class MultiCameraEngine:
         metrics=None,
         model_cache_dir: Optional[str] = None,
         autosave_period_s: float = 5 * 60.0,
+        replay_capacity: int = 64,
     ):
         assert n_streams >= 1
         self.model = model
@@ -124,6 +125,18 @@ class MultiCameraEngine:
         self._cl_tick = 0
         self._cl_step_j = None
         self._store_tick_j = None
+
+        # replay buffer shared across the fleet (the reference's CL stacks
+        # ring + replay, camera_streamer_qt.py:1341-1344 — here the replay
+        # regularizes the SHARED weights against forgetting while every
+        # camera's live scene trains them). Capacity-padded like the
+        # single-stream engine: padded rows carry weight 0, so the CL step
+        # has exactly two jit shapes ever (with/without replay).
+        self.replay_capacity = int(replay_capacity)
+        self.replay_buffer = None  # (capacity, H, W, C) f32 device array
+        self.replay_n = 0
+        self.replay_buffer_paths: Optional[list] = None
+        self._cl_step_replay_j = None
 
         # autosave: fleet CL mutates the shared weights, so the multicam
         # engine keeps the single-stream engine's persistence semantics
@@ -238,8 +251,10 @@ class MultiCameraEngine:
         core = self.model.core
         optimizer = self.model.optimizer
 
-        def cl_step(params, opt_state, ring, weights, rng):
+        def cl_step(params, opt_state, ring, replay, weights, rng):
             stacked = ring.reshape((-1,) + ring.shape[2:])
+            if replay is not None:
+                stacked = jnp.concatenate([stacked, replay], axis=0)
 
             def loss_fn(p):
                 loss_dict, _x_hat = core.compute_loss(
@@ -255,7 +270,11 @@ class MultiCameraEngine:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss_dict
 
-        self._cl_step_j = jax.jit(cl_step, donate_argnums=(0, 1))
+        self._cl_step_j = jax.jit(
+            lambda p, s, ring, w, rng: cl_step(p, s, ring, None, w, rng),
+            donate_argnums=(0, 1),
+        )
+        self._cl_step_replay_j = jax.jit(cl_step, donate_argnums=(0, 1))
 
     def _do_cl_step(self) -> Optional[dict]:
         """One gradient step on the fleet ring (all streams, masked rows).
@@ -266,11 +285,21 @@ class MultiCameraEngine:
         delivered a frame this tick."""
         if self._cl_valid is None or self._cl_valid.sum() == 0:
             return None  # nothing real in the ring yet
-        weights = jnp.asarray(self._cl_valid.reshape(-1))
         rng = self.model._next_rng()
-        (self.model.params, self.model.opt_state, loss) = self._cl_step_j(
-            self.model.params, self.model.opt_state, self._cl_ring, weights, rng
-        )
+        if self.replay_buffer is not None:
+            replay_w = np.zeros(self.replay_buffer.shape[0], np.float32)
+            replay_w[: self.replay_n] = 1.0
+            weights = jnp.asarray(
+                np.concatenate([self._cl_valid.reshape(-1), replay_w]))
+            (self.model.params, self.model.opt_state, loss) = self._cl_step_replay_j(
+                self.model.params, self.model.opt_state, self._cl_ring,
+                self.replay_buffer, weights, rng
+            )
+        else:
+            weights = jnp.asarray(self._cl_valid.reshape(-1))
+            (self.model.params, self.model.opt_state, loss) = self._cl_step_j(
+                self.model.params, self.model.opt_state, self._cl_ring, weights, rng
+            )
         self.cl_epochs += 1
         self._refresh_serve_params()  # serving copy tracks the trained params
         # one pipelined fetch for the whole dict — per-scalar float() costs a
@@ -291,6 +320,41 @@ class MultiCameraEngine:
         """GUI img-noise dial -> model.beta (same dead-path parity note as
         StreamingEngine.set_img_noise)."""
         self.model.beta = beta
+
+    # ----------------------------------------------------------- replay
+    def load_replay_buffer_from_file(self, input_filename: str) -> int:
+        """txt/csv of image paths -> fleet replay buffer (same file formats
+        as the single-stream engine / reference :716-795)."""
+        from trustedai_cl_vae_ad_tpu.stream.engine import parse_replay_file
+
+        return self.load_replay_buffer_from_filelist(
+            parse_replay_file(input_filename))
+
+    def load_replay_buffer_from_filelist(self, filelist: list) -> int:
+        from trustedai_cl_vae_ad_tpu.stream.engine import (
+            decode_filelist_to_model_res,
+        )
+
+        imgs, ok_paths = decode_filelist_to_model_res(
+            filelist, self.height, self.width, self.channels)
+        n = len(ok_paths)
+        if n == 0:
+            return 0
+        if n > self.replay_capacity:
+            # grow in fleet-ring buckets so repeated oversized loads converge
+            # to few distinct shapes
+            ring_rows = self.cl_ring_ticks * self.n_streams
+            self.replay_capacity = -(-n // ring_rows) * ring_rows
+        buf = np.zeros(
+            (self.replay_capacity, self.height, self.width, self.channels),
+            np.float32,
+        )
+        buf[:n] = np.stack(imgs)
+        self.replay_buffer = jnp.asarray(buf)
+        self.replay_n = n
+        self.replay_buffer_paths = ok_paths
+        print(f"Replay Buffer Loaded: {n} images (capacity {self.replay_capacity})")
+        return n
 
     # ----------------------------------------------------------- model save
     def save_model_to_dir(self, model_dir: str) -> str:
