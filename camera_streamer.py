@@ -138,6 +138,9 @@ def run_all_cameras(args):
     engine.enable_cont_learning = args.continual_learning
     if args.replay_buffer:
         engine.load_replay_buffer_from_file(args.replay_buffer)
+    if args.record_dir:
+        os.makedirs(args.record_dir, exist_ok=True)
+        engine.begin_recording(args.record_dir, names=names)
     # the batched tick runs at the fastest camera's rate; each source is
     # paced at ITS fps by PacedReader (repeats its latest frame between dues)
     sources = [PacedReader(make_source(s, fps=f), f, fps)
@@ -177,6 +180,8 @@ def run_all_cameras(args):
     finally:
         for src in sources:
             src.release()
+        if engine.recording_flag:
+            engine.terminate_recording()
         if stats_file:
             stats_file.close()
     print(f"processed {n} ticks x {len(specs)} streams")

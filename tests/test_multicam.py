@@ -406,3 +406,41 @@ def test_cl_replay_buffer(setup, tmp_path):
                     jax.tree_util.tree_leaves(want)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_recording_per_stream(setup, tmp_path):
+    """Per-stream recording: each camera gets its own 5-PNG-stream subtree
+    and labels.json with anomaly-score annotations; dropped ticks record
+    nothing for that stream; one shared model snapshot loads back."""
+    import json
+    import os
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    _, config, settings = setup
+    model = _fresh_model(config)
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=dict(settings))
+    rec_root = str(tmp_path / "rec")
+    os.makedirs(rec_root)
+    inst = multi.begin_recording(rec_root, names=["front", "back"])
+    multi.record_period_ms = 0.0  # record every tick
+
+    rng = np.random.RandomState(14)
+    f = lambda: rng.randint(0, 255, (16, 16, 3), np.uint8)
+    multi.process_frames([f(), f()], now=1.0)
+    multi.process_frames([f(), None], now=2.0)  # back drops this tick
+    out = multi.terminate_recording()
+    assert out == inst and not multi.recording_flag
+
+    n_front = len(os.listdir(os.path.join(inst, "front", "frames")))
+    n_back = len(os.listdir(os.path.join(inst, "back", "frames")))
+    assert n_front == 2 and n_back == 1
+    for name, n in (("front", n_front), ("back", n_back)):
+        for sub in ("err", "heatmap", "overlay", "rec"):
+            assert len(os.listdir(os.path.join(inst, name, sub))) == n
+        labels = json.load(open(os.path.join(inst, name, "labels.json")))
+        assert len(labels["images"]) == n
+        assert len(labels["annotations"]) == n  # warmup scores recorded too
+    loaded, _ = load_model_from_directory(os.path.join(inst, "model"))
+    assert loaded is not None

@@ -138,6 +138,16 @@ class MultiCameraEngine:
         self.replay_buffer_paths: Optional[list] = None
         self._cl_step_replay_j = None
 
+        # per-stream recording (the single-stream engine's 5-PNG-stream
+        # instance-dir format, one cam<i>/ subtree per stream)
+        self.recording_flag = False
+        self.record_dir: Optional[str] = None
+        self.record_instance_dir: Optional[str] = None
+        self.record_period_ms = 500.0
+        self._last_record_t = 0.0
+        self._stream_names: Optional[List[str]] = None
+        self._anomaly_score_maps: Optional[List[dict]] = None
+
         # autosave: fleet CL mutates the shared weights, so the multicam
         # engine keeps the single-stream engine's persistence semantics
         # (schedule flag set by the period timer, consumed per tick, saves
@@ -356,6 +366,121 @@ class MultiCameraEngine:
         print(f"Replay Buffer Loaded: {n} images (capacity {self.replay_capacity})")
         return n
 
+    # ------------------------------------------------------------ recording
+    def begin_recording(self, record_dir: str, names: Optional[List[str]] = None) -> str:
+        """Open a data_<ts> instance dir with one cam subtree per stream,
+        each holding the single-stream engine's 5 PNG streams
+        (StreamingEngine.begin_recording / reference :1021-1044, per-cam)."""
+        import datetime
+        import os
+
+        assert os.path.isdir(record_dir), record_dir
+        if names is not None:
+            assert len(names) == self.n_streams
+        self._stream_names = list(names) if names else [
+            f"cam{i}" for i in range(self.n_streams)]
+        self.record_dir = record_dir
+        ts = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        self.record_instance_dir = os.path.join(record_dir, f"data_{ts}")
+        for name in self._stream_names:
+            for sub in ("frames", "err", "heatmap", "overlay", "rec"):
+                os.makedirs(os.path.join(self.record_instance_dir, name, sub))
+        self._anomaly_score_maps = [{} for _ in range(self.n_streams)]
+        self.recording_flag = True
+        print(f"Recording to: {self.record_instance_dir}")
+        return self.record_instance_dir
+
+    def _maybe_record(self, batch: np.ndarray, valid: np.ndarray,
+                      out: List[Optional[StreamStatus]], now: float) -> None:
+        if not self.recording_flag:
+            return
+        if (now - self._last_record_t) * 1000.0 < self.record_period_ms:
+            return
+        self._last_record_t = now
+        import datetime
+        import os
+
+        from trustedai_cl_vae_ad_tpu.viz.plots import (
+            jet_heatmap,
+            overlay_heatmap,
+            save_rgb,
+        )
+
+        ts = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
+        basename = f"{ts}.png"
+        for i, r in enumerate(out):
+            if r is None or not valid[i]:
+                continue  # a dropped tick records nothing for that stream
+            d = os.path.join(self.record_instance_dir, self._stream_names[i])
+            self._anomaly_score_maps[i][basename] = r.score
+            norm = r.norm_err_u8
+            heatmap = jet_heatmap(norm)
+            # blend with the model-input image (reference :1420) — the
+            # batch row, host-resized to model resolution if needed
+            base_img = batch[i]
+            if base_img.shape[:2] != (self.height, self.width):
+                from PIL import Image as _Image
+
+                base_img = np.asarray(
+                    _Image.fromarray(base_img).resize(
+                        (self.width, self.height), _Image.BILINEAR),
+                    np.uint8,
+                )
+            overlay = overlay_heatmap(norm, base_img)
+            save_rgb(batch[i], os.path.join(d, "frames", basename))
+            save_rgb(norm, os.path.join(d, "err", basename))
+            save_rgb(heatmap, os.path.join(d, "heatmap", basename))
+            save_rgb(overlay, os.path.join(d, "overlay", basename))
+            save_rgb(r.reconstruction_u8, os.path.join(d, "rec", basename))
+
+    def terminate_recording(self) -> Optional[str]:
+        """Close recording: per-stream COCO labels.json with anomaly-score
+        annotations + ONE model snapshot for the whole fleet (the weights
+        are shared) — StreamingEngine.terminate_recording per-cam."""
+        import datetime
+        import json
+        import os
+
+        self.recording_flag = False
+        root = self.record_instance_dir
+        if root is None or not os.path.isdir(root):
+            return None
+        from PIL import Image
+
+        for i, name in enumerate(self._stream_names):
+            d = os.path.join(root, name)
+            img_filelist = []
+            for dirpath, _, filenames in os.walk(os.path.join(d, "frames")):
+                for f in sorted(filenames):
+                    if os.path.splitext(f)[1].lower() == ".png":
+                        img_filelist.append(os.path.join(dirpath, f))
+            output_dict = {
+                "info": {
+                    "year": datetime.datetime.now().year,
+                    "version": "1.0",
+                    "description": "custom",
+                    "contributor": "trustedai_cl_vae_ad_tpu",
+                },
+                "categories": [],
+                "images": [],
+                "annotations": [],
+            }
+            for idx, img_filepath in enumerate(img_filelist):
+                with Image.open(img_filepath) as img:
+                    width, height = img.size
+                img_basename = os.path.basename(img_filepath)
+                output_dict["images"].append(
+                    {"id": idx, "width": width, "height": height,
+                     "file_name": img_basename}
+                )
+                score = self._anomaly_score_maps[i].get(img_basename)
+                if score is not None:
+                    output_dict["annotations"].append({img_basename: score})
+            with open(os.path.join(d, "labels.json"), "w") as f:
+                json.dump(output_dict, f)
+        self.save_model_to_dir(os.path.join(root, "model"))
+        return root
+
     # ----------------------------------------------------------- model save
     def save_model_to_dir(self, model_dir: str) -> str:
         """Checkpoint + config.yml — the same log-dir ABI every tool loads
@@ -461,6 +586,7 @@ class MultiCameraEngine:
                 _norm_dev=norm_u8[i],
                 _rec_dev=rec_u8[i],
             ))
+        self._maybe_record(batch, valid, out, now)
         return out
 
     def current_threshold(self, i: int) -> float:
