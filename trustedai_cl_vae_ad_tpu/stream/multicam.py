@@ -14,10 +14,12 @@ streams' recent frames (a device ring of the last ``cl_ring_ticks`` ticks
 x K streams, dropped frames masked out by per-row loss weights) — the
 shared weights learn every camera's scene at once, which is both the only
 coherent semantics for a shared model and the TPU-economical shape (one
-big batched train step instead of K small ones). Replay-buffer loading and
-recording remain on the single-stream StreamingEngine. Score math is
-identical to stream_score (vmapped jnp form — equivalence vs K independent
-engines is tested).
+big batched train step instead of K small ones). A shared replay buffer
+(same txt/csv formats) mixes into every fleet step; recording writes each
+stream's 5 PNG streams + COCO labels into per-camera subtrees; autosave
+persists the CL-trained weights on the single-stream engine's schedule.
+Score math is identical to stream_score (vmapped jnp form — equivalence vs
+K independent engines is tested).
 
 Missing frames (a camera dropping a tick) are handled with a validity mask:
 that stream's EMA state is left untouched and its score reports NaN for the
