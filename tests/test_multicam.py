@@ -444,3 +444,56 @@ def test_recording_per_stream(setup, tmp_path):
         assert len(labels["annotations"]) == n  # warmup scores recorded too
     loaded, _ = load_model_from_directory(os.path.join(inst, "model"))
     assert loaded is not None
+
+
+def test_all_cameras_cli_end_to_end(setup, tmp_path):
+    """The full fleet surface is reachable from the shipped CLI in ONE run:
+    --all-cameras with CL, a replay buffer, recording, and a model cache
+    (camera_streamer.py run_all_cameras)."""
+    import os
+    import subprocess
+    import sys
+    import yaml
+    from PIL import Image
+    from trustedai_cl_vae_ad_tpu.train.checkpoint import save_checkpoint
+
+    _, config, _ = setup
+    model = _fresh_model(config)
+    mdir = str(tmp_path / "model")
+    os.makedirs(mdir)
+    save_checkpoint(mdir, model.params)
+    with open(os.path.join(mdir, "config.yml"), "w") as f:
+        yaml.safe_dump(config, f)
+
+    rng = np.random.RandomState(15)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"replay{i}.png")
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(p)
+        paths.append(p)
+    lst = str(tmp_path / "replay.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(paths))
+    rec = str(tmp_path / "rec")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, TCVAE_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "camera_streamer.py"), "-m", mdir,
+         "--all-cameras", "--n-streams", "2", "-c", "--replay-buffer", lst,
+         "--record-dir", rec, "--model-cache-dir", str(tmp_path / "cache"),
+         "--max-frames", "6"],
+        capture_output=True, text=True, timeout=500, cwd=repo, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Replay Buffer Loaded: 2" in proc.stdout
+    assert "processed 6 ticks x 2 streams" in proc.stdout
+    inst = [d for d in os.listdir(rec) if d.startswith("data_")]
+    assert len(inst) == 1
+    inst_dir = os.path.join(rec, inst[0])
+    # terminate_recording ran in the finally block: labels + model snapshot
+    assert os.path.isfile(os.path.join(inst_dir, "synthetic0", "labels.json"))
+    assert os.path.isdir(os.path.join(inst_dir, "model", "encoder"))
+    # the snapshot embeds the replay provenance
+    assert os.path.isfile(os.path.join(inst_dir, "model",
+                                       "replay_buffer_paths.csv"))

@@ -496,6 +496,14 @@ class MultiCameraEngine:
         os.makedirs(model_dir, exist_ok=True)
         self.model.save_model(model_dir)
         save_config(deepcopy(self.config), os.path.join(model_dir, "config.yml"))
+        if self.replay_buffer_paths:
+            import csv
+
+            with open(os.path.join(model_dir, "replay_buffer_paths.csv"),
+                      "w", newline="") as f:
+                writer = csv.writer(f)
+                for row in self.replay_buffer_paths:
+                    writer.writerow([row])
         print(f"Saved Model to {model_dir}")
         return model_dir
 
