@@ -445,6 +445,14 @@ def test_recording_per_stream(setup, tmp_path):
     loaded, _ = load_model_from_directory(os.path.join(inst, "model"))
     assert loaded is not None
 
+    # each per-cam subtree is a valid single-stream recording instance:
+    # create_video_from_logs consumes it unchanged
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from create_video_from_logs import load_data_from_directory
+    data = load_data_from_directory(os.path.join(inst, "front"))
+    assert len(data["frames"]) == n_front
+
 
 def test_all_cameras_cli_end_to_end(setup, tmp_path):
     """The full fleet surface is reachable from the shipped CLI in ONE run:
