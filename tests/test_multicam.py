@@ -505,3 +505,38 @@ def test_all_cameras_cli_end_to_end(setup, tmp_path):
     # the snapshot embeds the replay provenance
     assert os.path.isfile(os.path.join(inst_dir, "model",
                                        "replay_buffer_paths.csv"))
+
+
+def test_fleet_cl_detection_quality(setup):
+    """End-to-end fleet detection with CL on: two static scenes train the
+    shared weights; a blob injected into stream 0 bursts ITS pixel count and
+    trips ITS state machine while stream 1 stays quiet (per-stream EMA state
+    + one shared model, the fleet-CL promise)."""
+    from trustedai_cl_vae_ad_tpu.stream.capture import SyntheticSource
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    _, config, settings = setup
+    model = _fresh_model(config)
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=dict(settings), cl_ring_ticks=2)
+    multi.enable_cont_learning = True
+    multi.set_learning_rate(1e-3)
+
+    srcs = [SyntheticSource(width=24, height=20, n_frames=60, seed=0,
+                            anomaly_frames=range(50, 54), motion=0.0),
+            SyntheticSource(width=24, height=20, n_frames=60, seed=7,
+                            motion=0.0)]
+    counts = {0: [], 1: []}
+    anomalous = {0: False, 1: False}
+    for t in range(60):
+        out = multi.process_frames([s.read() for s in srcs], now=float(t))
+        for i, r in enumerate(out):
+            counts[i].append(r.pixel_count)
+            anomalous[i] = anomalous[i] or r.anomalous
+    assert multi.cl_epochs >= 50  # CL ran throughout (period 500ms, 1s ticks)
+    steady0 = np.mean(counts[0][40:50])
+    burst0 = np.max(counts[0][50:54])
+    assert burst0 > steady0 and burst0 >= 1.0, (steady0, burst0)
+    assert anomalous[0]
+    # the quiet stream's post-warmup tail never bursts like the blob stream
+    assert np.max(counts[1][40:]) < burst0
