@@ -124,20 +124,38 @@ def run_all_cameras(args):
         fps_list = [20.0] * n
     fps = max(fps_list)
 
+    metrics_dir = args.metrics_dir
+    if metrics_dir is None and args.continual_learning:
+        metrics_dir = os.path.join(args.model_cache_dir, "metrics")
     metrics = None
-    if args.metrics_dir:
+    if metrics_dir:
         from trustedai_cl_vae_ad_tpu.utils.metrics import MetricsWriter
 
-        metrics = MetricsWriter(args.metrics_dir)
+        os.makedirs(metrics_dir, exist_ok=True)
+        metrics = MetricsWriter(metrics_dir)
 
-    model, config = load_model_from_directory(args.model_dir)  # restores params
+    # CL resume: restore checkpointed Adam moments in the same read that
+    # restores params (engine.load_engine_from_directory does the same; an
+    # unconditional compile() later would re-init and wipe them)
+    model, config = load_model_from_directory(
+        args.model_dir, restore_optimizer=True if args.continual_learning else None)
     engine = MultiCameraEngine(model, config, n_streams=len(specs),
                                anomaly_settings=anomaly_settings,
                                quantize=args.quantize, metrics=metrics,
                                model_cache_dir=args.model_cache_dir)
     engine.enable_cont_learning = args.continual_learning
-    if args.replay_buffer:
-        engine.load_replay_buffer_from_file(args.replay_buffer)
+    if args.learning_rate is not None:
+        engine.set_learning_rate(args.learning_rate)
+    if args.img_noise is not None:
+        engine.set_img_noise(args.img_noise)
+    replay_src = args.replay_buffer
+    if replay_src is None:
+        # fleet snapshots embed their replay provenance — restore it like
+        # the single-stream loader does
+        candidate = os.path.join(args.model_dir, "replay_buffer_paths.csv")
+        replay_src = candidate if os.path.exists(candidate) else None
+    if replay_src:
+        engine.load_replay_buffer_from_file(replay_src)
     if args.record_dir:
         os.makedirs(args.record_dir, exist_ok=True)
         engine.begin_recording(args.record_dir, names=names)
@@ -184,6 +202,8 @@ def run_all_cameras(args):
             engine.terminate_recording()
         if stats_file:
             stats_file.close()
+        if metrics is not None:
+            metrics.close()
     print(f"processed {n} ticks x {len(specs)} streams")
 
 

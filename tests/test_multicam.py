@@ -540,3 +540,20 @@ def test_fleet_cl_detection_quality(setup):
     assert anomalous[0]
     # the quiet stream's post-warmup tail never bursts like the blob stream
     assert np.max(counts[1][40:]) < burst0
+
+
+def test_recording_duplicate_names(setup, tmp_path):
+    """User cam_config names may collide: begin_recording uniquifies the
+    subtrees instead of crashing or interleaving two streams."""
+    import os
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, settings = setup
+    multi = MultiCameraEngine(model, config, n_streams=3,
+                              anomaly_settings=dict(settings))
+    rec = str(tmp_path / "rec")
+    os.makedirs(rec)
+    inst = multi.begin_recording(rec, names=["gate", "gate", "gate"])
+    assert multi._stream_names == ["gate", "gate_1", "gate_2"]
+    for n in multi._stream_names:
+        assert os.path.isdir(os.path.join(inst, n, "frames"))

@@ -590,31 +590,12 @@ class StreamingEngine:
         if (now - self._last_record_t) * 1000.0 < self.record_period_ms:
             return
         self._last_record_t = now
-        from trustedai_cl_vae_ad_tpu.viz.plots import jet_heatmap, overlay_heatmap, save_rgb
-
         ts = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
         basename = f"{ts}.png"
         self.anomaly_score_map[basename] = result.score
-        d = self.record_instance_dir
-        heatmap = jet_heatmap(result.norm_err_u8)
-        # the reference blends the heatmap with the model-input IMAGE, not the
-        # reconstruction (camera_streamer_qt.py:1420 — img[-1] is the resized
-        # input); resize the raw frame to model size on host if needed
-        base_img = frame_u8
-        if base_img.shape[:2] != (self.height, self.width):
-            from PIL import Image as _Image
-
-            base_img = np.asarray(
-                _Image.fromarray(base_img).resize((self.width, self.height),
-                                                  _Image.BILINEAR),
-                np.uint8,
-            )
-        overlay = overlay_heatmap(result.norm_err_u8, base_img)
-        save_rgb(frame_u8, os.path.join(d, "frames", basename))
-        save_rgb(result.norm_err_u8, os.path.join(d, "err", basename))
-        save_rgb(heatmap, os.path.join(d, "heatmap", basename))
-        save_rgb(overlay, os.path.join(d, "overlay", basename))
-        save_rgb(result.reconstruction_u8, os.path.join(d, "rec", basename))
+        record_frame_artifacts(self.record_instance_dir, basename, frame_u8,
+                               result.norm_err_u8, result.reconstruction_u8,
+                               self.height, self.width)
 
     def terminate_recording(self) -> Optional[str]:
         """Close recording: COCO labels.json with anomaly-score annotations +
@@ -623,37 +604,7 @@ class StreamingEngine:
         d = self.record_instance_dir
         if d is None or not os.path.isdir(d):
             return None
-        from PIL import Image
-
-        img_filelist = []
-        for dirpath, _, filenames in os.walk(os.path.join(d, "frames")):
-            for f in sorted(filenames):
-                if os.path.splitext(f)[1].lower() == ".png":
-                    img_filelist.append(os.path.join(dirpath, f))
-        output_dict = {
-            "info": {
-                "year": datetime.datetime.now().year,
-                "version": "1.0",
-                "description": "custom",
-                "contributor": "trustedai_cl_vae_ad_tpu",
-            },
-            "categories": [],
-            "images": [],
-            "annotations": [],
-        }
-        for idx, img_filepath in enumerate(img_filelist):
-            with Image.open(img_filepath) as img:
-                width, height = img.size
-            img_basename = os.path.basename(img_filepath)
-            output_dict["images"].append(
-                {"id": idx, "width": width, "height": height, "file_name": img_basename}
-            )
-            score = self.anomaly_score_map.get(img_basename)
-            if score is not None:
-                output_dict["annotations"].append({img_basename: score})
-        labels_filename = os.path.join(d, "labels.json")
-        with open(labels_filename, "w") as f:
-            json.dump(output_dict, f)
+        labels_filename = write_coco_labels(d, self.anomaly_score_map)
         self.save_model_to_dir(os.path.join(d, "model"))
         return labels_filename
 
@@ -661,19 +612,9 @@ class StreamingEngine:
     def save_model_to_dir(self, model_dir: str) -> Optional[str]:
         """Checkpoint + config.yml with embedded cam_info + replay paths
         (reference save_model_to_dir :946-988)."""
-        os.makedirs(model_dir, exist_ok=True)
-        self.model.save_model(model_dir)
-        output_config = deepcopy(self.config)
-        if self.cam_info:
-            output_config["cam_info"] = self.cam_info
-        save_config(output_config, os.path.join(model_dir, "config.yml"))
-        if self.replay_buffer_paths:
-            with open(os.path.join(model_dir, "replay_buffer_paths.csv"), "w", newline="") as f:
-                writer = csv.writer(f)
-                for row in self.replay_buffer_paths:
-                    writer.writerow([row])
-        print(f"Saved Model to {model_dir}")
-        return model_dir
+        return save_model_dir(self.model, self.config, model_dir,
+                              cam_info=self.cam_info,
+                              replay_paths=self.replay_buffer_paths)
 
     def save_model_to_dir_by_date(self, model_dir: str) -> Optional[str]:
         now = datetime.datetime.now()
@@ -697,28 +638,121 @@ class StreamingEngine:
         5-minute timer (:251-253) only SETS the schedule flag; each tick's
         save_model_to_cache (:991-1008) consumes the flag and saves iff the
         model is dirty."""
-        if self.model_cache_dir is None:
-            return
-        if self._last_autosave_t is None:
-            self._last_autosave_t = now
-        if now - self._last_autosave_t >= self.autosave_period_s:
-            self._last_autosave_t = now
-            self.schedule_model_save_flag = True  # the reference's QTimer
-        if not self.schedule_model_save_flag:
-            return
-        self.schedule_model_save_flag = False  # consumed (reference :992-994)
-        if not self.model_changed_flag:
-            return
-        # a transient save failure (disk full, permissions) must not kill the
-        # caller's frame loop (reference :1004-1008 prints and carries on) —
-        # and must keep the model DIRTY so the next scheduled autosave
-        # retries instead of believing the state is persisted
-        try:
-            self.save_model_to_dir(self.model_cache_dir)
-        except Exception as e:
-            print(f"autosave failed (will retry at the next schedule): {e}")
-            return  # model stays dirty; the next 5-min schedule retries
-        self.model_changed_flag = False
+        autosave_cycle(self, now)
+
+
+def record_frame_artifacts(instance_dir: str, basename: str,
+                           frame_u8: np.ndarray, norm_err_u8: np.ndarray,
+                           reconstruction_u8: np.ndarray,
+                           height: int, width: int) -> None:
+    """Write one tick's 5 recording PNG streams into an instance dir
+    (frames/err/heatmap/overlay/rec — reference :1021-1044). Shared by the
+    single-stream and multicam engines."""
+    from trustedai_cl_vae_ad_tpu.viz.plots import jet_heatmap, overlay_heatmap, save_rgb
+
+    heatmap = jet_heatmap(norm_err_u8)
+    # the reference blends the heatmap with the model-input IMAGE, not the
+    # reconstruction (camera_streamer_qt.py:1420 — img[-1] is the resized
+    # input); resize the raw frame to model size on host if needed
+    base_img = frame_u8
+    if base_img.shape[:2] != (height, width):
+        from PIL import Image as _Image
+
+        base_img = np.asarray(
+            _Image.fromarray(base_img).resize((width, height), _Image.BILINEAR),
+            np.uint8,
+        )
+    overlay = overlay_heatmap(norm_err_u8, base_img)
+    save_rgb(frame_u8, os.path.join(instance_dir, "frames", basename))
+    save_rgb(norm_err_u8, os.path.join(instance_dir, "err", basename))
+    save_rgb(heatmap, os.path.join(instance_dir, "heatmap", basename))
+    save_rgb(overlay, os.path.join(instance_dir, "overlay", basename))
+    save_rgb(reconstruction_u8, os.path.join(instance_dir, "rec", basename))
+
+
+def write_coco_labels(instance_dir: str, anomaly_score_map: dict) -> str:
+    """COCO labels.json over instance_dir/frames with anomaly-score
+    annotations (reference :1050-1102). Shared by both engines' recorders."""
+    from PIL import Image
+
+    img_filelist = []
+    for dirpath, _, filenames in os.walk(os.path.join(instance_dir, "frames")):
+        for f in sorted(filenames):
+            if os.path.splitext(f)[1].lower() == ".png":
+                img_filelist.append(os.path.join(dirpath, f))
+    output_dict = {
+        "info": {
+            "year": datetime.datetime.now().year,
+            "version": "1.0",
+            "description": "custom",
+            "contributor": "trustedai_cl_vae_ad_tpu",
+        },
+        "categories": [],
+        "images": [],
+        "annotations": [],
+    }
+    for idx, img_filepath in enumerate(img_filelist):
+        with Image.open(img_filepath) as img:
+            width, height = img.size
+        img_basename = os.path.basename(img_filepath)
+        output_dict["images"].append(
+            {"id": idx, "width": width, "height": height, "file_name": img_basename}
+        )
+        score = anomaly_score_map.get(img_basename)
+        if score is not None:
+            output_dict["annotations"].append({img_basename: score})
+    labels_filename = os.path.join(instance_dir, "labels.json")
+    with open(labels_filename, "w") as f:
+        json.dump(output_dict, f)
+    return labels_filename
+
+
+def save_model_dir(model, config: dict, model_dir: str, cam_info=None,
+                   replay_paths=None) -> str:
+    """Checkpoint + config.yml (+ embedded cam_info, + replay provenance
+    CSV) — the log-dir save both engines share (reference :946-988)."""
+    os.makedirs(model_dir, exist_ok=True)
+    model.save_model(model_dir)
+    output_config = deepcopy(config)
+    if cam_info:
+        output_config["cam_info"] = cam_info
+    save_config(output_config, os.path.join(model_dir, "config.yml"))
+    if replay_paths:
+        with open(os.path.join(model_dir, "replay_buffer_paths.csv"), "w", newline="") as f:
+            writer = csv.writer(f)
+            for row in replay_paths:
+                writer.writerow([row])
+    print(f"Saved Model to {model_dir}")
+    return model_dir
+
+
+def autosave_cycle(eng, now: float) -> None:
+    """The shared autosave state machine over an engine's (model_cache_dir,
+    autosave_period_s, _last_autosave_t, schedule_model_save_flag,
+    model_changed_flag, save_model_to_dir): the period timer only SETS the
+    schedule flag (reference :251-253); each tick consumes the flag and
+    saves iff the model is dirty (:991-1008); a failed save keeps the model
+    DIRTY so the next schedule retries."""
+    if eng.model_cache_dir is None:
+        return
+    if eng._last_autosave_t is None:
+        eng._last_autosave_t = now
+    if now - eng._last_autosave_t >= eng.autosave_period_s:
+        eng._last_autosave_t = now
+        eng.schedule_model_save_flag = True  # the reference's QTimer
+    if not eng.schedule_model_save_flag:
+        return
+    eng.schedule_model_save_flag = False  # consumed (reference :992-994)
+    if not eng.model_changed_flag:
+        return
+    # a transient save failure (disk full, permissions) must not kill the
+    # caller's frame loop (reference :1004-1008 prints and carries on)
+    try:
+        eng.save_model_to_dir(eng.model_cache_dir)
+    except Exception as e:
+        print(f"autosave failed (will retry at the next schedule): {e}")
+        return  # model stays dirty; the next schedule retries
+    eng.model_changed_flag = False
 
 
 def parse_replay_file(input_filename: str) -> list:

@@ -379,8 +379,17 @@ class MultiCameraEngine:
         assert os.path.isdir(record_dir), record_dir
         if names is not None:
             assert len(names) == self.n_streams
-        self._stream_names = list(names) if names else [
-            f"cam{i}" for i in range(self.n_streams)]
+        raw = list(names) if names else [f"cam{i}" for i in range(self.n_streams)]
+        # cam_config names are user input and may collide — uniquify so two
+        # 'gate' cameras don't interleave into one subtree
+        seen: dict = {}
+        self._stream_names = []
+        for n in raw:
+            if n in seen:
+                seen[n] += 1
+                n = f"{n}_{seen[n]}"
+            seen.setdefault(n, 0)
+            self._stream_names.append(n)
         self.record_dir = record_dir
         ts = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
         self.record_instance_dir = os.path.join(record_dir, f"data_{ts}")
@@ -402,135 +411,56 @@ class MultiCameraEngine:
         import datetime
         import os
 
-        from trustedai_cl_vae_ad_tpu.viz.plots import (
-            jet_heatmap,
-            overlay_heatmap,
-            save_rgb,
-        )
+        from trustedai_cl_vae_ad_tpu.stream.engine import record_frame_artifacts
 
         ts = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
         basename = f"{ts}.png"
         for i, r in enumerate(out):
             if r is None or not valid[i]:
                 continue  # a dropped tick records nothing for that stream
-            d = os.path.join(self.record_instance_dir, self._stream_names[i])
             self._anomaly_score_maps[i][basename] = r.score
-            norm = r.norm_err_u8
-            heatmap = jet_heatmap(norm)
-            # blend with the model-input image (reference :1420) — the
-            # batch row, host-resized to model resolution if needed
-            base_img = batch[i]
-            if base_img.shape[:2] != (self.height, self.width):
-                from PIL import Image as _Image
-
-                base_img = np.asarray(
-                    _Image.fromarray(base_img).resize(
-                        (self.width, self.height), _Image.BILINEAR),
-                    np.uint8,
-                )
-            overlay = overlay_heatmap(norm, base_img)
-            save_rgb(batch[i], os.path.join(d, "frames", basename))
-            save_rgb(norm, os.path.join(d, "err", basename))
-            save_rgb(heatmap, os.path.join(d, "heatmap", basename))
-            save_rgb(overlay, os.path.join(d, "overlay", basename))
-            save_rgb(r.reconstruction_u8, os.path.join(d, "rec", basename))
+            record_frame_artifacts(
+                os.path.join(self.record_instance_dir, self._stream_names[i]),
+                basename, batch[i], r.norm_err_u8, r.reconstruction_u8,
+                self.height, self.width)
 
     def terminate_recording(self) -> Optional[str]:
         """Close recording: per-stream COCO labels.json with anomaly-score
         annotations + ONE model snapshot for the whole fleet (the weights
         are shared) — StreamingEngine.terminate_recording per-cam."""
-        import datetime
-        import json
         import os
+
+        from trustedai_cl_vae_ad_tpu.stream.engine import write_coco_labels
 
         self.recording_flag = False
         root = self.record_instance_dir
         if root is None or not os.path.isdir(root):
             return None
-        from PIL import Image
-
         for i, name in enumerate(self._stream_names):
-            d = os.path.join(root, name)
-            img_filelist = []
-            for dirpath, _, filenames in os.walk(os.path.join(d, "frames")):
-                for f in sorted(filenames):
-                    if os.path.splitext(f)[1].lower() == ".png":
-                        img_filelist.append(os.path.join(dirpath, f))
-            output_dict = {
-                "info": {
-                    "year": datetime.datetime.now().year,
-                    "version": "1.0",
-                    "description": "custom",
-                    "contributor": "trustedai_cl_vae_ad_tpu",
-                },
-                "categories": [],
-                "images": [],
-                "annotations": [],
-            }
-            for idx, img_filepath in enumerate(img_filelist):
-                with Image.open(img_filepath) as img:
-                    width, height = img.size
-                img_basename = os.path.basename(img_filepath)
-                output_dict["images"].append(
-                    {"id": idx, "width": width, "height": height,
-                     "file_name": img_basename}
-                )
-                score = self._anomaly_score_maps[i].get(img_basename)
-                if score is not None:
-                    output_dict["annotations"].append({img_basename: score})
-            with open(os.path.join(d, "labels.json"), "w") as f:
-                json.dump(output_dict, f)
+            write_coco_labels(os.path.join(root, name),
+                              self._anomaly_score_maps[i])
         self.save_model_to_dir(os.path.join(root, "model"))
         return root
 
     # ----------------------------------------------------------- model save
     def save_model_to_dir(self, model_dir: str) -> str:
-        """Checkpoint + config.yml — the same log-dir ABI every tool loads
-        (StreamingEngine.save_model_to_dir minus cam_info/replay, which are
-        single-stream concepts)."""
-        import os
-        from copy import deepcopy
+        """Checkpoint + config.yml + replay provenance — the same log-dir
+        ABI every tool loads (StreamingEngine.save_model_to_dir minus
+        cam_info, which is a single-stream concept)."""
+        from trustedai_cl_vae_ad_tpu.stream.engine import save_model_dir
 
-        from trustedai_cl_vae_ad_tpu.config import save_config
-
-        os.makedirs(model_dir, exist_ok=True)
-        self.model.save_model(model_dir)
-        save_config(deepcopy(self.config), os.path.join(model_dir, "config.yml"))
-        if self.replay_buffer_paths:
-            import csv
-
-            with open(os.path.join(model_dir, "replay_buffer_paths.csv"),
-                      "w", newline="") as f:
-                writer = csv.writer(f)
-                for row in self.replay_buffer_paths:
-                    writer.writerow([row])
-        print(f"Saved Model to {model_dir}")
-        return model_dir
+        return save_model_dir(self.model, self.config, model_dir,
+                              replay_paths=self.replay_buffer_paths)
 
     def schedule_model_save(self) -> None:
         self.schedule_model_save_flag = True
 
     def _maybe_autosave(self, now: float) -> None:
         """Same consume-the-flag/save-iff-dirty/stay-dirty-on-failure cycle
-        as StreamingEngine._maybe_autosave."""
-        if self.model_cache_dir is None:
-            return
-        if self._last_autosave_t is None:
-            self._last_autosave_t = now
-        if now - self._last_autosave_t >= self.autosave_period_s:
-            self._last_autosave_t = now
-            self.schedule_model_save_flag = True
-        if not self.schedule_model_save_flag:
-            return
-        self.schedule_model_save_flag = False
-        if not self.model_changed_flag:
-            return
-        try:
-            self.save_model_to_dir(self.model_cache_dir)
-        except Exception as e:
-            print(f"autosave failed (will retry at the next schedule): {e}")
-            return  # model stays dirty; the next schedule retries
-        self.model_changed_flag = False
+        as StreamingEngine (shared engine.autosave_cycle)."""
+        from trustedai_cl_vae_ad_tpu.stream.engine import autosave_cycle
+
+        autosave_cycle(self, now)
 
     def process_frames(
         self, frames: Sequence[Optional[np.ndarray]], now: Optional[float] = None
