@@ -142,7 +142,8 @@ def run_all_cameras(args):
     engine = MultiCameraEngine(model, config, n_streams=len(specs),
                                anomaly_settings=anomaly_settings,
                                quantize=args.quantize, metrics=metrics,
-                               model_cache_dir=args.model_cache_dir)
+                               model_cache_dir=args.model_cache_dir,
+                               pipelined=args.pipelined)
     engine.enable_cont_learning = args.continual_learning
     if args.learning_rate is not None:
         engine.set_learning_rate(args.learning_rate)
@@ -198,6 +199,15 @@ def run_all_cameras(args):
     finally:
         for src in sources:
             src.release()
+        try:  # best-effort: a device error here must not skip cleanup below
+            last = engine.flush() if engine.pipelined else None
+            if last is not None and stats_file:
+                stats_file.write(json.dumps({
+                    "tick": n, "flushed": True,
+                    "scores": [None if r is None else r.score for r in last],
+                }) + "\n")
+        except Exception as e:
+            print(f"flush failed: {e}")
         if engine.recording_flag:
             engine.terminate_recording()
         if stats_file:

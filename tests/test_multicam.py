@@ -557,3 +557,31 @@ def test_recording_duplicate_names(setup, tmp_path):
     assert multi._stream_names == ["gate", "gate_1", "gate_2"]
     for n in multi._stream_names:
         assert os.path.isdir(os.path.join(inst, n, "frames"))
+
+
+def test_pipelined_mode_lags_one_tick(setup):
+    """pipelined=True returns tick N-1's results when tick N is submitted;
+    the per-stream sequences match the unpipelined engine shifted by one
+    (single-stream pipelined parity, lifted to K streams)."""
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, settings = setup
+    rng = np.random.RandomState(21)
+    ticks = [[rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)]
+             for _ in range(5)]
+
+    def run(pipelined):
+        eng = MultiCameraEngine(model, config, n_streams=2,
+                                anomaly_settings=dict(settings),
+                                pipelined=pipelined)
+        outs = [eng.process_frames(t, now=float(i))
+                for i, t in enumerate(ticks)]
+        if pipelined:
+            outs.append(eng.flush(now=5.0))
+        return [[None if r is None else (r.pixel_count, int(r.norm_err_u8.sum()))
+                 for r in out] for out in outs]
+
+    seq_a = run(False)
+    seq_b = run(True)
+    assert seq_b[0] == [None, None]  # warmup tick
+    assert seq_b[1:] == seq_a  # shifted by one; flush returns the last

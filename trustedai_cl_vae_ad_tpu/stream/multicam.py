@@ -73,6 +73,7 @@ class MultiCameraEngine:
         model_cache_dir: Optional[str] = None,
         autosave_period_s: float = 5 * 60.0,
         replay_capacity: int = 64,
+        pipelined: bool = False,
     ):
         assert n_streams >= 1
         self.model = model
@@ -109,6 +110,12 @@ class MultiCameraEngine:
 
         self._ref_shape = None  # pinned at the first tick (one jit shape)
         self._resize_warned = set()
+
+        # pipelined mode: dispatch tick N, return tick N-1's results — the
+        # device computes while the host fetches the next frames (single-
+        # stream engine's pipelined flag, exact shift-by-one semantics)
+        self.pipelined = bool(pipelined)
+        self._pending = None
 
         # fleet continual learning (reference CL semantics :1319-1353, lifted
         # to K streams). Everything is allocated lazily on the first enabled
@@ -503,6 +510,31 @@ class MultiCameraEngine:
                 self._do_cl_step()
         self._maybe_autosave(now)
 
+        if self.pipelined:
+            # return tick N-1's results while tick N computes on device;
+            # the raw batch travels with its results so recording pairs
+            # frame N-1's image with frame N-1's maps/score
+            pending = self._pending
+            self._pending = (score_count, norm_u8, rec_u8, batch, valid)
+            if pending is None:
+                return [None] * self.n_streams  # warmup tick
+            score_count, norm_u8, rec_u8, batch, valid = pending
+
+        return self._emit(score_count, norm_u8, rec_u8, batch, valid, now)
+
+    def flush(self, now: Optional[float] = None) -> Optional[List[Optional[StreamStatus]]]:
+        """Pipelined mode: fetch the last in-flight tick's results."""
+        if not self.pipelined or self._pending is None:
+            return None
+        now = time.monotonic() if now is None else now
+        score_count, norm_u8, rec_u8, batch, valid = self._pending
+        self._pending = None
+        return self._emit(score_count, norm_u8, rec_u8, batch, valid, now)
+
+    def _emit(self, score_count, norm_u8, rec_u8, batch, valid, now
+              ) -> List[Optional[StreamStatus]]:
+        """Host-side result processing for one tick: score fetch, EMA,
+        per-stream state machines, recording."""
         sc = np.asarray(score_count)
 
         out: List[Optional[StreamStatus]] = []
