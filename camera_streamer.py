@@ -41,6 +41,10 @@ def get_args():
                         help="Shrink frames on host before upload (thin TPU links)")
     parser.add_argument("--pipelined", action="store_true",
                         help="One-frame-lag pipelining: overlap fetch with compute")
+    parser.add_argument("--mesh", action="store_true",
+                        help="With --all-cameras on a multi-chip host: shard "
+                             "the K streams over all local devices (stream "
+                             "count must divide the device count)")
     parser.add_argument("--metrics-dir", type=str, default=None,
                         help="Write CL-epoch losses + anomaly scores to "
                              "<dir>/metrics.jsonl (+TensorBoard). Defaults to "
@@ -139,11 +143,16 @@ def run_all_cameras(args):
     # unconditional compile() later would re-init and wipe them)
     model, config = load_model_from_directory(
         args.model_dir, restore_optimizer=True if args.continual_learning else None)
+    mesh = None
+    if args.mesh:
+        from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     engine = MultiCameraEngine(model, config, n_streams=len(specs),
                                anomaly_settings=anomaly_settings,
                                quantize=args.quantize, metrics=metrics,
                                model_cache_dir=args.model_cache_dir,
-                               pipelined=args.pipelined)
+                               pipelined=args.pipelined, mesh=mesh)
     engine.enable_cont_learning = args.continual_learning
     if args.learning_rate is not None:
         engine.set_learning_rate(args.learning_rate)

@@ -585,3 +585,43 @@ def test_pipelined_mode_lags_one_tick(setup):
     seq_b = run(True)
     assert seq_b[0] == [None, None]  # warmup tick
     assert seq_b[1:] == seq_a  # shifted by one; flush returns the last
+
+
+def test_mesh_sharded_equivalence(setup):
+    """mesh=make_mesh() shards K streams over the data axis: scoring AND a
+    fleet-CL step must match the unsharded engine exactly (the horizontal
+    scale-out path for >128-camera fleets)."""
+    import jax
+    from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    _, config, settings = setup
+    mesh = make_mesh()
+    k = 2 * int(mesh.devices.size)
+
+    rng = np.random.RandomState(23)
+    ticks = [[rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(k)]
+             for _ in range(3)]
+    ticks[1][3] = None  # a dropped stream must mask identically when sharded
+
+    def run(mesh_arg):
+        eng = MultiCameraEngine(_fresh_model(config), config, n_streams=k,
+                                anomaly_settings=dict(settings),
+                                cl_ring_ticks=2, mesh=mesh_arg)
+        eng.enable_cont_learning = True
+        outs = [eng.process_frames(t, now=0.1 * (i + 1) if i < 2 else 1.0)
+                for i, t in enumerate(ticks)]  # third tick fires CL
+        assert eng.cl_epochs == 1
+        scores = [[None if r is None else r.score for r in out] for out in outs]
+        return scores, eng.last_epoch_loss["loss"], eng.model.params
+
+    scores_a, loss_a, params_a = run(None)
+    scores_b, loss_b, params_b = run(mesh)
+    np.testing.assert_allclose(
+        np.asarray(scores_a, np.float64), np.asarray(scores_b, np.float64),
+        rtol=1e-5, equal_nan=True)
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -74,8 +74,16 @@ class MultiCameraEngine:
         autosave_period_s: float = 5 * 60.0,
         replay_capacity: int = 64,
         pipelined: bool = False,
+        mesh=None,
     ):
         assert n_streams >= 1
+        if mesh is not None:
+            # streams shard over the 'data' axis: K cameras per tick split
+            # across chips, params replicated — the per-chip capacity story
+            # (128 cams/chip, SERVING.md) scales horizontally
+            assert n_streams % mesh.devices.size == 0, (
+                f"n_streams {n_streams} must divide over {mesh.devices.size} devices")
+        self.mesh = mesh
         self.model = model
         self.quantized = bool(quantize)
         self.config = config
@@ -235,7 +243,30 @@ class MultiCameraEngine:
             # store it; it stays a device buffer and is dropped when CL is off
             return maps, scalars, norm_u8, rec_u8, score_count, x
 
-        self._step_j = jax.jit(step, donate_argnums=(2, 3))
+        if self.mesh is None:
+            self._step_j = jax.jit(step, donate_argnums=(2, 3))
+        else:
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import (
+                batch_sharding,
+                replicate,
+                replicated_sharding,
+            )
+
+            rep = replicated_sharding(self.mesh)
+            bsh = batch_sharding(self.mesh)
+            # params committed replicated ONCE — an uncommitted tree would
+            # re-transfer on every tick's dispatch; scorer state lives
+            # stream-sharded where it is consumed
+            self._serve_params = replicate(self._serve_params, self.mesh)
+            self.maps = jax.device_put(self.maps, bsh)
+            self.scalars = jax.device_put(self.scalars, bsh)
+            self._step_j = jax.jit(
+                step, donate_argnums=(2, 3),
+                in_shardings=(rep, bsh, bsh, bsh, rep, bsh),
+                # score_count gathers replicated (one host fetch per tick);
+                # maps/scalars/images stay stream-sharded on their chips
+                out_shardings=(bsh, bsh, bsh, bsh, rep, bsh),
+            )
 
     def _refresh_serve_params(self) -> None:
         """Snapshot the params used by the inference dispatch (re-quantizing
@@ -246,6 +277,10 @@ class MultiCameraEngine:
         _, self._serve_params = serving_forward(
             self.model.core, self.model.params, quantize=self.quantized
         )
+        if self.mesh is not None:
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import replicate
+
+            self._serve_params = replicate(self._serve_params, self.mesh)
 
     # ------------------------------------------------------------ fleet CL
     def _ensure_cl(self) -> None:
@@ -260,12 +295,38 @@ class MultiCameraEngine:
         )
         self._cl_valid = np.zeros((t, k), np.float32)
 
+        ring_sh = rep = bsh = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import (
+                DATA_AXIS,
+                batch_sharding,
+                replicate,
+                replicated_sharding,
+            )
+
+            rep = replicated_sharding(self.mesh)
+            bsh = batch_sharding(self.mesh)
+            # ring shards on the STREAM axis (dim 1) so each chip trains on
+            # the frames it already scored; params/moments stay replicated
+            # (plain dp — the stacked CL batch is the sharded dimension)
+            ring_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+            self._cl_ring = jax.device_put(self._cl_ring, ring_sh)
+            self.model.params = replicate(self.model.params, self.mesh)
+            self.model.opt_state = replicate(self.model.opt_state, self.mesh)
+
         def store_tick(ring, x, tick):
             return jax.lax.dynamic_update_slice(
                 ring, x.astype(ring.dtype)[None], (tick, 0, 0, 0, 0)
             )
 
-        self._store_tick_j = jax.jit(store_tick, donate_argnums=(0,))
+        if self.mesh is None:
+            self._store_tick_j = jax.jit(store_tick, donate_argnums=(0,))
+        else:
+            self._store_tick_j = jax.jit(
+                store_tick, donate_argnums=(0,),
+                in_shardings=(ring_sh, bsh, rep), out_shardings=ring_sh)
 
         core = self.model.core
         optimizer = self.model.optimizer
@@ -289,11 +350,19 @@ class MultiCameraEngine:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss_dict
 
-        self._cl_step_j = jax.jit(
-            lambda p, s, ring, w, rng: cl_step(p, s, ring, None, w, rng),
-            donate_argnums=(0, 1),
-        )
-        self._cl_step_replay_j = jax.jit(cl_step, donate_argnums=(0, 1))
+        no_replay = lambda p, s, ring, w, rng: cl_step(p, s, ring, None, w, rng)
+        if self.mesh is None:
+            self._cl_step_j = jax.jit(no_replay, donate_argnums=(0, 1))
+            self._cl_step_replay_j = jax.jit(cl_step, donate_argnums=(0, 1))
+        else:
+            out_sh = (rep, rep, rep)
+            self._cl_step_j = jax.jit(
+                no_replay, donate_argnums=(0, 1),
+                in_shardings=(rep, rep, ring_sh, rep, rep), out_shardings=out_sh)
+            self._cl_step_replay_j = jax.jit(
+                cl_step, donate_argnums=(0, 1),
+                in_shardings=(rep, rep, ring_sh, bsh, rep, rep),
+                out_shardings=out_sh)
 
     def _do_cl_step(self) -> Optional[dict]:
         """One gradient step on the fleet ring (all streams, masked rows).
@@ -364,12 +433,20 @@ class MultiCameraEngine:
             # to few distinct shapes
             ring_rows = self.cl_ring_ticks * self.n_streams
             self.replay_capacity = -(-n // ring_rows) * ring_rows
+        if self.mesh is not None:  # batch-sharded replay must divide evenly
+            d = int(self.mesh.devices.size)
+            self.replay_capacity = -(-self.replay_capacity // d) * d
         buf = np.zeros(
             (self.replay_capacity, self.height, self.width, self.channels),
             np.float32,
         )
         buf[:n] = np.stack(imgs)
         self.replay_buffer = jnp.asarray(buf)
+        if self.mesh is not None:
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import batch_sharding
+
+            self.replay_buffer = jax.device_put(
+                self.replay_buffer, batch_sharding(self.mesh))
         self.replay_n = n
         self.replay_buffer_paths = ok_paths
         print(f"Replay Buffer Loaded: {n} images (capacity {self.replay_capacity})")
