@@ -625,3 +625,35 @@ def test_mesh_sharded_equivalence(setup):
                     jax.tree_util.tree_leaves(params_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_cdf_warmup_skip_and_new_task_keeps_ema(setup):
+    """cdf_warmup_skip drops the first K post-start/new_task scores from
+    each stream's CDF history (engine._record_score parity, per stream);
+    new_task keeps the scorer EMA by default and hard-resets only with
+    reset_scorer=True."""
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, settings = setup
+    settings = dict(settings, anomaly_score_method="cdf", cdf_warmup_skip=3)
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=settings)
+    rng = np.random.RandomState(31)
+    scores = []
+    for t in range(40):
+        out = multi.process_frames(
+            [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)],
+            now=float(t))
+        scores.append(out[0].score)
+    # skip=3: only finite scores from tick 4 on enter the history
+    want = sum(1 for t, s in enumerate(scores) if t >= 3 and np.isfinite(s))
+    assert want > 0, "fixture produced no finite scores"
+    assert len(multi._score_history[0]) == want
+    assert multi._task_scored[0] == 40
+
+    maps_before = np.asarray(multi.maps[0]).copy()
+    multi.new_task(0)  # default: EMA kept
+    assert len(multi._score_history[0]) == 0 and multi._task_scored[0] == 0
+    np.testing.assert_array_equal(np.asarray(multi.maps[0]), maps_before)
+    multi.new_task(0, reset_scorer=True)  # hard reset opt-in
+    assert np.abs(np.asarray(multi.maps[0])).max() == 0

@@ -115,6 +115,7 @@ class MultiCameraEngine:
         self._score_history = [deque(maxlen=1024) for _ in range(k)]
         self._cdf = [None] * k
         self._cdf_dirty = [0] * k
+        self._task_scored = [0] * k  # per-stream cdf_warmup_skip counters
 
         self._ref_shape = None  # pinned at the first tick (one jit shape)
         self._resize_warned = set()
@@ -623,9 +624,7 @@ class MultiCameraEngine:
             ma = self.anomaly_ma_weight * self.score_ma[i] + (1 - self.anomaly_ma_weight) * score
             if not np.isnan(ma):
                 self.score_ma[i] = ma
-            if np.isfinite(score):
-                self._score_history[i].append(score)
-                self._cdf_dirty[i] += 1
+            self._record_score(i, score)
             self._update_state_machine(i, score, now)
             out.append(StreamStatus(
                 score=score,
@@ -637,6 +636,23 @@ class MultiCameraEngine:
             ))
         self._maybe_record(batch, valid, out, now)
         return out
+
+    def _record_score(self, i: int, score_f: float) -> None:
+        """Append a score to stream i's CDF history, honoring
+        ``cdf_warmup_skip`` exactly like StreamingEngine._record_score:
+        the first K post-start/new_task scores (the EMA re-seeding storm,
+        which rails at the z-cap) are kept out of the threshold statistics
+        so the per-stream quantile reflects steady state."""
+        self._task_scored[i] += 1
+        if not np.isfinite(score_f):
+            return
+        skip = 0
+        if self.anomaly_settings is not None:
+            skip = int(self.anomaly_settings.get("cdf_warmup_skip", 0))
+        if self._task_scored[i] <= skip:
+            return
+        self._score_history[i].append(score_f)
+        self._cdf_dirty[i] += 1
 
     def current_threshold(self, i: int) -> float:
         """Active threshold for stream i: fixed, or its per-stream CDF
@@ -679,13 +695,23 @@ class MultiCameraEngine:
         self.anomalous[i] = False
         self.anomalous_start[i] = None
 
-    def new_task(self, i: Optional[int] = None) -> None:
+    def new_task(self, i: Optional[int] = None,
+                 reset_scorer: bool = False) -> None:
         """Task boundary for stream i (or ALL streams when None): reset the
-        per-stream score CDF and EMA state so thresholds re-adapt, mirroring
-        the single-stream engine's new_task (stream/engine.py)."""
+        per-stream score CDF so its threshold re-derives, mirroring the
+        single-stream engine's new_task. The scorer EMA state is KEPT by
+        default (engine.new_task: re-seeding rails the score at the z-cap
+        for dozens of frames — a measured false-alarm storm); pass
+        ``reset_scorer=True`` for a hard reset (physical camera swap)."""
         streams = range(self.n_streams) if i is None else [i]
         for s in streams:
             self._score_history[s].clear()
             self._cdf[s] = None
             self._cdf_dirty[s] = 0
-            self.reset_stream(s)
+            self._task_scored[s] = 0
+            if reset_scorer:
+                self.reset_stream(s)
+            else:
+                self.score_ma[s] = 0.0
+                self.anomalous[s] = False
+                self.anomalous_start[s] = None
