@@ -76,10 +76,14 @@ def get_args():
 class PacedReader:
     """Reads a source at its own fps relative to the batched tick rate.
 
-    The multicam tick runs at the fastest camera's fps; a slower source is
-    only read() on the ticks where a new frame is due (fractional-accumulator
-    schedule, deterministic) and repeats its latest frame in between — so
-    mixed-fps camera lists don't drain slower file/directory sources early.
+    The multicam tick runs at the fastest camera's fps; a slower REPLAYABLE
+    source (file/directory/synthetic) is only read() on the ticks where a
+    new frame is due (fractional-accumulator schedule, deterministic) and
+    repeats its latest frame in between — so mixed-fps camera lists don't
+    drain slower file/directory sources early. LIVE sources (webcam/RTSP,
+    ``source.is_live``) are instead drained every tick: cv2's capture FIFO
+    backs up when read slower than the camera delivers, and scoring would
+    lag real time by an ever-growing offset.
     """
 
     def __init__(self, source, fps: float, tick_fps: float):
@@ -91,6 +95,11 @@ class PacedReader:
     def read(self):
         if self.source.exhausted:
             return None
+        if getattr(self.source, "is_live", False):
+            f = self.source.read()  # drain: always hand the newest frame
+            if f is not None:
+                self._last = f
+            return self._last
         self._acc += self._ratio
         if self._last is None or self._acc >= 1.0:
             if self._acc >= 1.0:

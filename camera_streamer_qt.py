@@ -348,17 +348,25 @@ if HAVE_QT:
 
             model, config = load_model_from_config_path(config_path)
             model.compile()
-            self._close_engine()
+            # build the replacement FIRST: if construction raises (bad
+            # config, quantize OOM), the app keeps running on the old
+            # engine — whose writer/recording must not have been closed
             metrics = MetricsWriter(os.path.join(self.model_cache_dir, "metrics"))
-            self.engine = StreamingEngine(
-                model,
-                config,
-                anomaly_settings=self.anomaly_settings,
-                cam_info=self.cam_info,
-                model_cache_dir=self.model_cache_dir,
-                metrics=metrics,
-                quantize=self.quantize,
-            )
+            try:
+                new_engine = StreamingEngine(
+                    model,
+                    config,
+                    anomaly_settings=self.anomaly_settings,
+                    cam_info=self.cam_info,
+                    model_cache_dir=self.model_cache_dir,
+                    metrics=metrics,
+                    quantize=self.quantize,
+                )
+            except Exception:
+                metrics.close()
+                raise
+            self._close_engine()
+            self.engine = new_engine
             self._apply_ui_state_to_engine()
             # seed the lr dials from the new config (reference :596-600)
             lr = float(config["training"]["learning_rate"])

@@ -16,8 +16,8 @@ live video; this covers request/response scoring). TPU-idiomatic design:
 Endpoints:
   GET  /healthz                    -> {"ok": true, ...}
   POST /score                      -> {"reconstruction_error": eps, "z": z?,
-                                       "anomalous": ?}  ("error" kept as a
-                                       deprecated alias of the score)
+                                       "anomalous": ?}  ("error" appears
+                                       ONLY in failure payloads)
        body: PNG bytes (or any PIL-decodable image)
   POST /reconstruct                -> PNG bytes of the reconstruction
 
@@ -297,6 +297,25 @@ def build_server(model_dir: str, port: int = 8000, stats_path: str | None = None
         qparams = load_quantized_checkpoint(model_dir)
         model = SimpleNamespace(core=core, params=None)
         print(f"int8 boot: loaded quantized checkpoint from {model_dir}/quantized")
+        # staleness check: a retrain that didn't re-run
+        # tools/quantize_checkpoint.py would silently serve old weights
+        try:
+            qdir = os.path.join(model_dir, "quantized")
+            float_mtime = max(
+                (os.path.getmtime(os.path.join(r, f))
+                 for sub in ("encoder", "decoder")
+                 if os.path.isdir(os.path.join(model_dir, sub))
+                 for r, _d, fs in os.walk(os.path.join(model_dir, sub))
+                 for f in fs), default=0.0)
+            quant_mtime = max(
+                (os.path.getmtime(os.path.join(r, f))
+                 for r, _d, fs in os.walk(qdir) for f in fs), default=0.0)
+            if float_mtime > quant_mtime:
+                print("WARNING: the float checkpoint is NEWER than "
+                      f"{qdir} — serving pre-retrain weights; re-run "
+                      "tools/quantize_checkpoint.py to refresh")
+        except OSError:
+            pass
     else:
         # load_model_from_directory already restores the params (registry.py);
         # a second load_model call would re-read the multi-GB checkpoint

@@ -282,3 +282,17 @@ def test_threshold_from_cdf_robust_to_contamination():
     # the raw quantile collapses onto the contamination
     raw = threshold_from_cdf(CDFObject(contaminated), 0.995, robust=False)
     assert raw > 10.0, raw
+
+
+def test_threshold_from_cdf_extreme_quantiles():
+    """quantile >= 1.0 was valid before the robust default (raw empirical
+    quantile clamps to the top bin); the robust path must clamp instead of
+    asserting inside normal_ppf and killing the stream loop."""
+    import numpy as np
+
+    from trustedai_cl_vae_ad_tpu.anomaly.cdf import CDFObject, threshold_from_cdf
+
+    cdf = CDFObject(np.random.RandomState(0).normal(0, 1, 500))
+    thr = threshold_from_cdf(cdf, 1.0, robust=True)
+    assert np.isfinite(thr) and thr > threshold_from_cdf(cdf, 0.9, robust=True)
+    assert np.isfinite(threshold_from_cdf(cdf, 0.0, robust=True))

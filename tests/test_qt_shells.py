@@ -289,3 +289,41 @@ def test_cam_window_new_model(cam_window, tmp_path):
     qt_stub.QMessageBox.messages.clear()
     w._new_model_dialog()
     assert qt_stub.QMessageBox.messages[-1][0] == "critical"
+
+
+def test_cam_window_new_model_failure_keeps_old_engine(cam_window, tmp_path,
+                                                       monkeypatch):
+    """If the REPLACEMENT engine's construction raises, the app must keep
+    running on the OLD engine with its metrics writer still open — the old
+    engine is closed only after the new one exists."""
+    import camera_streamer_qt as csq
+
+    cfg = {
+        "data": {"image_size": [16, 16, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 4, "layers": [4]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3,
+                     "max_epochs": 1},
+    }
+    cfg_path = tmp_path / "boom.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    w = cam_window
+    old_engine = w.engine
+
+    def boom(*a, **k):
+        raise RuntimeError("construction OOM")
+
+    monkeypatch.setattr(csq, "StreamingEngine", boom)
+    qt_stub.QFileDialog.open_files = [str(cfg_path)]
+    qt_stub.QMessageBox.messages.clear()
+    w._new_model_dialog()
+    assert qt_stub.QMessageBox.messages[-1][0] == "critical"
+    assert w.engine is old_engine
+    # the old engine still streams and its writer still accepts logs
+    w.engine.inference_period_ms = 0.0
+    _tick(w, 2)
+    assert w.last_result is not None
+    if w.engine.metrics is not None:
+        w.engine.metrics.log(1, {"loss": 0.0}, prefix="cl/")

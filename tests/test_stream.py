@@ -607,3 +607,30 @@ def test_cdf_warmup_skip_excludes_transition_scores(engine):
     assert list(engine._score_history) == [1.0, 1.1]
     engine.anomaly_settings.pop("cdf_warmup_skip")
     engine.new_task()
+
+
+def test_paced_reader_drains_live_sources():
+    """Live sources (is_live) are read EVERY tick regardless of their
+    configured fps — skipping reads backs up cv2's capture FIFO and serves
+    ever-staler frames; pacing applies only to replayable sources."""
+    from camera_streamer import PacedReader
+    from trustedai_cl_vae_ad_tpu.stream.capture import SyntheticSource
+
+    class LiveSource(SyntheticSource):
+        is_live = True
+
+        def __init__(self):
+            super().__init__(width=8, height=8, n_frames=1000)
+            self.reads = 0
+
+        def read(self):
+            self.reads += 1
+            return super().read()
+
+    src = LiveSource()
+    paced = PacedReader(src, 5.0, 20.0)  # slow fps config on a live source
+    frames = [paced.read() for _ in range(12)]
+    assert src.reads == 12  # drained every tick, not every 4th
+    assert all(f is not None for f in frames)
+    # and the frames are the LATEST delivered, not repeats of an old one
+    assert not np.array_equal(frames[-1], frames[-2])

@@ -194,6 +194,10 @@ def threshold_from_cdf(cdf: "CDFObject", quantile: float, robust: bool = True) -
     """
     if not robust:
         return float(cdf.get_value_by_prob(quantile))
+    # quantile >= 1 was valid pre-robust (the raw empirical quantile clamps
+    # to the top bin edge) — clamp instead of letting normal_ppf assert and
+    # kill the stream loop; 1-1e-9 ~ z=6, far past any score history
+    quantile = min(max(float(quantile), 1e-9), 1.0 - 1e-9)
     q50 = float(cdf.get_value_by_prob(0.5))
     q90 = float(cdf.get_value_by_prob(0.9))
     factor = normal_ppf(quantile) / normal_ppf(0.9)

@@ -27,6 +27,10 @@ class FrameSource:
 
     fps: float = 20.0
     exhausted: bool = False
+    # live sources (webcam/RTSP) buffer internally and must be DRAINED every
+    # tick — skipping read()s backs up their FIFO and serves stale frames;
+    # replayable sources (file/dir/synthetic) are consumed only when due
+    is_live: bool = False
     MAX_CONSECUTIVE_GAPS = 10
 
     def read(self) -> Optional[np.ndarray]:
@@ -142,6 +146,7 @@ class OpenCVSource(FrameSource):
         # a local FILE that stops returning frames has ENDED — reconnecting
         # would replay it forever; only live sources (RTSP/webcam) reconnect
         self._is_file = isinstance(url, str) and os.path.isfile(url)
+        self.is_live = not self._is_file
         self.cap = None
         self._connect()
 
