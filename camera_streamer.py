@@ -73,6 +73,43 @@ def get_args():
     return args
 
 
+class _LiveDrainThread:
+    """Continuously reads a live source on a daemon thread, keeping only the
+    newest frame. cv2 capture FIFOs back up when read slower than the camera
+    delivers (staleness grows without bound), and a blocking cap.read() in
+    the tick loop would throttle the whole fleet to the slowest camera —
+    the reader thread absorbs both (cv2.read releases the GIL while it
+    waits). This is the multicam analogue of the reference's grab-timer
+    running at each camera's own rate (camera_streamer_qt.py:235-237)."""
+
+    def __init__(self, source):
+        import threading
+
+        self.source = source
+        self._lock = threading.Lock()
+        self._latest = None
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while not self._stop and not self.source.exhausted:
+            f = self.source.read()  # blocks until the camera's next frame
+            if f is not None:
+                with self._lock:
+                    self._latest = f
+
+    def read(self):
+        with self._lock:
+            return self._latest  # newest frame, never blocks the tick
+
+    def stop(self):
+        # join (bounded) so the underlying capture isn't released while a
+        # cv2.read is still in flight on this thread
+        self._stop = True
+        self._thread.join(timeout=2.0)
+
+
 class PacedReader:
     """Reads a source at its own fps relative to the batched tick rate.
 
@@ -81,9 +118,9 @@ class PacedReader:
     new frame is due (fractional-accumulator schedule, deterministic) and
     repeats its latest frame in between — so mixed-fps camera lists don't
     drain slower file/directory sources early. LIVE sources (webcam/RTSP,
-    ``source.is_live``) are instead drained every tick: cv2's capture FIFO
-    backs up when read slower than the camera delivers, and scoring would
-    lag real time by an ever-growing offset.
+    ``source.is_live``) are read on a dedicated drain thread instead
+    (_LiveDrainThread) so the tick always gets the newest frame without
+    blocking on any camera's delivery rate.
     """
 
     def __init__(self, source, fps: float, tick_fps: float):
@@ -91,15 +128,19 @@ class PacedReader:
         self._ratio = min(max(fps, 1e-6) / max(tick_fps, 1e-6), 1.0)
         self._acc = 0.0
         self._last = None
+        self._drain = (_LiveDrainThread(source)
+                       if getattr(source, "is_live", False) else None)
 
     def read(self):
-        if self.source.exhausted:
-            return None
-        if getattr(self.source, "is_live", False):
-            f = self.source.read()  # drain: always hand the newest frame
+        if self._drain is not None:
+            f = self._drain.read()
             if f is not None:
                 self._last = f
+            elif self.source.exhausted:
+                return None
             return self._last
+        if self.source.exhausted:
+            return None
         self._acc += self._ratio
         if self._last is None or self._acc >= 1.0:
             if self._acc >= 1.0:
@@ -112,6 +153,8 @@ class PacedReader:
         return self._last
 
     def release(self):
+        if self._drain is not None:
+            self._drain.stop()
         self.source.release()
 
 
@@ -164,7 +207,12 @@ def run_all_cameras(args):
                                pipelined=args.pipelined, mesh=mesh)
     engine.enable_cont_learning = args.continual_learning
     if args.learning_rate is not None:
-        engine.set_learning_rate(args.learning_rate)
+        if args.continual_learning:
+            engine.set_learning_rate(args.learning_rate)
+        else:
+            # set_learning_rate would compile the optimizer — multi-GB Adam
+            # moments an inference-only fleet never uses
+            print("--learning-rate ignored without --continual-learning")
     if args.img_noise is not None:
         engine.set_img_noise(args.img_noise)
     replay_src = args.replay_buffer
@@ -204,11 +252,15 @@ def run_all_cameras(args):
                 )
                 print(f"tick {n} ({lat_ms:.1f} ms): {line}")
             if stats_file:
-                stats_file.write(json.dumps({
-                    "tick": n, "latency_ms": round(lat_ms, 3),
-                    "scores": [None if r is None else r.score for r in results],
-                    "anomalous": [None if r is None else r.anomalous for r in results],
-                }) + "\n")
+                # pipelined mode emits tick N-1's results at tick N: label
+                # the row with the tick the SCORES belong to
+                scored_tick = n - 1 if args.pipelined else n
+                if scored_tick >= 0:
+                    stats_file.write(json.dumps({
+                        "tick": scored_tick, "latency_ms": round(lat_ms, 3),
+                        "scores": [None if r is None else r.score for r in results],
+                        "anomalous": [None if r is None else r.anomalous for r in results],
+                    }) + "\n")
             n += 1
             if args.realtime:
                 time.sleep(max(0.0, 1.0 / fps - (time.perf_counter() - t0)))
@@ -221,7 +273,7 @@ def run_all_cameras(args):
             last = engine.flush() if engine.pipelined else None
             if last is not None and stats_file:
                 stats_file.write(json.dumps({
-                    "tick": n, "flushed": True,
+                    "tick": n - 1, "flushed": True,
                     "scores": [None if r is None else r.score for r in last],
                 }) + "\n")
         except Exception as e:
@@ -291,7 +343,12 @@ def main():
         engine.cam_info = cam_info
     engine.enable_cont_learning = args.continual_learning
     if args.learning_rate is not None:
-        engine.set_learning_rate(args.learning_rate)
+        if args.continual_learning:
+            engine.set_learning_rate(args.learning_rate)
+        else:
+            # set_learning_rate would compile the optimizer — multi-GB Adam
+            # moments an inference-only fleet never uses
+            print("--learning-rate ignored without --continual-learning")
     if args.img_noise is not None:
         engine.set_img_noise(args.img_noise)
     if args.replay_buffer:
@@ -316,8 +373,10 @@ def main():
             if result is not None:
                 lat_ms = (time.perf_counter() - t0) * 1000.0
                 latencies.append(lat_ms)
+                # pipelined mode emits frame N-1's result at frame N: label
+                # the row with the frame the SCORE belongs to
                 line = {
-                    "frame": n,
+                    "frame": n - 1 if engine.pipelined else n,
                     "score": result.score,
                     "score_ma": result.score_ma,
                     "count": result.pixel_count,
@@ -328,7 +387,7 @@ def main():
                 if stats_file:
                     stats_file.write(json.dumps(line) + "\n")
                 if n % 20 == 0 or result.anomalous:
-                    print(f"frame {n}: AS={result.score: .4f} MA={result.score_ma: .4f} "
+                    print(f"frame {line['frame']}: AS={result.score: .4f} MA={result.score_ma: .4f} "
                           f"{'**ANOMALOUS**' if result.anomalous else ''} ({lat_ms:.2f} ms)")
             n += 1
             if args.max_frames is not None and n >= args.max_frames:
@@ -342,7 +401,7 @@ def main():
         try:  # best-effort: a device error here must not skip cleanup below
             last = engine.flush() if engine.pipelined else None
             if last is not None and stats_file:
-                stats_file.write(json.dumps({"frame": n, "score": last.score,
+                stats_file.write(json.dumps({"frame": n - 1, "score": last.score,
                                              "score_ma": last.score_ma, "flushed": True}) + "\n")
         except Exception as e:
             print(f"flush failed: {e}")

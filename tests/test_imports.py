@@ -53,6 +53,7 @@ def test_src_compat_shims():
     from src.kurtosis_single_cvae import KurtosisSingleCVAE  # noqa: F401
     from src.load_model import load_model_from_directory  # noqa: F401
     from src.raite_loader import RaiteDataset  # noqa: F401
+    import src.utils  # noqa: F401  (empty in the reference; exists for parity)
 
 
 def test_compile_cache_env_applied():

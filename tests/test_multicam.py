@@ -486,16 +486,23 @@ def test_all_cameras_cli_end_to_end(setup, tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, TCVAE_PLATFORM="cpu")
+    stats = str(tmp_path / "stats.jsonl")
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "camera_streamer.py"), "-m", mdir,
          "--all-cameras", "--n-streams", "2", "-c", "--replay-buffer", lst,
          "--record-dir", rec, "--model-cache-dir", str(tmp_path / "cache"),
-         "--max-frames", "6"],
+         "--max-frames", "6", "--pipelined", "--stats-jsonl", stats],
         capture_output=True, text=True, timeout=500, cwd=repo, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "Replay Buffer Loaded: 2" in proc.stdout
     assert "processed 6 ticks x 2 streams" in proc.stdout
+    # pipelined mode emits tick N-1's scores at tick N; rows must be labeled
+    # with the tick the scores belong to, and the flush row completes the set
+    import json
+    rows = [json.loads(l) for l in open(stats)]
+    assert sorted(r["tick"] for r in rows) == list(range(6)), rows
+    assert rows[-1].get("flushed") and rows[-1]["tick"] == 5
     inst = [d for d in os.listdir(rec) if d.startswith("data_")]
     assert len(inst) == 1
     inst_dir = os.path.join(rec, inst[0])

@@ -1,6 +1,7 @@
 """Streaming engine: scorer math parity, CL, recording, state machine."""
 
 import os
+import time
 
 import numpy as np
 import pytest
@@ -610,9 +611,14 @@ def test_cdf_warmup_skip_excludes_transition_scores(engine):
 
 
 def test_paced_reader_drains_live_sources():
-    """Live sources (is_live) are read EVERY tick regardless of their
-    configured fps — skipping reads backs up cv2's capture FIFO and serves
-    ever-staler frames; pacing applies only to replayable sources."""
+    """Live sources (is_live) are read on a dedicated drain thread —
+    cv2's capture FIFO backs up when read slower than the camera delivers,
+    and a blocking read in the tick loop would throttle the fleet to the
+    slowest camera. The tick-side read() must (a) never call source.read on
+    the calling thread, (b) never block on frame delivery, and (c) hand out
+    the NEWEST delivered frame; pacing applies only to replayable sources."""
+    import threading
+
     from camera_streamer import PacedReader
     from trustedai_cl_vae_ad_tpu.stream.capture import SyntheticSource
 
@@ -621,16 +627,41 @@ def test_paced_reader_drains_live_sources():
 
         def __init__(self):
             super().__init__(width=8, height=8, n_frames=1000)
-            self.reads = 0
+            self.deliver = threading.Event()  # one frame per .set()
+            self.reader_threads = set()
 
         def read(self):
-            self.reads += 1
+            # block like a real camera until the next frame is "delivered"
+            self.reader_threads.add(threading.get_ident())
+            if not self.deliver.wait(timeout=5.0):
+                return None
+            self.deliver.clear()
             return super().read()
+
+    def poll(predicate, timeout=5.0):
+        deadline = time.time() + timeout
+        while not predicate():
+            if time.time() > deadline:
+                raise AssertionError("timed out waiting for drain thread")
+            time.sleep(0.005)
 
     src = LiveSource()
     paced = PacedReader(src, 5.0, 20.0)  # slow fps config on a live source
-    frames = [paced.read() for _ in range(12)]
-    assert src.reads == 12  # drained every tick, not every 4th
-    assert all(f is not None for f in frames)
-    # and the frames are the LATEST delivered, not repeats of an old one
-    assert not np.array_equal(frames[-1], frames[-2])
+    try:
+        # no frame delivered yet: tick read returns None immediately, does
+        # not block, and never touches source.read from this thread
+        assert paced.read() is None
+        assert threading.get_ident() not in src.reader_threads
+
+        src.deliver.set()
+        poll(lambda: paced.read() is not None)
+        first = paced.read()
+        # between deliveries the same cached frame is repeated
+        assert np.array_equal(paced.read(), first)
+
+        src.deliver.set()  # second frame arrives
+        poll(lambda: not np.array_equal(paced.read(), first))
+        assert src.reader_threads.isdisjoint({threading.get_ident()})
+    finally:
+        src.deliver.set()  # unblock the drain thread so release can join
+        paced.release()

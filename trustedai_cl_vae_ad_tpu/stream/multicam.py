@@ -712,6 +712,7 @@ class MultiCameraEngine:
             if reset_scorer:
                 self.reset_stream(s)
             else:
+                # single-stream parity: the anomalous state machine is NOT
+                # cleared — a mid-alarm stream keeps its hold period and
+                # expires naturally (engine.new_task :467-484)
                 self.score_ma[s] = 0.0
-                self.anomalous[s] = False
-                self.anomalous_start[s] = None
