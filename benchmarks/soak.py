@@ -1,0 +1,190 @@
+#!/usr/bin/env python3
+"""Production soak: long-run fleet streaming with CL, leak/drift detection.
+
+The serving claim ("runs continuously at the edge", reference
+camera_streamer_qt.py's always-on Qt loop) needs long-run evidence, not
+per-tick microbenchmarks: Python-side state that grows per tick (score
+histories, jit caches, metric buffers, replay rings) or a device-memory
+leak (new buffers per dispatch) only shows up over thousands of ticks.
+
+Drives MultiCameraEngine at flagship scale (model-res frames so the
+host->device upload doesn't dominate through slow links) with fleet CL on a
+simulated 30 fps clock / 500 ms CL period, and records per-window:
+
+  - wall ms/tick p50/p95 (drift between first and last window = work that
+    grows with tick count),
+  - host VmRSS (Python/host-side leaks),
+  - device bytes_in_use when the runtime exposes memory_stats() (device
+    leaks),
+  - the per-stream CDF threshold (must stay finite: the bounded score
+    history deque is doing its job).
+
+Writes benchmarks/SOAK.json with the full series + verdict fields.
+
+Usage: python benchmarks/soak.py [--ticks 2000] [--streams 8] [--quantize]
+       [--tiny]   (CPU smoke of the harness flow)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SOAK.json")
+
+
+def host_rss_mb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
+def device_bytes_in_use():
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("bytes_in_use", -1)) if stats else -1
+    except Exception:
+        return -1
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ticks", type=int, default=2000)
+    p.add_argument("--streams", type=int, default=8)
+    p.add_argument("--window", type=int, default=100)
+    p.add_argument("--quantize", action="store_true")
+    p.add_argument("--tiny", action="store_true", help="CPU smoke (small model)")
+    p.add_argument("--tiny-model", action="store_true",
+                   help="small model but FULL-RES frames: CPU engine-leak "
+                        "check with the real per-tick host byte churn")
+    p.add_argument("--out", default=OUT)
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from bench import _flagship_config
+    from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
+    from trustedai_cl_vae_ad_tpu.models.wrapper import VAEModel
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    config = _flagship_config()
+    if args.tiny:
+        config["data"]["image_size"] = [32, 32, 3]
+    if args.tiny or args.tiny_model:
+        config["model"].update(latent_dimensions=8, layers=[4],
+                               decoder_dense_filters=4)
+    h, w, _ = config["data"]["image_size"]
+
+    core = KurtosisGlobalCVAE(config, dtype=jnp.bfloat16,
+                              param_dtype=jnp.bfloat16)
+    model = VAEModel(core)
+    # per-stream CDF thresholds ON: the score history + CDF rebuild path is
+    # exactly the per-tick host state a soak must exercise
+    settings = {
+        "anomaly_score_threshold": 3.0,
+        "anomaly_score_method": "cdf",
+        "buffer_record_period_s": 0.5,
+        "anomalous_state_period_s": 5.0,
+        "cdf_warmup_skip": 8,
+    }
+    engine = MultiCameraEngine(model, config, n_streams=args.streams,
+                               anomaly_settings=settings,
+                               quantize=args.quantize, cl_ring_ticks=4)
+    engine.enable_cont_learning = True
+    engine.set_learning_rate(1e-4)
+
+    # frame pool: static scenes + per-tick sensor noise, model-native res
+    # (the soak targets drift, not upload bandwidth — model-res frames keep
+    # the host->device term small on tunneled links)
+    rng = np.random.RandomState(0)
+    scenes = [rng.randint(0, 200, (h, w, 3), np.uint8)
+              for _ in range(args.streams)]
+
+    def frames_at(t):
+        noise = rng.randint(-8, 9, (h, w, 3), np.int16)
+        return [np.clip(s.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+                for s in scenes]
+
+    # warm-up: compile every dispatch shape (infer tick + CL step) before
+    # the measured run so compile time never pollutes a window
+    for t in range(8):
+        engine.process_frames(frames_at(t), now=t / 30.0)
+    lat, windows = [], []
+    t_start = time.perf_counter()
+    for t in range(args.ticks):
+        now = (8 + t) / 30.0  # simulated 30 fps clock drives the CL period
+        t0 = time.perf_counter()
+        out = engine.process_frames(frames_at(t), now=now)
+        lat.append(1000 * (time.perf_counter() - t0))
+        if (t + 1) % args.window == 0:
+            wl = lat[-args.window:]
+            thr = engine.current_threshold(0)
+            win = {
+                "tick": t + 1,
+                "p50_ms": round(float(np.percentile(wl, 50)), 2),
+                "p95_ms": round(float(np.percentile(wl, 95)), 2),
+                "rss_mb": round(host_rss_mb(), 1),
+                "device_bytes_in_use": device_bytes_in_use(),
+                "threshold_s0": None if thr is None else round(float(thr), 4),
+                "cl_epochs": engine.cl_epochs,
+            }
+            windows.append(win)
+            print("WINDOW", json.dumps(win), flush=True)
+
+    first, last = windows[0], windows[-1]
+    n_half = len(windows) // 2
+    # steady-state comparison: median of the 2nd half vs windows 2..half
+    # (window 1 still carries allocator/cache warm-up)
+    early = [w["p50_ms"] for w in windows[1:max(2, n_half)]]
+    late = [w["p50_ms"] for w in windows[n_half:]]
+    rss_early = [w["rss_mb"] for w in windows[1:max(2, n_half)]]
+    rss_late = [w["rss_mb"] for w in windows[n_half:]]
+    dev_series = [w["device_bytes_in_use"] for w in windows
+                  if w["device_bytes_in_use"] > 0]
+    # RSS-vs-upload correlation: the tunneled axon runtime leaks host RSS
+    # ~= every host->device byte uploaded (isolated in BENCH_NOTES r7 —
+    # environment, not engine; a standard PJRT backend plateaus, see the
+    # CPU soak artifact). rss_mb_per_tick ~= upload_mb_per_tick fingers
+    # the tunnel; rss_mb_per_tick >> upload with a flat upload term would
+    # finger the engine.
+    upload_mb_per_tick = args.streams * h * w * 3 / 1e6
+    span_ticks = (windows[-1]["tick"] - windows[1]["tick"]) or 1
+    rss_per_tick = (windows[-1]["rss_mb"] - windows[1]["rss_mb"]) / span_ticks
+    report = {
+        "config": {
+            "ticks": args.ticks, "streams": args.streams,
+            "quantize": args.quantize, "tiny": args.tiny,
+            "tiny_model": args.tiny_model,
+            "image_size": [h, w], "cl_period_s": 0.5, "tick_fps": 30,
+        },
+        "wall_s": round(time.perf_counter() - t_start, 1),
+        "latency_p50_drift_ms": round(float(np.median(late) - np.median(early)), 3),
+        "upload_mb_per_tick": round(upload_mb_per_tick, 3),
+        "rss_mb_per_tick": round(float(rss_per_tick), 3),
+        "rss_drift_mb": round(float(np.median(rss_late) - np.median(rss_early)), 1),
+        "rss_final_mb": last["rss_mb"],
+        "device_mem_stable": (len(set(dev_series[n_half:])) <= 2
+                              if len(dev_series) > n_half else None),
+        "threshold_finite": all(
+            w["threshold_s0"] is None or np.isfinite(w["threshold_s0"])
+            for w in windows),
+        "cl_epochs_final": last["cl_epochs"],
+        "windows": windows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("SOAK", json.dumps({k: v for k, v in report.items()
+                              if k != "windows"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

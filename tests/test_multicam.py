@@ -664,3 +664,29 @@ def test_cdf_warmup_skip_and_new_task_keeps_ema(setup):
     np.testing.assert_array_equal(np.asarray(multi.maps[0]), maps_before)
     multi.new_task(0, reset_scorer=True)  # hard reset opt-in
     assert np.abs(np.asarray(multi.maps[0])).max() == 0
+
+
+def test_no_anomaly_settings_scores_without_state_machine(setup):
+    """An engine built WITHOUT anomaly_settings still scores (monitoring
+    mode): current_threshold returns None instead of crashing, nothing is
+    flagged anomalous. Regression: current_threshold used to raise
+    AttributeError on both engines (caught by the soak harness)."""
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, _ = setup
+    multi = MultiCameraEngine(model, config, n_streams=2)
+    rng = np.random.RandomState(3)
+    for t in range(3):
+        out = multi.process_frames(
+            [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)],
+            now=float(t))
+    assert multi.current_threshold(0) is None
+    assert all(not r.anomalous for r in out)
+
+    single = StreamingEngine(model, config)
+    single.inference_period_ms = 0.0
+    for t in range(3):
+        r = single.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
+    assert single.current_threshold() is None
+    assert not r.anomalous

@@ -505,8 +505,12 @@ class StreamingEngine:
         self._score_history.append(score_f)
         self._cdf_dirty += 1
 
-    def current_threshold(self) -> float:
-        """Active anomaly threshold: fixed, or the per-task CDF quantile."""
+    def current_threshold(self) -> Optional[float]:
+        """Active anomaly threshold: fixed, or the per-task CDF quantile.
+        None when the engine was built without anomaly_settings (scoring
+        runs, but no state machine is configured)."""
+        if self.anomaly_settings is None:
+            return None
         threshold = float(self.anomaly_settings.get("anomaly_score_threshold"))
         method = str(self.anomaly_settings.get("anomaly_score_method", "fixed"))
         if method.startswith("cdf") and len(self._score_history) >= 32:

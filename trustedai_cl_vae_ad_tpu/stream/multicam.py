@@ -654,9 +654,13 @@ class MultiCameraEngine:
         self._score_history[i].append(score_f)
         self._cdf_dirty[i] += 1
 
-    def current_threshold(self, i: int) -> float:
+    def current_threshold(self, i: int) -> Optional[float]:
         """Active threshold for stream i: fixed, or its per-stream CDF
-        quantile once enough history exists (engine.current_threshold)."""
+        quantile once enough history exists (engine.current_threshold).
+        None when the engine was built without anomaly_settings (scoring
+        runs, but no state machine is configured)."""
+        if self.anomaly_settings is None:
+            return None
         threshold = float(self.anomaly_settings.get("anomaly_score_threshold"))
         method = str(self.anomaly_settings.get("anomaly_score_method", "fixed"))
         if method.startswith("cdf") and len(self._score_history[i]) >= 32:
