@@ -61,6 +61,13 @@ class MicroBatcher:
         self.hwc = (int(size[0]), int(size[1]), int(size[2]))
         self.queue: queue.Queue = queue.Queue()
         self._stop = False
+        # observability (read by the /metrics endpoint): how full the
+        # coalesced batches run tells the operator whether max_batch /
+        # max_wait_ms match the offered load
+        self.batches_dispatched = 0
+        self.items_scored = 0
+        self.batch_errors = 0
+        self.bucket_counts: dict = {}
 
         core = model.core
         out_hw = self.hwc[:2]
@@ -167,6 +174,9 @@ class MicroBatcher:
                     break
             n = len(items)
             bucket = next(b for b in self.BUCKETS if b >= n)
+            self.batches_dispatched += 1
+            self.items_scored += n
+            self.bucket_counts[bucket] = self.bucket_counts.get(bucket, 0) + 1
             # EVERYTHING per-batch lives inside the try: a bad image shape in
             # batch assembly must fail these futures, not kill the batcher
             # thread (which would leave every later request hanging for its
@@ -184,6 +194,7 @@ class MicroBatcher:
                 for i, (_img, wr, fut) in enumerate(items):
                     fut.set_result((float(eps[i]), rec[i] if rec is not None else None))
             except Exception as e:
+                self.batch_errors += 1
                 for _img, _wr, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
@@ -205,7 +216,63 @@ def _decode_to_model_size(body: bytes, hwc):
     return arr
 
 
-def make_handler(batcher: MicroBatcher, stats, threshold: float):
+class ServerMetrics:
+    """Thread-safe request counters + a bounded latency reservoir for the
+    /metrics endpoint (new TPU-native serving capability; the reference has
+    no server). Latencies keep the most recent window only — a long-lived
+    server must not grow host state per request (benchmarks/soak.py)."""
+
+    def __init__(self, window: int = 2048):
+        from collections import deque
+
+        self._lock = threading.Lock()
+        self.started = time.time()
+        self.requests = {}      # path -> count
+        self.failures = {}      # path -> count
+        self._lat_ms = deque(maxlen=window)
+
+    def record(self, path: str, ms: float, ok: bool) -> None:
+        with self._lock:
+            self.requests[path] = self.requests.get(path, 0) + 1
+            if not ok:
+                self.failures[path] = self.failures.get(path, 0) + 1
+            self._lat_ms.append(ms)
+
+    def snapshot(self, batcher: "MicroBatcher") -> dict:
+        import numpy as np
+
+        with self._lock:
+            lat = list(self._lat_ms)
+            out = {
+                "uptime_s": round(time.time() - self.started, 1),
+                "requests": dict(self.requests),
+                "failures": dict(self.failures),
+            }
+        if lat:
+            out["latency_ms"] = {
+                "window": len(lat),
+                "p50": round(float(np.percentile(lat, 50)), 2),
+                "p95": round(float(np.percentile(lat, 95)), 2),
+                "p99": round(float(np.percentile(lat, 99)), 2),
+            }
+        out["batcher"] = {
+            "batches_dispatched": batcher.batches_dispatched,
+            "items_scored": batcher.items_scored,
+            "batch_errors": batcher.batch_errors,
+            "bucket_counts": dict(batcher.bucket_counts),
+            "mean_batch_fill": round(
+                batcher.items_scored / batcher.batches_dispatched, 3)
+            if batcher.batches_dispatched else None,
+            "queue_depth": batcher.queue.qsize(),
+            "quantized": batcher.quantized,
+        }
+        return out
+
+
+def make_handler(batcher: MicroBatcher, stats, threshold: float,
+                 metrics: ServerMetrics | None = None):
+    metrics = metrics or ServerMetrics()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -222,6 +289,8 @@ def make_handler(batcher: MicroBatcher, stats, threshold: float):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, "model_input": list(batcher.hwc),
                                  "max_batch": batcher.max_batch})
+            elif self.path == "/metrics":
+                self._json(200, metrics.snapshot(batcher))
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -229,19 +298,27 @@ def make_handler(batcher: MicroBatcher, stats, threshold: float):
             if self.path not in ("/score", "/reconstruct"):
                 self._json(404, {"error": "unknown path"})
                 return
+            t0 = time.perf_counter()
+
+            def done(ok: bool) -> None:
+                metrics.record(self.path, 1000 * (time.perf_counter() - t0), ok)
+
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
                 img = _decode_to_model_size(body, batcher.hwc)
             except Exception as e:
+                done(False)
                 self._json(400, {"error": f"undecodable image: {e}"})
                 return
             try:
                 want_rec = self.path == "/reconstruct"
                 eps, rec = batcher.submit(img, want_rec=want_rec).result(timeout=120)
             except Exception as e:
+                done(False)
                 self._json(500, {"error": str(e)})
                 return
+            done(True)
             if self.path == "/reconstruct":
                 from PIL import Image
 

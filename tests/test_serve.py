@@ -227,3 +227,31 @@ def test_int8_checkpoint_boot(tmp_path, monkeypatch):
     srv_q.batcher.close()
     srv_ref.server_close()
     srv_q.server_close()
+
+
+def test_metrics_endpoint(server):
+    """/metrics exposes request counts, a bounded latency window, and
+    batcher occupancy (batches dispatched, mean fill, bucket histogram) —
+    the operator's view of whether max_batch/max_wait match the load."""
+    req = urllib.request.Request(f"{server}/score", data=_png_bytes(31),
+                                 headers={"Content-Type": "image/png"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+    with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["requests"]["/score"] >= 1
+    assert m["uptime_s"] >= 0
+    assert m["latency_ms"]["window"] >= 1 and m["latency_ms"]["p50"] > 0
+    b = m["batcher"]
+    assert b["items_scored"] >= 1 and b["batches_dispatched"] >= 1
+    assert 1.0 <= b["mean_batch_fill"] <= 4.0  # max_batch=4 in the fixture
+    assert sum(b["bucket_counts"].values()) == b["batches_dispatched"]
+    # failures are counted per path (undecodable image -> 400)
+    bad = urllib.request.Request(f"{server}/score", data=b"not a png")
+    try:
+        urllib.request.urlopen(bad, timeout=30)
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
+        m2 = json.loads(r.read())
+    assert m2["failures"].get("/score", 0) >= 1
