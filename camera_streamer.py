@@ -190,11 +190,35 @@ def run_all_cameras(args):
         os.makedirs(metrics_dir, exist_ok=True)
         metrics = MetricsWriter(metrics_dir)
 
-    # CL resume: restore checkpointed Adam moments in the same read that
-    # restores params (engine.load_engine_from_directory does the same; an
-    # unconditional compile() later would re-init and wipe them)
-    model, config = load_model_from_directory(
-        args.model_dir, restore_optimizer=True if args.continual_learning else None)
+    qparams = None
+    if args.quantize and not args.continual_learning:
+        # int8-checkpoint boot (tools/quantize_checkpoint.py): an
+        # inference-only fleet never materializes the float params — half
+        # the upload, no on-device quantization pass (BENCH_NOTES r5)
+        from trustedai_cl_vae_ad_tpu.ops.quant import (
+            has_quantized_checkpoint,
+            load_quantized_checkpoint,
+        )
+
+        if has_quantized_checkpoint(args.model_dir):
+            qparams = load_quantized_checkpoint(args.model_dir)
+            print(f"int8 boot: loaded quantized checkpoint from "
+                  f"{args.model_dir}/quantized")
+    if qparams is not None:
+        from types import SimpleNamespace
+
+        from trustedai_cl_vae_ad_tpu.config import load_config
+        from trustedai_cl_vae_ad_tpu.registry import build_core_from_config
+
+        config = load_config(os.path.join(args.model_dir, "config.yml"))
+        model = SimpleNamespace(core=build_core_from_config(config),
+                                params=None, optimizer=None)
+    else:
+        # CL resume: restore checkpointed Adam moments in the same read that
+        # restores params (engine.load_engine_from_directory does the same; an
+        # unconditional compile() later would re-init and wipe them)
+        model, config = load_model_from_directory(
+            args.model_dir, restore_optimizer=True if args.continual_learning else None)
     mesh = None
     if args.mesh:
         from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
@@ -204,7 +228,8 @@ def run_all_cameras(args):
                                anomaly_settings=anomaly_settings,
                                quantize=args.quantize, metrics=metrics,
                                model_cache_dir=args.model_cache_dir,
-                               pipelined=args.pipelined, mesh=mesh)
+                               pipelined=args.pipelined, mesh=mesh,
+                               qparams=qparams)
     engine.enable_cont_learning = args.continual_learning
     if args.learning_rate is not None:
         if args.continual_learning:
@@ -338,6 +363,9 @@ def main():
         pipelined=args.pipelined,
         metrics=metrics,
         quantize=args.quantize,
+        # inference-only + --quantize: boot straight from <logdir>/quantized
+        # when present (half the upload; CL needs the float tree)
+        int8_checkpoint_boot=not args.continual_learning,
     )
     if cam_info:
         engine.cam_info = cam_info

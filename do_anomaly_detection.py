@@ -55,7 +55,30 @@ def main():
     from trustedai_cl_vae_ad_tpu.data.loader import load_data
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
 
-    model, config = load_model_from_directory(args.model_dir)
+    qparams = None
+    if args.quantize:
+        from trustedai_cl_vae_ad_tpu.ops.quant import (
+            has_quantized_checkpoint,
+            load_quantized_checkpoint,
+        )
+
+        if has_quantized_checkpoint(args.model_dir):
+            # int8-checkpoint boot: skip the float-tree read/upload entirely
+            # (tools/quantize_checkpoint.py wrote <model_dir>/quantized)
+            import os
+            from types import SimpleNamespace
+
+            from trustedai_cl_vae_ad_tpu.config import load_config
+            from trustedai_cl_vae_ad_tpu.registry import build_core_from_config
+
+            config = load_config(os.path.join(args.model_dir, "config.yml"))
+            model = SimpleNamespace(core=build_core_from_config(config),
+                                    params=None)
+            qparams = load_quantized_checkpoint(args.model_dir)
+            print(f"int8 boot: loaded quantized checkpoint from "
+                  f"{args.model_dir}/quantized")
+    if qparams is None:
+        model, config = load_model_from_directory(args.model_dir)
 
     # the two-pass pipeline pairs artifacts with frames BY INDEX across
     # separate iterations — deterministic order is required
@@ -70,12 +93,15 @@ def main():
             from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh, replicate
 
             mesh = make_mesh()
-            model.params = replicate(model.params, mesh)
+            if model.params is not None:
+                model.params = replicate(model.params, mesh)
+            if qparams is not None:
+                qparams = replicate(qparams, mesh)
 
     train_data = load_data(config)
     # the quantized param tree is built once and shared by both passes
-    score_params = None
-    if args.quantize:
+    score_params = qparams
+    if args.quantize and score_params is None:
         from trustedai_cl_vae_ad_tpu.ops.quant import serving_forward
 
         _, score_params = serving_forward(model.core, model.params, quantize=True)

@@ -157,3 +157,23 @@ def test_create_video_from_logs_cli(tool_env, monkeypatch, tmp_path):
     if not out.exists() or os.path.getsize(out) == 0:
         pytest.skip("no cv2 video codec available in this environment")
     assert os.path.getsize(out) > 0
+
+
+def test_do_anomaly_int8_checkpoint_boot(tool_env, monkeypatch, tmp_path, capsys):
+    """do_anomaly_detection --quantize boots from <logdir>/quantized when
+    present (no float-param materialization) and produces the same artifact
+    set."""
+    monkeypatch.setenv("TCVAE_QUANT_MIN_ELEMS", "0")
+    from trustedai_cl_vae_ad_tpu.ops import quant
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    model, _cfg = load_model_from_directory(tool_env["logdir"])
+    quant.save_quantized_checkpoint(
+        tool_env["logdir"], quant.quantize_params(model.core, model.params))
+    out = tmp_path / "anomaly_int8"
+    _run(monkeypatch, "do_anomaly_detection",
+         ["-m", tool_env["logdir"], "-d", tool_env["dataset"], "-o", str(out),
+          "-t", "2.5", "--quantize"])
+    assert "int8 boot" in capsys.readouterr().out
+    names = os.listdir(out)
+    assert "anomaly_fig.png" in names and "anomaly_list.csv" in names, names

@@ -665,3 +665,139 @@ def test_paced_reader_drains_live_sources():
     finally:
         src.deliver.set()  # unblock the drain thread so release can join
         paced.release()
+
+
+def _tiny_config():
+    return {
+        "data": {"image_size": [16, 16, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 8, "beta": 1e-6, "learning_rate": 1e-3,
+                     "max_epochs": 1},
+    }
+
+
+def test_engine_optimizer_is_lazy():
+    """An inference-only StreamingEngine must not allocate optimizer moments
+    (the flagship's are ~2x the 2.7 GB param bytes): compile happens on the
+    first CL use / lr dial, not at construction."""
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+
+    config = _tiny_config()
+    model = load_model_from_config(config)
+    eng = StreamingEngine(model, config)
+    eng.inference_period_ms = 0.0
+    assert model.optimizer is None  # construction allocated no Adam state
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        eng.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
+    assert model.optimizer is None  # inference ticks still don't
+    eng.set_learning_rate(5e-4)  # the CL dial compiles on demand
+    assert model.optimizer is not None
+    assert eng.model.learning_rate == pytest.approx(5e-4)
+    # and CL actually steps on the lazily-built path
+    eng.enable_cont_learning = True
+    eng.continuous_learning_period_ms = 0.0
+    out = eng.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
+    assert out.cl_stepped and out.loss is not None
+
+
+def test_engine_int8_checkpoint_boot(tmp_path, monkeypatch):
+    """load_engine_from_directory(quantize=True, int8_checkpoint_boot=True)
+    boots from <logdir>/quantized without materializing float params and
+    scores bit-identically to the quantize-at-load engine; CL controls raise
+    (inference-only boot)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.ops import quant
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.engine import load_engine_from_directory
+
+    monkeypatch.setenv("TCVAE_QUANT_MIN_ELEMS", "0")
+    config = _tiny_config()
+    d = str(tmp_path / "m")
+    os.makedirs(d)
+    model = load_model_from_config(config)
+    model.save_model(d, include_optimizer=False)
+    save_config(config, os.path.join(d, "config.yml"))
+
+    ref = load_engine_from_directory(d, quantize=True)  # quantize-at-load
+    assert ref.model.params is not None
+    qp = quant.quantize_params(model.core, model.params)
+    quant.save_quantized_checkpoint(d, qp)
+    int8 = load_engine_from_directory(d, quantize=True, int8_checkpoint_boot=True)
+    assert int8.model.params is None  # float tree never materialized
+    ref.inference_period_ms = int8.inference_period_ms = 0.0
+
+    rng = np.random.RandomState(7)
+    for _ in range(4):
+        f = rng.randint(0, 255, (16, 16, 3), np.uint8)
+        r_ref, r_int8 = ref.process_frame(f), int8.process_frame(f)
+        for a, b in ((r_ref.score, r_int8.score),
+                     (r_ref.pixel_count, r_int8.pixel_count)):
+            if np.isnan(a):
+                assert np.isnan(b)
+            else:
+                assert a == b  # same int8 tree -> bit-identical dispatch
+
+    with pytest.raises(RuntimeError, match="int8 checkpoint"):
+        int8.set_learning_rate(1e-3)
+    int8.enable_cont_learning = True
+    int8.continuous_learning_period_ms = 0.0
+    with pytest.raises(RuntimeError, match="int8 checkpoint"):
+        int8.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
+
+
+def test_multicam_int8_checkpoint_boot(tmp_path, monkeypatch):
+    """MultiCameraEngine(qparams=...) serves from a pre-quantized tree with
+    model.params=None; fleet-CL controls raise."""
+    import os
+    from types import SimpleNamespace
+
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.ops import quant
+    from trustedai_cl_vae_ad_tpu.registry import (
+        build_core_from_config,
+        load_model_from_config,
+    )
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    monkeypatch.setenv("TCVAE_QUANT_MIN_ELEMS", "0")
+    config = _tiny_config()
+    d = str(tmp_path / "m")
+    os.makedirs(d)
+    model = load_model_from_config(config)
+    model.save_model(d, include_optimizer=False)
+    save_config(config, os.path.join(d, "config.yml"))
+    qp = quant.quantize_params(model.core, model.params)
+    quant.save_quantized_checkpoint(d, qp)
+
+    ref = MultiCameraEngine(model, config, n_streams=2, quantize=True)
+    shell = SimpleNamespace(core=build_core_from_config(config),
+                            params=None, optimizer=None)
+    int8 = MultiCameraEngine(shell, config, n_streams=2,
+                             qparams=quant.load_quantized_checkpoint(d))
+    assert int8.quantized  # qparams alone selects the int8 forward
+
+    rng = np.random.RandomState(9)
+    for t in range(3):
+        tick = [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)]
+        out_ref = ref.process_frames(tick, now=float(t))
+        out_int8 = int8.process_frames(tick, now=float(t))
+        for a, b in zip(out_ref, out_int8):
+            if np.isnan(a.score):
+                assert np.isnan(b.score)
+            else:
+                assert a.score == b.score
+
+    with pytest.raises(RuntimeError, match="int8 checkpoint"):
+        int8.set_learning_rate(1e-3)
+    int8.enable_cont_learning = True
+    with pytest.raises(RuntimeError, match="int8 checkpoint"):
+        int8.process_frames([tick[0], tick[1]], now=99.0)

@@ -122,6 +122,7 @@ class StreamingEngine:
         metrics=None,
         replay_capacity: int = 256,
         quantize: bool = False,
+        qparams=None,
     ):
         self.model = model
         # int8 big-dense kernels for the inference dispatch (ops/quant.py):
@@ -129,7 +130,11 @@ class StreamingEngine:
         # dominant kernel bytes cuts frame latency. CL keeps float params;
         # after each CL step the serving copy is re-quantized (a bandwidth
         # pass over the params, ~ms — cheap at the 500 ms CL cadence).
-        self.quantized = bool(quantize)
+        # ``qparams`` = a pre-quantized tree (load_quantized_checkpoint):
+        # serve from it directly — model.params may then be None (the
+        # int8-checkpoint boot skips the float upload entirely; CL raises).
+        self.quantized = bool(quantize) or qparams is not None
+        self._qparams = qparams
         self.config = config
         # validate here, not just in load_cam_config: the CDF-threshold path
         # still needs the fixed threshold during warm-up, so a settings dict
@@ -221,8 +226,11 @@ class StreamingEngine:
         self.process_rate = 0.0
         self.timings: dict = {}
 
-        if self.model.optimizer is None:
-            self.model.compile()
+        # CL resources (optimizer moments + the train-step jit) are
+        # allocated lazily on first use: an inference-only stream must not
+        # hold multi-GB Adam moments on the chip (the flagship's are ~2x
+        # the 2.7 GB param bytes). MultiCameraEngine._ensure_cl pattern.
+        self._cl_step_j = None
         self._build_jits()
 
     # ------------------------------------------------------------------ jits
@@ -241,7 +249,8 @@ class StreamingEngine:
         core = self.model.core
         out_hw = (self.height, self.width)
         forward, self._serve_params = serving_forward(
-            core, self.model.params, quantize=self.quantized
+            core, self.model.params, quantize=self.quantized,
+            qparams=self._qparams,
         )
 
         def infer_score(params, ring, idx, frame_u8, maps, scalars, alpha, seed_ring):
@@ -273,6 +282,21 @@ class StreamingEngine:
 
         self._infer_score_j = jax.jit(infer_score, donate_argnums=(1, 4, 5))
 
+    def _ensure_cl(self) -> None:
+        """Lazily compile the optimizer (allocating Adam moments on device)
+        and build the CL train-step jit. Raises on int8-checkpoint boots:
+        there are no float params to train."""
+        if self._cl_step_j is not None:
+            return
+        if self.model.params is None:
+            raise RuntimeError(
+                "continual learning needs float params, but this engine was "
+                "booted from an int8 checkpoint (inference-only). Reload "
+                "without int8_checkpoint_boot to train."
+            )
+        if self.model.optimizer is None:
+            self.model.compile()
+        core = self.model.core
         optimizer = self.model.optimizer
 
         def cl_step(params, opt_state, stacked, weights, rng):
@@ -416,6 +440,7 @@ class StreamingEngine:
         ever: (ring,) and (ring + capacity,) — replay size changes don't
         retrace.
         """
+        self._ensure_cl()
         if self.replay_buffer is not None:
             stacked = jnp.concatenate([self.ring, self.replay_buffer], axis=0)
             weights = np.zeros(stacked.shape[0], np.float32)
@@ -442,6 +467,9 @@ class StreamingEngine:
         return loss
 
     def set_learning_rate(self, lr: float) -> None:
+        # the lr dial is a CL control: dialing it compiles the optimizer
+        # (allocating its moments) if that hasn't happened yet
+        self._ensure_cl()
         self.model.set_learning_rate(lr)
 
     def set_img_noise(self, beta: float) -> None:
@@ -811,18 +839,51 @@ def decode_filelist_to_model_res(filelist: list, height: int, width: int,
     return imgs, [p for _img, p in decoded]
 
 
-def load_engine_from_directory(log_dir: str, **kwargs) -> StreamingEngine:
+def load_engine_from_directory(log_dir: str, int8_checkpoint_boot: bool = False,
+                               **kwargs) -> StreamingEngine:
     """Load model+config from a log dir; restores replay buffer if recorded
-    (reference load-model flow :630-696)."""
+    (reference load-model flow :630-696).
+
+    ``int8_checkpoint_boot``: with ``quantize=True`` and a
+    ``<log_dir>/quantized`` tree present (tools/quantize_checkpoint.py),
+    boot from the int8 checkpoint WITHOUT materializing the float params —
+    half the upload, no on-device quantization pass (the serve.py boot
+    path, BENCH_NOTES r5). Inference-only: continual learning raises.
+    """
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    if int8_checkpoint_boot and kwargs.get("quantize"):
+        from types import SimpleNamespace
+
+        from trustedai_cl_vae_ad_tpu.ops.quant import (
+            has_quantized_checkpoint,
+            load_quantized_checkpoint,
+        )
+
+        if has_quantized_checkpoint(log_dir):
+            from trustedai_cl_vae_ad_tpu.registry import build_core_from_config
+
+            config = load_config(os.path.join(log_dir, "config.yml"))
+            core = build_core_from_config(config)
+            qparams = load_quantized_checkpoint(log_dir)
+            model = SimpleNamespace(core=core, params=None, optimizer=None)
+            print(f"int8 boot: loaded quantized checkpoint from {log_dir}/quantized")
+            engine = StreamingEngine(model, config,
+                                     cam_info=config.get("cam_info"),
+                                     qparams=qparams, **kwargs)
+            replay_csv = os.path.join(log_dir, "replay_buffer_paths.csv")
+            if os.path.exists(replay_csv):
+                engine.load_replay_buffer_from_file(replay_csv)
+            return engine
+        print(f"no quantized checkpoint under {log_dir} — float boot "
+              "(tools/quantize_checkpoint.py writes one)")
 
     # CL resume: restore Adam moments when checkpointed (compiles as needed);
     # an unconditional compile() here would re-init and wipe them. One read
     # restores params AND moments (a second load_model call would re-read and
-    # re-upload the full weight tree).
+    # re-upload the full weight tree). An engine without checkpointed moments
+    # stays uncompiled — StreamingEngine allocates CL state lazily.
     model, config = load_model_from_directory(log_dir, restore_optimizer=True)
-    if model.optimizer is None:
-        model.compile()
     engine = StreamingEngine(model, config, cam_info=config.get("cam_info"), **kwargs)
     replay_csv = os.path.join(log_dir, "replay_buffer_paths.csv")
     if os.path.exists(replay_csv):

@@ -75,6 +75,7 @@ class MultiCameraEngine:
         replay_capacity: int = 64,
         pipelined: bool = False,
         mesh=None,
+        qparams=None,
     ):
         assert n_streams >= 1
         if mesh is not None:
@@ -85,7 +86,10 @@ class MultiCameraEngine:
                 f"n_streams {n_streams} must divide over {mesh.devices.size} devices")
         self.mesh = mesh
         self.model = model
-        self.quantized = bool(quantize)
+        # ``qparams`` = pre-quantized tree (load_quantized_checkpoint): the
+        # int8-checkpoint boot — model.params may be None; fleet CL raises
+        self.quantized = bool(quantize) or qparams is not None
+        self._qparams = qparams
         self.config = config
         self.n_streams = int(n_streams)
         if anomaly_settings is not None:
@@ -213,7 +217,8 @@ class MultiCameraEngine:
         from trustedai_cl_vae_ad_tpu.ops.quant import serving_forward
 
         forward, self._serve_params = serving_forward(
-            core, self.model.params, quantize=self.quantized
+            core, self.model.params, quantize=self.quantized,
+            qparams=self._qparams,
         )
 
         def scorer_one(maps, scalars, img, x_hat, alpha, valid):
@@ -288,6 +293,12 @@ class MultiCameraEngine:
         """Lazily allocate the CL ring, optimizer state, and train-step jit."""
         if self._cl_ring is not None:
             return
+        if self.model.params is None:
+            raise RuntimeError(
+                "fleet continual learning needs float params, but this "
+                "engine was booted from an int8 checkpoint (inference-only). "
+                "Reload without int8_checkpoint_boot to train."
+            )
         if self.model.optimizer is None:
             self.model.compile()
         t, k = self.cl_ring_ticks, self.n_streams
@@ -401,6 +412,10 @@ class MultiCameraEngine:
         return loss
 
     def set_learning_rate(self, lr: float) -> None:
+        if self.model.params is None:
+            raise RuntimeError(
+                "the lr dial is a CL control and this engine was booted "
+                "from an int8 checkpoint (inference-only)")
         if self.model.optimizer is None:
             self.model.compile()
         self.model.set_learning_rate(lr)
