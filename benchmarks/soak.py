@@ -140,6 +140,9 @@ def main():
             windows.append(win)
             print("WINDOW", json.dumps(win), flush=True)
 
+    assert len(windows) >= 2, (
+        f"--ticks {args.ticks} < 2 windows of {args.window}: nothing to "
+        "compare — lower --window or raise --ticks")
     first, last = windows[0], windows[-1]
     n_half = len(windows) // 2
     # steady-state comparison: median of the 2nd half vs windows 2..half
@@ -150,6 +153,9 @@ def main():
     rss_late = [w["rss_mb"] for w in windows[n_half:]]
     dev_series = [w["device_bytes_in_use"] for w in windows
                   if w["device_bytes_in_use"] > 0]
+    # half of the VALID series, not of all windows — memory_stats may be
+    # exposed for only part of the run
+    dev_half = len(dev_series) // 2
     # RSS-vs-upload correlation: the tunneled axon runtime leaks host RSS
     # ~= every host->device byte uploaded (isolated in BENCH_NOTES r7 —
     # environment, not engine; a standard PJRT backend plateaus, see the
@@ -172,8 +178,8 @@ def main():
         "rss_mb_per_tick": round(float(rss_per_tick), 3),
         "rss_drift_mb": round(float(np.median(rss_late) - np.median(rss_early)), 1),
         "rss_final_mb": last["rss_mb"],
-        "device_mem_stable": (len(set(dev_series[n_half:])) <= 2
-                              if len(dev_series) > n_half else None),
+        "device_mem_stable": (len(set(dev_series[dev_half:])) <= 2
+                              if len(dev_series) >= 4 else None),
         "threshold_finite": all(
             w["threshold_s0"] is None or np.isfinite(w["threshold_s0"])
             for w in windows),

@@ -89,25 +89,37 @@ class _LiveDrainThread:
         self._lock = threading.Lock()
         self._latest = None
         self._stop = False
+        self.dead = False  # set when the source exhausts or the read raises
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def _loop(self):
-        while not self._stop and not self.source.exhausted:
-            f = self.source.read()  # blocks until the camera's next frame
-            if f is not None:
-                with self._lock:
-                    self._latest = f
+        try:
+            while not self._stop and not self.source.exhausted:
+                f = self.source.read()  # blocks until the camera's next frame
+                if f is not None:
+                    with self._lock:
+                        self._latest = f
+        except Exception as e:
+            # surface the failure: a silently-dead drain thread would let
+            # read() hand out the same frozen frame forever
+            print(f"camera drain thread died: {e}")
+        finally:
+            self.dead = True
 
     def read(self):
+        if self.dead:
+            return None  # exhausted/failed source terminates the stream
         with self._lock:
             return self._latest  # newest frame, never blocks the tick
 
-    def stop(self):
-        # join (bounded) so the underlying capture isn't released while a
-        # cv2.read is still in flight on this thread
+    def stop(self) -> bool:
+        """Signal the loop and join (bounded). Returns whether the thread
+        actually exited — the caller must NOT release the underlying capture
+        while a cv2.read may still be in flight on this thread."""
         self._stop = True
         self._thread.join(timeout=2.0)
+        return not self._thread.is_alive()
 
 
 class PacedReader:
@@ -136,7 +148,10 @@ class PacedReader:
             f = self._drain.read()
             if f is not None:
                 self._last = f
-            elif self.source.exhausted:
+            elif self._drain.dead or self.source.exhausted:
+                # drain thread exited (exhausted source OR a read error):
+                # report the stream as ended instead of repeating the last
+                # frame forever
                 return None
             return self._last
         if self.source.exhausted:
@@ -153,8 +168,13 @@ class PacedReader:
         return self._last
 
     def release(self):
-        if self._drain is not None:
-            self._drain.stop()
+        if self._drain is not None and not self._drain.stop():
+            # the drain thread is still blocked inside cv2.read (stalled
+            # RTSP): releasing the capture under it is a use-after-release
+            # inside OpenCV — leak the capture instead (the daemon thread
+            # dies with the process)
+            print("drain thread still in a blocking read; leaking capture")
+            return
         self.source.release()
 
 
@@ -197,23 +217,13 @@ def run_all_cameras(args):
         # the upload, no on-device quantization pass (BENCH_NOTES r5)
         from trustedai_cl_vae_ad_tpu.ops.quant import (
             has_quantized_checkpoint,
-            load_quantized_checkpoint,
+            load_int8_serving_model,
         )
 
         if has_quantized_checkpoint(args.model_dir):
-            qparams = load_quantized_checkpoint(args.model_dir)
-            print(f"int8 boot: loaded quantized checkpoint from "
-                  f"{args.model_dir}/quantized")
-    if qparams is not None:
-        from types import SimpleNamespace
-
-        from trustedai_cl_vae_ad_tpu.config import load_config
-        from trustedai_cl_vae_ad_tpu.registry import build_core_from_config
-
-        config = load_config(os.path.join(args.model_dir, "config.yml"))
-        model = SimpleNamespace(core=build_core_from_config(config),
-                                params=None, optimizer=None)
-    else:
+            model, config = load_int8_serving_model(args.model_dir)
+            qparams = model.qparams
+    if qparams is None:
         # CL resume: restore checkpointed Adam moments in the same read that
         # restores params (engine.load_engine_from_directory does the same; an
         # unconditional compile() later would re-init and wipe them)
@@ -268,24 +278,23 @@ def run_all_cameras(args):
                 alive = alive or f is not None
             if not alive:
                 break
-            results = engine.process_frames(frames)
+            results = engine.process_frames(frames, tag=n)
             lat_ms = (time.perf_counter() - t0) * 1000.0
+            # pipelined mode emits tick N-1's results at tick N: the engine
+            # reports which tick the returned SCORES belong to
+            scored_tick = engine.last_emitted_tag
             if n % 20 == 0:
                 line = " | ".join(
                     f"{names[i]}: AS={r.score: .3f}{' **' if r.anomalous else ''}"
                     for i, r in enumerate(results) if r is not None
                 )
                 print(f"tick {n} ({lat_ms:.1f} ms): {line}")
-            if stats_file:
-                # pipelined mode emits tick N-1's results at tick N: label
-                # the row with the tick the SCORES belong to
-                scored_tick = n - 1 if args.pipelined else n
-                if scored_tick >= 0:
-                    stats_file.write(json.dumps({
-                        "tick": scored_tick, "latency_ms": round(lat_ms, 3),
-                        "scores": [None if r is None else r.score for r in results],
-                        "anomalous": [None if r is None else r.anomalous for r in results],
-                    }) + "\n")
+            if stats_file and scored_tick is not None:
+                stats_file.write(json.dumps({
+                    "tick": scored_tick, "latency_ms": round(lat_ms, 3),
+                    "scores": [None if r is None else r.score for r in results],
+                    "anomalous": [None if r is None else r.anomalous for r in results],
+                }) + "\n")
             n += 1
             if args.realtime:
                 time.sleep(max(0.0, 1.0 / fps - (time.perf_counter() - t0)))
@@ -298,7 +307,7 @@ def run_all_cameras(args):
             last = engine.flush() if engine.pipelined else None
             if last is not None and stats_file:
                 stats_file.write(json.dumps({
-                    "tick": n - 1, "flushed": True,
+                    "tick": engine.last_emitted_tag, "flushed": True,
                     "scores": [None if r is None else r.score for r in last],
                 }) + "\n")
         except Exception as e:
@@ -397,14 +406,15 @@ def main():
     try:
         for frame in source:
             t0 = time.perf_counter()
-            result = engine.process_frame(frame)
+            result = engine.process_frame(frame, tag=n)
             if result is not None:
                 lat_ms = (time.perf_counter() - t0) * 1000.0
                 latencies.append(lat_ms)
-                # pipelined mode emits frame N-1's result at frame N: label
-                # the row with the frame the SCORE belongs to
+                # pipelined mode emits an EARLIER submission's result (and
+                # --realtime hold-off can skip frames entirely): the result
+                # carries the tag of the frame its score belongs to
                 line = {
-                    "frame": n - 1 if engine.pipelined else n,
+                    "frame": result.tag,
                     "score": result.score,
                     "score_ma": result.score_ma,
                     "count": result.pixel_count,
@@ -429,7 +439,7 @@ def main():
         try:  # best-effort: a device error here must not skip cleanup below
             last = engine.flush() if engine.pipelined else None
             if last is not None and stats_file:
-                stats_file.write(json.dumps({"frame": n - 1, "score": last.score,
+                stats_file.write(json.dumps({"frame": last.tag, "score": last.score,
                                              "score_ma": last.score_ma, "flushed": True}) + "\n")
         except Exception as e:
             print(f"flush failed: {e}")

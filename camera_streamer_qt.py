@@ -308,6 +308,11 @@ if HAVE_QT:
         def _toggle_cl(self, checked):
             if self.engine:
                 self.engine.enable_cont_learning = checked
+                if checked:
+                    # apply the dialed lr that _dials_changed deferred while
+                    # CL was off (this is where the optimizer compiles)
+                    self.engine.set_learning_rate(
+                        float(f"{self.lr_man.value()}E{self.lr_exp.value()}"))
 
         def _enable_anomaly_toggled(self, checked):
             """Gate for BOTH the manual override and the automatic state
@@ -377,7 +382,14 @@ if HAVE_QT:
         def _dials_changed(self, *_):
             if not self.engine:
                 return
-            self.engine.set_learning_rate(float(f"{self.lr_man.value()}E{self.lr_exp.value()}"))
+            # the lr dial only reaches the engine while CL is on:
+            # set_learning_rate compiles the optimizer (multi-GB Adam
+            # moments + a long remote compile) that an inference-only
+            # session never uses — the dialed value is applied when the CL
+            # checkbox turns on (_toggle_cl)
+            if self.cl_checkbox.isChecked():
+                self.engine.set_learning_rate(
+                    float(f"{self.lr_man.value()}E{self.lr_exp.value()}"))
             self.engine.set_img_noise(float(f"{self.noise_man.value()}E{self.noise_exp.value()}"))
 
         def _toggle_record(self, checked):

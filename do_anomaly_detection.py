@@ -59,24 +59,14 @@ def main():
     if args.quantize:
         from trustedai_cl_vae_ad_tpu.ops.quant import (
             has_quantized_checkpoint,
-            load_quantized_checkpoint,
+            load_int8_serving_model,
         )
 
         if has_quantized_checkpoint(args.model_dir):
             # int8-checkpoint boot: skip the float-tree read/upload entirely
             # (tools/quantize_checkpoint.py wrote <model_dir>/quantized)
-            import os
-            from types import SimpleNamespace
-
-            from trustedai_cl_vae_ad_tpu.config import load_config
-            from trustedai_cl_vae_ad_tpu.registry import build_core_from_config
-
-            config = load_config(os.path.join(args.model_dir, "config.yml"))
-            model = SimpleNamespace(core=build_core_from_config(config),
-                                    params=None)
-            qparams = load_quantized_checkpoint(args.model_dir)
-            print(f"int8 boot: loaded quantized checkpoint from "
-                  f"{args.model_dir}/quantized")
+            model, config = load_int8_serving_model(args.model_dir)
+            qparams = model.qparams
     if qparams is None:
         model, config = load_model_from_directory(args.model_dir)
 

@@ -351,12 +351,9 @@ def build_server(model_dir: str, port: int = 8000, stats_path: str | None = None
                  threshold: float = 3.0, max_batch: int = 8,
                  max_wait_ms: float = 5.0, warmup: bool = True,
                  quantize: bool = False):
-    import os
-    from types import SimpleNamespace
-
     from trustedai_cl_vae_ad_tpu.ops.quant import (
         has_quantized_checkpoint,
-        load_quantized_checkpoint,
+        load_int8_serving_model,
     )
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
 
@@ -365,34 +362,10 @@ def build_server(model_dir: str, port: int = 8000, stats_path: str | None = None
         # int8 serving boot (tools/quantize_checkpoint.py wrote
         # <model_dir>/quantized): load the ~half-size int8 tree directly and
         # NEVER materialize the float params — the flagship's 1.6 GB bf16
-        # upload dominated cold boot (BENCH_NOTES r4)
-        from trustedai_cl_vae_ad_tpu.config import load_config
-        from trustedai_cl_vae_ad_tpu.registry import build_core_from_config
-
-        config = load_config(os.path.join(model_dir, "config.yml"))
-        core = build_core_from_config(config)
-        qparams = load_quantized_checkpoint(model_dir)
-        model = SimpleNamespace(core=core, params=None)
-        print(f"int8 boot: loaded quantized checkpoint from {model_dir}/quantized")
-        # staleness check: a retrain that didn't re-run
-        # tools/quantize_checkpoint.py would silently serve old weights
-        try:
-            qdir = os.path.join(model_dir, "quantized")
-            float_mtime = max(
-                (os.path.getmtime(os.path.join(r, f))
-                 for sub in ("encoder", "decoder")
-                 if os.path.isdir(os.path.join(model_dir, sub))
-                 for r, _d, fs in os.walk(os.path.join(model_dir, sub))
-                 for f in fs), default=0.0)
-            quant_mtime = max(
-                (os.path.getmtime(os.path.join(r, f))
-                 for r, _d, fs in os.walk(qdir) for f in fs), default=0.0)
-            if float_mtime > quant_mtime:
-                print("WARNING: the float checkpoint is NEWER than "
-                      f"{qdir} — serving pre-retrain weights; re-run "
-                      "tools/quantize_checkpoint.py to refresh")
-        except OSError:
-            pass
+        # upload dominated cold boot (BENCH_NOTES r4). Shared helper warns
+        # when the float checkpoint is newer (stale int8 tree).
+        model, config = load_int8_serving_model(model_dir)
+        qparams = model.qparams
     else:
         # load_model_from_directory already restores the params (registry.py);
         # a second load_model call would re-read the multi-GB checkpoint

@@ -116,14 +116,23 @@ def test_cam_window_anomalous_indicator(cam_window):
 
 
 def test_cam_window_dials(cam_window):
+    """The lr dial is DEFERRED while CL is off (set_learning_rate compiles
+    the optimizer — multi-GB Adam moments + a long remote compile an
+    inference-only GUI session never uses) and applied when CL turns on."""
     w = cam_window
     w.lr_man.setValue(2.5)
     w.lr_exp.setValue(-3)
-    assert abs(w.engine.model.learning_rate - 2.5e-3) < 1e-9
+    # dialing with CL off must NOT compile the optimizer
+    assert w.engine.model.optimizer is None
     w.record_period.setValue(2.0)
     assert w.engine.record_period_ms == 2000.0
     w.cl_checkbox.setChecked(True)
     assert w.engine.enable_cont_learning
+    # the deferred dial value lands when CL turns on (optimizer compiles here)
+    assert abs(w.engine.model.learning_rate - 2.5e-3) < 1e-9
+    # and further dialing applies live while CL is on
+    w.lr_man.setValue(3.0)
+    assert abs(w.engine.model.learning_rate - 3.0e-3) < 1e-9
     w.cl_checkbox.setChecked(False)
 
 

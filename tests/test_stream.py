@@ -752,6 +752,25 @@ def test_engine_int8_checkpoint_boot(tmp_path, monkeypatch):
     int8.continuous_learning_period_ms = 0.0
     with pytest.raises(RuntimeError, match="int8 checkpoint"):
         int8.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
+    int8.enable_cont_learning = False
+
+    # recording on an int8 boot must not crash at terminate (the model
+    # snapshot re-persists the QUANTIZED tree) and the snapshot is loadable
+    # by the int8-boot path
+    rec = str(tmp_path / "rec")
+    os.makedirs(rec)
+    int8.record_period_ms = 0.0
+    int8.begin_recording(rec)
+    for _ in range(2):
+        int8.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
+    labels_path = int8.terminate_recording()
+    assert labels_path and os.path.exists(labels_path)
+    snap = os.path.join(os.path.dirname(labels_path), "model")
+    assert quant.has_quantized_checkpoint(snap)
+    again = load_engine_from_directory(snap, quantize=True,
+                                       int8_checkpoint_boot=True)
+    r = again.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
+    assert r is None or np.isfinite(r.pixel_count)
 
 
 def test_multicam_int8_checkpoint_boot(tmp_path, monkeypatch):
@@ -801,3 +820,79 @@ def test_multicam_int8_checkpoint_boot(tmp_path, monkeypatch):
     int8.enable_cont_learning = True
     with pytest.raises(RuntimeError, match="int8 checkpoint"):
         int8.process_frames([tick[0], tick[1]], now=99.0)
+
+
+def test_paced_reader_reports_drain_thread_death():
+    """A live source whose read() starts failing (or that exhausts) must end
+    the stream — not freeze it on the last good frame forever: the drain
+    thread records its death and PacedReader.read() returns None."""
+    import threading
+
+    from camera_streamer import PacedReader
+    from trustedai_cl_vae_ad_tpu.stream.capture import SyntheticSource
+
+    class FlakySource(SyntheticSource):
+        is_live = True
+
+        def __init__(self):
+            super().__init__(width=8, height=8, n_frames=1000)
+            self.deliver = threading.Event()
+            self.fail = False
+
+        def read(self):
+            if not self.deliver.wait(timeout=5.0):
+                return None
+            self.deliver.clear()
+            if self.fail:
+                raise RuntimeError("camera unplugged")
+            return super().read()
+
+    src = FlakySource()
+    paced = PacedReader(src, 20.0, 20.0)
+
+    def poll(predicate, timeout=5.0):
+        deadline = time.time() + timeout
+        while not predicate():
+            if time.time() > deadline:
+                raise AssertionError("timed out")
+            time.sleep(0.005)
+
+    try:
+        src.deliver.set()
+        poll(lambda: paced.read() is not None)
+        src.fail = True
+        src.deliver.set()  # next drain read raises -> thread dies
+        poll(lambda: paced.read() is None)  # stream reports ended, not frozen
+    finally:
+        src.deliver.set()
+        paced.release()
+
+
+def test_pipelined_tag_tracks_skipped_frames(engine):
+    """FrameResult.tag identifies the SCORED frame even when the inference
+    hold-off skips submissions: stats rows must never attribute a score to
+    a frame that was never dispatched."""
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+
+    model = engine.model
+    eng = StreamingEngine(model, engine.config, pipelined=True)
+    eng.inference_period_ms = 40.0  # hold-off: some frames skipped
+    rng = np.random.RandomState(2)
+    emitted = []
+    # drive with an injected clock: frames arrive every 25 ms, so every
+    # other frame falls inside the hold-off window and is skipped
+    for i in range(8):
+        now = i * 0.025
+        r = eng.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8),
+                              now=now, tag=i)
+        if r is not None:
+            emitted.append(r.tag)
+    last = eng.flush()
+    if last is not None:
+        emitted.append(last.tag)
+    # the 40 ms hold-off (clock starts at 0) admits frames 2, 4, 6 only;
+    # results lag one submission: emitted tags are exactly the submitted
+    # frames, in order, none fabricated — a naive "frame n-1" label would
+    # have reported 3, 5, 7
+    assert emitted == [2, 4, 6], emitted

@@ -222,6 +222,70 @@ def has_quantized_checkpoint(log_dir: str) -> bool:
     return os.path.isdir(os.path.join(log_dir, QUANTIZED_SUBDIR))
 
 
+class QuantizedServingModel:
+    """Inference-only model shell for int8-checkpoint boots.
+
+    Stands in for VAEModel on serving surfaces that booted straight from
+    ``<log_dir>/quantized`` (load_int8_serving_model): ``params`` is None —
+    the float tree is never materialized — and ``qparams`` holds the int8
+    serving tree. ``save_model`` re-persists the quantized tree, so engine
+    snapshots (recording instance dirs, autosave) of an int8 boot remain
+    loadable by every ``--quantize`` surface; the snapshot intentionally
+    contains no float ``encoder/``/``decoder/`` (there is nothing to write).
+    """
+
+    optimizer = None
+    opt_state = None
+
+    def __init__(self, core, qparams: dict):
+        self.core = core
+        self.params = None
+        self.qparams = qparams
+
+    def save_model(self, log_dir: str, include_optimizer: bool = True) -> None:
+        save_quantized_checkpoint(log_dir, self.qparams)
+
+
+def load_int8_serving_model(model_dir: str):
+    """Boot an inference-only model from ``<model_dir>/quantized``.
+
+    Returns ``(QuantizedServingModel, config)`` — the shared int8-boot path
+    for serve.py, camera_streamer.py, and do_anomaly_detection.py: the
+    float checkpoint is never read or uploaded (half the boot bytes, no
+    on-device quantization pass; BENCH_NOTES r5/r7).
+    """
+    import os
+
+    from trustedai_cl_vae_ad_tpu.config import load_config
+    from trustedai_cl_vae_ad_tpu.registry import build_core_from_config
+
+    config = load_config(os.path.join(model_dir, "config.yml"))
+    core = build_core_from_config(config)
+    qparams = load_quantized_checkpoint(model_dir)
+    print(f"int8 boot: loaded quantized checkpoint from "
+          f"{os.path.join(model_dir, QUANTIZED_SUBDIR)}")
+    # staleness check: a retrain that didn't re-run
+    # tools/quantize_checkpoint.py would silently serve old weights
+    try:
+        qdir = os.path.join(model_dir, QUANTIZED_SUBDIR)
+        float_mtime = max(
+            (os.path.getmtime(os.path.join(r, f))
+             for sub in ("encoder", "decoder")
+             if os.path.isdir(os.path.join(model_dir, sub))
+             for r, _d, fs in os.walk(os.path.join(model_dir, sub))
+             for f in fs), default=0.0)
+        quant_mtime = max(
+            (os.path.getmtime(os.path.join(r, f))
+             for r, _d, fs in os.walk(qdir) for f in fs), default=0.0)
+        if float_mtime > quant_mtime:
+            print("WARNING: the float checkpoint is NEWER than "
+                  f"{qdir} — serving pre-retrain weights; re-run "
+                  "tools/quantize_checkpoint.py to refresh")
+    except OSError:
+        pass
+    return QuantizedServingModel(core, qparams), config
+
+
 def call_quantized(core, qparams: dict, x: Array, mode: str = "w8a8") -> Array:
     """Eval-mode forward (== core.call(params, x, training=False)) over a
     quantized param tree.

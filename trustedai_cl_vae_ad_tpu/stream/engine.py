@@ -84,6 +84,10 @@ class FrameResult:
     _rec_dev: object = None
     cl_stepped: bool = False
     loss: Optional[dict] = None
+    tag: object = None             # caller's id for the SCORED frame: in
+    # pipelined mode results lag one SUBMITTED frame, and hold-off skips
+    # mean submissions aren't every call — the tag travels with the frame
+    # so stats rows attribute scores to the right frame
     _norm_np: object = None        # memoized host copies (one fetch each)
     _rec_np: object = None
 
@@ -317,7 +321,8 @@ class StreamingEngine:
         self._cl_step_j = jax.jit(cl_step, donate_argnums=(0, 1))
 
     # -------------------------------------------------------------- main path
-    def process_frame(self, frame_u8: np.ndarray, now: Optional[float] = None) -> Optional[FrameResult]:
+    def process_frame(self, frame_u8: np.ndarray, now: Optional[float] = None,
+                      tag: object = None) -> Optional[FrameResult]:
         """Run inference + scoring (+ CL at its cadence) for one RGB frame.
 
         Returns None when inside the inference hold-off period (reference
@@ -352,12 +357,12 @@ class StreamingEngine:
         self.score_state = StreamScoreState(maps, scalars)
         record_frame = frame_u8
         if self.pipelined:
-            # keep the raw frame with its in-flight result so recording pairs
-            # frame N-1's image with frame N-1's maps/score (not frame N's)
-            pending, self._pending = self._pending, (score_count, norm_u8, rec_u8, frame_u8)
+            # keep the raw frame (and its tag) with its in-flight result so
+            # recording/stats pair frame N-1's image with frame N-1's score
+            pending, self._pending = self._pending, (score_count, norm_u8, rec_u8, frame_u8, tag)
             if pending is None:
                 return None  # warmup: first frame's result arrives next call
-            score_count, norm_u8, rec_u8, record_frame = pending
+            score_count, norm_u8, rec_u8, record_frame, tag = pending
         score_count = np.asarray(score_count)  # single small device->host fetch
         score, count = score_count[0], score_count[1]
         t_infer = time.perf_counter()
@@ -391,6 +396,7 @@ class StreamingEngine:
             _rec_dev=rec_u8,
             cl_stepped=cl_stepped,
             loss=loss,
+            tag=tag,
         )
 
         self._maybe_record(record_frame, result, now)
@@ -411,7 +417,7 @@ class StreamingEngine:
         if not self.pipelined or self._pending is None:
             return None
         now = time.monotonic() if now is None else now
-        score_count, norm_u8, rec_u8, record_frame = self._pending
+        score_count, norm_u8, rec_u8, record_frame, tag = self._pending
         self._pending = None
         score_count = np.asarray(score_count)
         score_f = float(score_count[0])
@@ -428,6 +434,7 @@ class StreamingEngine:
             anomalous=self.anomalous_state,
             _norm_dev=norm_u8,
             _rec_dev=rec_u8,
+            tag=tag,
         )
         self._maybe_record(record_frame, result, now)
         return result
@@ -853,24 +860,16 @@ def load_engine_from_directory(log_dir: str, int8_checkpoint_boot: bool = False,
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
 
     if int8_checkpoint_boot and kwargs.get("quantize"):
-        from types import SimpleNamespace
-
         from trustedai_cl_vae_ad_tpu.ops.quant import (
             has_quantized_checkpoint,
-            load_quantized_checkpoint,
+            load_int8_serving_model,
         )
 
         if has_quantized_checkpoint(log_dir):
-            from trustedai_cl_vae_ad_tpu.registry import build_core_from_config
-
-            config = load_config(os.path.join(log_dir, "config.yml"))
-            core = build_core_from_config(config)
-            qparams = load_quantized_checkpoint(log_dir)
-            model = SimpleNamespace(core=core, params=None, optimizer=None)
-            print(f"int8 boot: loaded quantized checkpoint from {log_dir}/quantized")
+            model, config = load_int8_serving_model(log_dir)
             engine = StreamingEngine(model, config,
                                      cam_info=config.get("cam_info"),
-                                     qparams=qparams, **kwargs)
+                                     qparams=model.qparams, **kwargs)
             replay_csv = os.path.join(log_dir, "replay_buffer_paths.csv")
             if os.path.exists(replay_csv):
                 engine.load_replay_buffer_from_file(replay_csv)

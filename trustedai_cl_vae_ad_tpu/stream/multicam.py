@@ -129,6 +129,7 @@ class MultiCameraEngine:
         # stream engine's pipelined flag, exact shift-by-one semantics)
         self.pipelined = bool(pipelined)
         self._pending = None
+        self.last_emitted_tag = None
 
         # fleet continual learning (reference CL semantics :1319-1353, lifted
         # to K streams). Everything is allocated lazily on the first enabled
@@ -563,9 +564,14 @@ class MultiCameraEngine:
         autosave_cycle(self, now)
 
     def process_frames(
-        self, frames: Sequence[Optional[np.ndarray]], now: Optional[float] = None
+        self, frames: Sequence[Optional[np.ndarray]], now: Optional[float] = None,
+        tag: object = None,
     ) -> List[Optional[StreamStatus]]:
-        """Score one tick of frames (len == n_streams; None = dropped tick)."""
+        """Score one tick of frames (len == n_streams; None = dropped tick).
+
+        ``tag``: caller's id for this tick; after the call,
+        ``last_emitted_tag`` holds the tag of the tick the RETURNED results
+        belong to (one tick behind in pipelined mode)."""
         assert len(frames) == self.n_streams, (len(frames), self.n_streams)
         now = time.monotonic() if now is None else now
         valid = np.array([f is not None for f in frames], bool)
@@ -605,29 +611,30 @@ class MultiCameraEngine:
 
         if self.pipelined:
             # return tick N-1's results while tick N computes on device;
-            # the raw batch travels with its results so recording pairs
-            # frame N-1's image with frame N-1's maps/score
+            # the raw batch (and tick tag) travels with its results so
+            # recording/stats pair frame N-1's image with frame N-1's score
             pending = self._pending
-            self._pending = (score_count, norm_u8, rec_u8, batch, valid)
+            self._pending = (score_count, norm_u8, rec_u8, batch, valid, tag)
             if pending is None:
                 return [None] * self.n_streams  # warmup tick
-            score_count, norm_u8, rec_u8, batch, valid = pending
+            score_count, norm_u8, rec_u8, batch, valid, tag = pending
 
-        return self._emit(score_count, norm_u8, rec_u8, batch, valid, now)
+        return self._emit(score_count, norm_u8, rec_u8, batch, valid, now, tag)
 
     def flush(self, now: Optional[float] = None) -> Optional[List[Optional[StreamStatus]]]:
         """Pipelined mode: fetch the last in-flight tick's results."""
         if not self.pipelined or self._pending is None:
             return None
         now = time.monotonic() if now is None else now
-        score_count, norm_u8, rec_u8, batch, valid = self._pending
+        score_count, norm_u8, rec_u8, batch, valid, tag = self._pending
         self._pending = None
-        return self._emit(score_count, norm_u8, rec_u8, batch, valid, now)
+        return self._emit(score_count, norm_u8, rec_u8, batch, valid, now, tag)
 
-    def _emit(self, score_count, norm_u8, rec_u8, batch, valid, now
+    def _emit(self, score_count, norm_u8, rec_u8, batch, valid, now, tag=None
               ) -> List[Optional[StreamStatus]]:
         """Host-side result processing for one tick: score fetch, EMA,
         per-stream state machines, recording."""
+        self.last_emitted_tag = tag
         sc = np.asarray(score_count)
 
         out: List[Optional[StreamStatus]] = []
