@@ -65,7 +65,21 @@ def get_args():
                         help="int8-quantize the big dense kernels for the "
                              "inference dispatch (ops/quant.py); CL keeps "
                              "float params and re-quantizes after each step")
+    parser.add_argument("--warmup", nargs="?", const="native", default=None,
+                        metavar="HxW",
+                        help="Pre-compile the dispatch (and the CL step with "
+                             "-c) BEFORE attaching cameras — the first jit "
+                             "costs minutes on remote-compile runtimes. Pass "
+                             "the camera resolution (e.g. 1080x1920) or omit "
+                             "the value for the model's native size (exact "
+                             "with --host-resize)")
     args = parser.parse_args()
+    if args.warmup and args.warmup != "native":
+        try:
+            h, w = (int(x) for x in args.warmup.lower().split("x"))
+            args.warmup = (h, w)
+        except ValueError:
+            parser.error(f"--warmup expects HxW (got {args.warmup!r})")
     if args.combine_datasets and not args.combine_dest:
         parser.error("--combine-datasets requires --combine-dest")
     if not args.combine_datasets and not args.model_dir:
@@ -261,6 +275,12 @@ def run_all_cameras(args):
     if args.record_dir:
         os.makedirs(args.record_dir, exist_ok=True)
         engine.begin_recording(args.record_dir, names=names)
+    if args.warmup:
+        shape = (None if args.warmup == "native"
+                 else (*args.warmup, engine.channels))
+        print("warming up (pre-compiling the tick dispatch"
+              + (" + fleet-CL step)" if args.continual_learning else ")"))
+        engine.warmup(frame_shape=shape, cl=args.continual_learning)
     # the batched tick runs at the fastest camera's rate; each source is
     # paced at ITS fps by PacedReader (repeats its latest frame between dues)
     sources = [PacedReader(make_source(s, fps=f), f, fps)
@@ -398,6 +418,12 @@ def main():
         # offline replay: process every frame, ignore the wall-clock hold-off
         engine.inference_period_ms = 0.0
 
+    if args.warmup:
+        shape = (None if args.warmup == "native"
+                 else (*args.warmup, engine.channels))
+        print("warming up (pre-compiling the frame dispatch"
+              + (" + CL step)" if args.continual_learning else ")"))
+        engine.warmup(frame_shape=shape, cl=args.continual_learning)
     source = make_source(source_spec, fps=fps)
     stats_file = open(args.stats_jsonl, "w") if args.stats_jsonl else None
 

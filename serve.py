@@ -401,6 +401,16 @@ def main():
     server = build_server(args.model_dir, args.port, args.stats, args.threshold,
                           args.max_batch, args.max_wait_ms, quantize=args.quantize)
     print(f"serving on :{args.port} (buckets pre-compiled, max_batch={args.max_batch})")
+
+    # SIGTERM (the normal supervisor/container stop signal) gets the same
+    # clean shutdown as Ctrl-C: stop accepting, fail queued futures so
+    # clients error immediately instead of hanging to their own timeouts
+    import signal
+
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -896,3 +896,65 @@ def test_pipelined_tag_tracks_skipped_frames(engine):
     # frames, in order, none fabricated — a naive "frame n-1" label would
     # have reported 3, 5, 7
     assert emitted == [2, 4, 6], emitted
+
+
+def test_warmup_compiles_without_touching_state(engine):
+    """engine.warmup() pre-compiles (lower().compile()) the dispatch and
+    optionally the CL step WITHOUT executing: scorer state, ring seeding,
+    and CL numerics must be identical to an unwarmed engine fed the same
+    frames."""
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+
+    config = engine.config
+    model = engine.model
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(5)]
+
+    def run(warm):
+        eng = StreamingEngine(model, config)
+        eng.inference_period_ms = 0.0
+        if warm:
+            eng.warmup()  # native shape, no CL
+        return [eng.process_frame(f).score for f in frames]
+
+    a, b = run(True), run(False)
+    for x, y in zip(a, b):
+        if np.isnan(x):
+            assert np.isnan(y)
+        else:
+            assert x == y  # bit-identical: warmup executed nothing
+
+
+def test_multicam_warmup_pins_shape_and_matches():
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    config = _tiny_config()
+    model = load_model_from_config(config)
+    rng = np.random.RandomState(12)
+    ticks = [[rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)]
+             for _ in range(4)]
+
+    def run(warm, cl):
+        eng = MultiCameraEngine(model, config, n_streams=2)
+        if cl:
+            eng.enable_cont_learning = True
+            eng.continuous_learning_period_ms = 0.0
+        if warm:
+            eng.warmup(cl=cl)
+            assert eng._ref_shape == (16, 16, 3)  # batch shape pinned
+        out = []
+        for t, tick in enumerate(ticks):
+            out.append([r.score for r in eng.process_frames(tick, now=float(t))])
+        return out
+
+    # inference-only: warmed == unwarmed bit-identically
+    for a_row, b_row in zip(run(True, False), run(False, False)):
+        for x, y in zip(a_row, b_row):
+            assert (np.isnan(x) and np.isnan(y)) or x == y
+    # with CL warmed: the CL jits pre-compile; scores stay finite and the
+    # run completes (numerics vs unwarmed differ only through the model's
+    # shared rng stream, which both runs advance identically — assert that)
+    for a_row, b_row in zip(run(True, True), run(False, True)):
+        for x, y in zip(a_row, b_row):
+            assert (np.isnan(x) and np.isnan(y)) or x == y

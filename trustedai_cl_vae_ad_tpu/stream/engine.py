@@ -164,6 +164,7 @@ class StreamingEngine:
         # compute, hiding the dispatch roundtrip. Scores/state lag one frame.
         self.pipelined = pipelined
         self._pending = None
+        self._warmed_shape = None
 
         size = config["data"]["image_size"]
         self.height, self.width, self.channels = int(size[0]), int(size[1]), int(size[2])
@@ -286,6 +287,42 @@ class StreamingEngine:
 
         self._infer_score_j = jax.jit(infer_score, donate_argnums=(1, 4, 5))
 
+    def warmup(self, frame_shape=None, cl: bool = False) -> None:
+        """Pre-compile the per-frame dispatch (and optionally the CL step)
+        BEFORE the first camera frame arrives.
+
+        On remote-compile runtimes the first jit of the flagship costs
+        90-200 s — paid inside process_frame for the first real frame (and
+        again inside the first CL step) unless warmed here. Uses
+        ``jit.lower(...).compile()``: populates the executable cache without
+        executing, so the scorer state / ring-seeding / CL ring are
+        untouched.
+
+        ``frame_shape``: (H, W, C) the cameras will deliver (default: the
+        model's native resolution; pass (1080, 1920, 3) for raw RTSP).
+        ``cl``: also compile the continual-learning step (allocates the
+        optimizer moments — CL-sized device memory).
+        """
+        shape = tuple(frame_shape) if frame_shape is not None else (
+            self.height, self.width, self.channels)
+        self._warmed_shape = shape
+        self._infer_score_j.lower(
+            self._serve_params, self.ring, 0,
+            jnp.zeros(shape, jnp.uint8),
+            self.score_state.maps, self.score_state.scalars,
+            jnp.float32(self.stream_error_ma), jnp.bool_(True),
+        ).compile()
+        if cl:
+            self._ensure_cl()
+            stacked = jnp.zeros_like(self.ring)
+            weights = jnp.ones(self.RING_SIZE, jnp.float32)
+            # a fresh key with the right aval — NOT _next_rng(), which would
+            # advance the model's rng stream and change later CL numerics
+            self._cl_step_j.lower(
+                self.model.params, self.model.opt_state, stacked, weights,
+                jax.random.PRNGKey(0),
+            ).compile()
+
     def _ensure_cl(self) -> None:
         """Lazily compile the optimizer (allocating Adam moments on device)
         and build the CL train-step jit. Raises on int8-checkpoint boots:
@@ -345,6 +382,13 @@ class StreamingEngine:
                 )
             except ImportError:
                 pass  # fall through to device resize
+        if self._warmed_shape is not None and frame_u8.shape != self._warmed_shape:
+            # warn ONCE: the pre-compiled executable won't be hit — the user
+            # pays the first-frame compile they tried to front-load
+            print(f"warmup shape {self._warmed_shape} != delivered frame "
+                  f"{frame_u8.shape}: recompiling (pass --warmup HxW matching "
+                  f"the camera, or use --host-resize)")
+            self._warmed_shape = None
         alpha = jnp.float32(self.stream_error_ma)
         idx = self.ring_idx = (self.ring_idx + 1) % self.RING_SIZE
         self.ring_filled = min(self.ring_filled + 1, self.RING_SIZE)

@@ -275,6 +275,39 @@ class MultiCameraEngine:
                 out_shardings=(bsh, bsh, bsh, bsh, rep, bsh),
             )
 
+    def warmup(self, frame_shape=None, cl: bool = False) -> None:
+        """Pre-compile the per-tick dispatch (and optionally the fleet-CL
+        jits) BEFORE cameras attach — StreamingEngine.warmup for the fleet.
+
+        ``jit.lower(...).compile()`` populates the executable cache without
+        executing, so scorer state / the CL ring stay untouched. Also PINS
+        the batch shape to ``frame_shape`` (default: model resolution) —
+        same semantics as the first real tick."""
+        shape = tuple(frame_shape) if frame_shape is not None else (
+            self.height, self.width, self.channels)
+        if self._ref_shape is None:
+            self._ref_shape = shape
+        batch = jnp.zeros((self.n_streams, *shape), jnp.uint8)
+        self._step_j.lower(
+            self._serve_params, batch, self.maps, self.scalars,
+            jnp.float32(self.stream_error_ma),
+            jnp.ones(self.n_streams, bool),
+        ).compile()
+        if cl:
+            self._ensure_cl()
+            self._store_tick_j.lower(
+                self._cl_ring,
+                jnp.zeros((self.n_streams, self.height, self.width,
+                           self.channels), jnp.float32),
+                jnp.int32(0),
+            ).compile()
+            weights = jnp.ones(self.cl_ring_ticks * self.n_streams, jnp.float32)
+            # fresh key, NOT _next_rng() — warmup must not perturb numerics
+            self._cl_step_j.lower(
+                self.model.params, self.model.opt_state, self._cl_ring,
+                weights, jax.random.PRNGKey(0),
+            ).compile()
+
     def _refresh_serve_params(self) -> None:
         """Snapshot the params used by the inference dispatch (re-quantizing
         when the int8 path is on). Called after every CL step, mirroring the
