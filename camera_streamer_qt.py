@@ -57,7 +57,21 @@ def get_args():
     parser.add_argument("--quantize", action="store_true",
                         help="int8 inference dispatch (ops/quant.py); CL "
                              "re-quantizes the serving copy after each step")
-    return parser.parse_args()
+    parser.add_argument("--warmup", nargs="?", const="native", default=None,
+                        metavar="HxW",
+                        help="Pre-compile the frame dispatch before the GUI "
+                             "shows (first jit costs minutes on remote-compile "
+                             "runtimes). Pass the camera resolution (e.g. "
+                             "1080x1920) or omit the value for the model's "
+                             "native size")
+    args = parser.parse_args()
+    if args.warmup and args.warmup != "native":
+        try:
+            h, w = (int(x) for x in args.warmup.lower().split("x"))
+            args.warmup = (h, w)
+        except ValueError:
+            parser.error(f"--warmup expects HxW (got {args.warmup!r})")
+    return args
 
 
 if HAVE_QT:
@@ -90,6 +104,7 @@ if HAVE_QT:
             self.anomaly_settings = self.cam_config.get("anomaly_settings")
             self.model_cache_dir = args.model_cache_dir
             self.quantize = bool(getattr(args, "quantize", False))
+            self.warmup = getattr(args, "warmup", None)
             self.engine = None
             self.source = None
             self.last_frame = None
@@ -225,7 +240,19 @@ if HAVE_QT:
                 metrics=metrics,
                 quantize=self.quantize,
             )
+            self._warmup_engine()
             self._apply_ui_state_to_engine()
+
+        def _warmup_engine(self):
+            """--warmup: pre-compile the dispatch before the GUI shows, so
+            the first camera frame scores at steady-state latency instead of
+            freezing the app through the first jit."""
+            if not self.warmup or self.engine is None:
+                return
+            shape = (None if self.warmup == "native"
+                     else (*self.warmup, self.engine.channels))
+            print("warming up (pre-compiling the frame dispatch)")
+            self.engine.warmup(frame_shape=shape)
 
         def _close_engine(self):
             old = getattr(self, "engine", None)
@@ -372,6 +399,7 @@ if HAVE_QT:
                 raise
             self._close_engine()
             self.engine = new_engine
+            self._warmup_engine()
             self._apply_ui_state_to_engine()
             # seed the lr dials from the new config (reference :596-600)
             lr = float(config["training"]["learning_rate"])

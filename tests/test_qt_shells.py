@@ -336,3 +336,42 @@ def test_cam_window_new_model_failure_keeps_old_engine(cam_window, tmp_path,
     assert w.last_result is not None
     if w.engine.metrics is not None:
         w.engine.metrics.log(1, {"loss": 0.0}, prefix="cl/")
+
+
+def test_cam_window_warmup(model_dir, tmp_path, capsys):
+    """--warmup pre-compiles the dispatch at construction: the engine's
+    warmed shape matches the camera resolution, the first tick scores
+    without a shape-mismatch recompile warning, and results match an
+    unwarmed window bit-identically (warmup executes nothing)."""
+    cam_config = {
+        "camera_list": [{"name": "c0", "url": "synthetic", "fps": 10}],
+        "anomaly_settings": {"anomaly_score_threshold": 2.0,
+                             "anomaly_score_method": "zz_count",
+                             "buffer_record_period_s": 1.0,
+                             "anomalous_state_period_s": 0.05},
+    }
+    cfg_path = tmp_path / "cam.yml"
+    cfg_path.write_text(yaml.safe_dump(cam_config))
+
+    def build(warmup):
+        class Args:
+            cam_config = str(cfg_path)
+            cam_config_index = 0
+            model_cache_dir = str(tmp_path / "cache")
+
+        Args.model_dir = model_dir
+        Args.warmup = warmup
+        w = camera_streamer_qt.CameraStreamerMainWindow(Args())
+        w.engine.inference_period_ms = 0.0
+        return w
+
+    # SyntheticSource default resolution is 240x320
+    w = build((240, 320))
+    assert w.engine._warmed_shape == (240, 320, 3)
+    scores = []
+    for win in (w, build(None)):
+        _tick(win, 3)
+        scores.append(win.last_result.score)
+    a, b = scores
+    assert (np.isnan(a) and np.isnan(b)) or a == b
+    assert "recompiling" not in capsys.readouterr().out
