@@ -130,6 +130,35 @@ def run_bench(batch_size: int, steps: int = 30, warmup: int = 5):
     return batch_size * steps / dt
 
 
+def _wait_for_tpu(budget_s: int = 1800, probe_timeout: int = 180) -> None:
+    """The tunnel sometimes wedges outright (r8): device init sleeps forever
+    with zero CPU, so an in-process attempt would hang the whole bench. Probe
+    with a tiny jit in a SUBPROCESS (killable on timeout) until the tunnel
+    responds; give up after ``budget_s``. Skipped on forced-CPU runs."""
+    if os.environ.get("TCVAE_PLATFORM") == "cpu":
+        return
+    import subprocess
+
+    code = ("import jax.numpy as jnp;"
+            "print(float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum()))")
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", code], timeout=probe_timeout, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return
+        except Exception:
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"TPU tunnel unreachable for {budget_s}s (probe jit never "
+                    "returned) — not a model/bench failure")
+            print("tpu probe failed; tunnel may be down — retrying in 60 s",
+                  file=sys.stderr)
+            time.sleep(60)
+
+
 def _retry_in_fresh_process() -> bool:
     """The tunneled TPU plugin occasionally fails to register at import; a
     fresh process usually succeeds. Re-exec once (flagged via env)."""
@@ -144,6 +173,7 @@ def main():
     # and is the measured best (896 crashes the compiler); smaller batches
     # are the OOM fallbacks
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "768,512,384").split(",")]
+    _wait_for_tpu()
     fps = None
     for b in batches:
         try:
