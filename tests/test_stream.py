@@ -958,3 +958,25 @@ def test_multicam_warmup_pins_shape_and_matches():
     for a_row, b_row in zip(run(True, True), run(False, True)):
         for x, y in zip(a_row, b_row):
             assert (np.isnan(x) and np.isnan(y)) or x == y
+
+
+def test_warmup_on_quantized_engine(engine):
+    """warmup() must also pre-compile the int8 dispatch: the serve-params
+    tree is the QUANTIZED one under quantize=True, and the lowered signature
+    must match what process_frame dispatches (scores == unwarmed int8)."""
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+
+    config = engine.config
+    model = engine.model
+    rng = np.random.RandomState(13)
+    frames = [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(4)]
+
+    def run(warm):
+        eng = StreamingEngine(model, config, quantize=True)
+        eng.inference_period_ms = 0.0
+        if warm:
+            eng.warmup()
+        return [eng.process_frame(f).score for f in frames]
+
+    for x, y in zip(run(True), run(False)):
+        assert (np.isnan(x) and np.isnan(y)) or x == y
