@@ -980,3 +980,83 @@ def test_warmup_on_quantized_engine(engine):
 
     for x, y in zip(run(True), run(False)):
         assert (np.isnan(x) and np.isnan(y)) or x == y
+
+
+def _write_replay_csv(tmp_path, n=3):
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    paths = []
+    for i in range(n):
+        p = tmp_path / f"warm_rb_{i}.png"
+        Image.fromarray(rng.randint(0, 255, (20, 24, 3), np.uint8)).save(p)
+        paths.append(str(p))
+    csv_path = tmp_path / "warm_replay.csv"
+    csv_path.write_text("\n".join(paths) + "\n")
+    return str(csv_path)
+
+
+def test_warmup_cl_lowers_the_replay_shape(engine, tmp_path):
+    """With a replay buffer loaded, the CL step only ever runs the
+    ring+capacity stacked shape — warmup(cl=True) must lower THAT shape,
+    not the ring-only one (which would leave the first real CL step to
+    compile). Asserted by spying the lowered stacked aval, then running a
+    real CL step through the same signature."""
+    engine.load_replay_buffer_from_file(_write_replay_csv(tmp_path))
+    engine._ensure_cl()
+    real = engine._cl_step_j
+    lowered = []
+
+    class Spy:
+        def lower(self, *a, **k):
+            lowered.append(a[2].shape)
+            return real.lower(*a, **k)
+
+    engine._cl_step_j = Spy()
+    engine.warmup(cl=True)
+    engine._cl_step_j = real
+    expect = (engine.RING_SIZE + engine.replay_capacity, 16, 16, 3)
+    assert lowered == [expect], lowered
+
+    rng = np.random.RandomState(8)
+    engine.enable_cont_learning = True
+    engine._last_cl_t = 0.0
+    engine.inference_period_ms = 0.0
+    r = engine.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
+    assert r.cl_stepped
+
+
+def test_multicam_warmup_lowers_the_replay_variant(tmp_path):
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    config = _tiny_config()
+    model = load_model_from_config(config)
+    eng = MultiCameraEngine(model, config, n_streams=2)
+    eng.enable_cont_learning = True
+    eng.continuous_learning_period_ms = 0.0
+    eng.load_replay_buffer_from_file(_write_replay_csv(tmp_path))
+    eng._ensure_cl()
+    calls = []
+    real_r, real_n = eng._cl_step_replay_j, eng._cl_step_j
+
+    class SpyR:
+        def lower(self, *a, **k):
+            calls.append(("replay", a[3].shape))
+            return real_r.lower(*a, **k)
+
+    class SpyN:
+        def lower(self, *a, **k):
+            calls.append(("no_replay",))
+            return real_n.lower(*a, **k)
+
+    eng._cl_step_replay_j, eng._cl_step_j = SpyR(), SpyN()
+    eng.warmup(cl=True)
+    eng._cl_step_replay_j, eng._cl_step_j = real_r, real_n
+    assert calls == [("replay", eng.replay_buffer.shape)], calls
+
+    rng = np.random.RandomState(9)
+    out = eng.process_frames(
+        [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)],
+        now=0.0)
+    assert len(out) == 2

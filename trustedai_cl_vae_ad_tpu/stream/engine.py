@@ -294,9 +294,11 @@ class StreamingEngine:
         On remote-compile runtimes the first jit of the flagship costs
         90-200 s — paid inside process_frame for the first real frame (and
         again inside the first CL step) unless warmed here. Uses
-        ``jit.lower(...).compile()``: populates the executable cache without
+        ``jit.lower(...).compile()``: populates the COMPILE cache without
         executing, so the scorer state / ring-seeding / CL ring are
-        untouched.
+        untouched. The first real call still re-traces (seconds of host
+        work — jax's call cache only fills on execution); it's the compile,
+        the dominant cost, that is front-loaded.
 
         ``frame_shape``: (H, W, C) the cameras will deliver (default: the
         model's native resolution; pass (1080, 1920, 3) for raw RTSP).
@@ -314,8 +316,17 @@ class StreamingEngine:
         ).compile()
         if cl:
             self._ensure_cl()
-            stacked = jnp.zeros_like(self.ring)
-            weights = jnp.ones(self.RING_SIZE, jnp.float32)
+            if self.replay_buffer is not None:
+                # with a replay buffer the CL step only ever runs the
+                # ring ⊕ capacity-padded-replay shape (_do_cl_step) — warm
+                # THAT one (load the replay before calling warmup, as the
+                # CLIs do; loading it after re-pays the first CL compile)
+                stacked = jnp.zeros(
+                    (self.RING_SIZE + self.replay_buffer.shape[0],
+                     self.height, self.width, self.channels), self.ring.dtype)
+            else:
+                stacked = jnp.zeros_like(self.ring)
+            weights = jnp.ones(stacked.shape[0], jnp.float32)
             # a fresh key with the right aval — NOT _next_rng(), which would
             # advance the model's rng stream and change later CL numerics
             self._cl_step_j.lower(

@@ -279,10 +279,11 @@ class MultiCameraEngine:
         """Pre-compile the per-tick dispatch (and optionally the fleet-CL
         jits) BEFORE cameras attach — StreamingEngine.warmup for the fleet.
 
-        ``jit.lower(...).compile()`` populates the executable cache without
-        executing, so scorer state / the CL ring stay untouched. Also PINS
-        the batch shape to ``frame_shape`` (default: model resolution) —
-        same semantics as the first real tick."""
+        ``jit.lower(...).compile()`` populates the COMPILE cache without
+        executing, so scorer state / the CL ring stay untouched (the first
+        real tick still re-traces — seconds — but never re-compiles). Also
+        PINS the batch shape to ``frame_shape`` (default: model resolution)
+        — same semantics as the first real tick."""
         shape = tuple(frame_shape) if frame_shape is not None else (
             self.height, self.width, self.channels)
         if self._ref_shape is None:
@@ -301,12 +302,23 @@ class MultiCameraEngine:
                            self.channels), jnp.float32),
                 jnp.int32(0),
             ).compile()
-            weights = jnp.ones(self.cl_ring_ticks * self.n_streams, jnp.float32)
+            n_ring = self.cl_ring_ticks * self.n_streams
             # fresh key, NOT _next_rng() — warmup must not perturb numerics
-            self._cl_step_j.lower(
-                self.model.params, self.model.opt_state, self._cl_ring,
-                weights, jax.random.PRNGKey(0),
-            ).compile()
+            key = jax.random.PRNGKey(0)
+            if self.replay_buffer is not None:
+                # with a shared replay buffer only the replay-stacked jit
+                # ever runs (_do_cl_step) — warm that one
+                weights = jnp.ones(n_ring + self.replay_buffer.shape[0],
+                                   jnp.float32)
+                self._cl_step_replay_j.lower(
+                    self.model.params, self.model.opt_state, self._cl_ring,
+                    self.replay_buffer, weights, key,
+                ).compile()
+            else:
+                self._cl_step_j.lower(
+                    self.model.params, self.model.opt_state, self._cl_ring,
+                    jnp.ones(n_ring, jnp.float32), key,
+                ).compile()
 
     def _refresh_serve_params(self) -> None:
         """Snapshot the params used by the inference dispatch (re-quantizing
