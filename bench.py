@@ -142,21 +142,29 @@ def _wait_for_tpu(budget_s: int = 1800, probe_timeout: int = 180) -> None:
     code = ("import jax.numpy as jnp;"
             "print(float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum()))")
     deadline = time.time() + budget_s
+    last = None
     while True:
         try:
             subprocess.run(
                 [sys.executable, "-c", code], timeout=probe_timeout, check=True,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
             )
             return
-        except Exception:
-            if time.time() > deadline:
-                raise RuntimeError(
-                    f"TPU tunnel unreachable for {budget_s}s (probe jit never "
-                    "returned) — not a model/bench failure")
-            print("tpu probe failed; tunnel may be down — retrying in 60 s",
-                  file=sys.stderr)
-            time.sleep(60)
+        except subprocess.TimeoutExpired:
+            why = f"probe hung >{probe_timeout}s (tunnel outage)"
+        except subprocess.CalledProcessError as e:
+            # a FAST failure is not an outage — surface the real error (bad
+            # install, plugin registration, ...) instead of looping silently
+            tail = (e.stderr or "").strip().splitlines()
+            why = "probe errored: " + (tail[-1] if tail else f"exit {e.returncode}")
+        if why != last:
+            print(f"tpu {why} — retrying every 60 s", file=sys.stderr)
+            last = why
+        if time.time() > deadline:
+            raise RuntimeError(
+                f"TPU unreachable for {budget_s}s; last: {why} — an "
+                "environment failure, not a model/bench failure")
+        time.sleep(60)
 
 
 def _retry_in_fresh_process() -> bool:

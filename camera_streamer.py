@@ -74,17 +74,41 @@ def get_args():
                              "the value for the model's native size (exact "
                              "with --host-resize)")
     args = parser.parse_args()
-    if args.warmup and args.warmup != "native":
-        try:
-            h, w = (int(x) for x in args.warmup.lower().split("x"))
-            args.warmup = (h, w)
-        except ValueError:
-            parser.error(f"--warmup expects HxW (got {args.warmup!r})")
+    args.warmup = parse_warmup_spec(args.warmup, parser.error)
     if args.combine_datasets and not args.combine_dest:
         parser.error("--combine-datasets requires --combine-dest")
     if not args.combine_datasets and not args.model_dir:
         parser.error("--model-dir/-m is required (except with --combine-datasets)")
     return args
+
+
+def parse_warmup_spec(value, error):
+    """--warmup value -> (H, W) | "native" | None. ``error`` is the
+    argparse usage-error callback (shared with camera_streamer_qt.py)."""
+    if value and value != "native":
+        try:
+            h, w = (int(x) for x in value.lower().split("x"))
+            return (h, w)
+        except ValueError:
+            error(f"--warmup expects HxW (got {value!r})")
+    return value
+
+
+def warmup_engine(engine, spec, cl=False, host_resize=False, label="frame"):
+    """Resolve a --warmup spec and pre-compile the engine's dispatch.
+
+    With --host-resize every frame is resized to the model's native size on
+    the host BEFORE dispatch, so native is the exact shape to warm — an HxW
+    spec would compile a shape the dispatch never sees (wasting the warmup
+    and leaving frame 0 to pay the jit anyway)."""
+    if host_resize and spec != "native":
+        print(f"--host-resize delivers native frames to the dispatch: "
+              f"warming native, ignoring --warmup {spec[0]}x{spec[1]}")
+        spec = "native"
+    shape = None if spec == "native" else (*spec, engine.channels)
+    print(f"warming up (pre-compiling the {label} dispatch"
+          + (" + CL step)" if cl else ")"))
+    engine.warmup(frame_shape=shape, cl=cl)
 
 
 class _LiveDrainThread:
@@ -276,11 +300,8 @@ def run_all_cameras(args):
         os.makedirs(args.record_dir, exist_ok=True)
         engine.begin_recording(args.record_dir, names=names)
     if args.warmup:
-        shape = (None if args.warmup == "native"
-                 else (*args.warmup, engine.channels))
-        print("warming up (pre-compiling the tick dispatch"
-              + (" + fleet-CL step)" if args.continual_learning else ")"))
-        engine.warmup(frame_shape=shape, cl=args.continual_learning)
+        warmup_engine(engine, args.warmup, cl=args.continual_learning,
+                      label="tick")
     # the batched tick runs at the fastest camera's rate; each source is
     # paced at ITS fps by PacedReader (repeats its latest frame between dues)
     sources = [PacedReader(make_source(s, fps=f), f, fps)
@@ -419,11 +440,8 @@ def main():
         engine.inference_period_ms = 0.0
 
     if args.warmup:
-        shape = (None if args.warmup == "native"
-                 else (*args.warmup, engine.channels))
-        print("warming up (pre-compiling the frame dispatch"
-              + (" + CL step)" if args.continual_learning else ")"))
-        engine.warmup(frame_shape=shape, cl=args.continual_learning)
+        warmup_engine(engine, args.warmup, cl=args.continual_learning,
+                      host_resize=args.host_resize)
     source = make_source(source_spec, fps=fps)
     stats_file = open(args.stats_jsonl, "w") if args.stats_jsonl else None
 

@@ -64,13 +64,10 @@ def get_args():
                              "runtimes). Pass the camera resolution (e.g. "
                              "1080x1920) or omit the value for the model's "
                              "native size")
+    from camera_streamer import parse_warmup_spec
+
     args = parser.parse_args()
-    if args.warmup and args.warmup != "native":
-        try:
-            h, w = (int(x) for x in args.warmup.lower().split("x"))
-            args.warmup = (h, w)
-        except ValueError:
-            parser.error(f"--warmup expects HxW (got {args.warmup!r})")
+    args.warmup = parse_warmup_spec(args.warmup, parser.error)
     return args
 
 
@@ -249,10 +246,9 @@ if HAVE_QT:
             freezing the app through the first jit."""
             if not self.warmup or self.engine is None:
                 return
-            shape = (None if self.warmup == "native"
-                     else (*self.warmup, self.engine.channels))
-            print("warming up (pre-compiling the frame dispatch)")
-            self.engine.warmup(frame_shape=shape)
+            from camera_streamer import warmup_engine
+
+            warmup_engine(self.engine, self.warmup)
 
         def _close_engine(self):
             old = getattr(self, "engine", None)

@@ -365,13 +365,31 @@ def test_cam_window_warmup(model_dir, tmp_path, capsys):
         w.engine.inference_period_ms = 0.0
         return w
 
-    # SyntheticSource default resolution is 240x320
+    # noise frames, NOT the moving-gradient SyntheticSource: a zero-variance
+    # scene keeps the score-normalizing EMA std at 0 and the score NaN
+    # forever, which would make the equality below vacuous. 35 ticks clears
+    # the scorer's warm-up window (finite from ~frame 13 on noise).
+    class _Noise:
+        fps = 10.0
+
+        def __init__(self):
+            self._rng = np.random.RandomState(5)
+
+        def read(self):
+            return self._rng.randint(0, 255, (240, 320, 3), np.uint8)
+
+        def release(self):
+            pass
+
     w = build((240, 320))
     assert w.engine._warmed_shape == (240, 320, 3)
     scores = []
     for win in (w, build(None)):
-        _tick(win, 3)
+        win.source = _Noise()
+        win.engine.inference_period_ms = 0.0
+        _tick(win, 35)
         scores.append(win.last_result.score)
     a, b = scores
-    assert (np.isnan(a) and np.isnan(b)) or a == b
+    assert np.isfinite(a), "score still NaN after 35 ticks: vacuous test"
+    assert a == b
     assert "recompiling" not in capsys.readouterr().out

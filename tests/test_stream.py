@@ -902,13 +902,15 @@ def test_warmup_compiles_without_touching_state(engine):
     """engine.warmup() pre-compiles (lower().compile()) the dispatch and
     optionally the CL step WITHOUT executing: scorer state, ring seeding,
     and CL numerics must be identical to an unwarmed engine fed the same
-    frames."""
+    frames. 35 frames so the scorer EMA leaves its NaN warm-up window
+    (first finite score: frame 27 on this config) — the equality assert
+    must compare REAL scores, not NaN==NaN."""
     from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
 
     config = engine.config
     model = engine.model
     rng = np.random.RandomState(11)
-    frames = [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(5)]
+    frames = [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(35)]
 
     def run(warm):
         eng = StreamingEngine(model, config)
@@ -918,46 +920,54 @@ def test_warmup_compiles_without_touching_state(engine):
         return [eng.process_frame(f).score for f in frames]
 
     a, b = run(True), run(False)
+    finite = 0
     for x, y in zip(a, b):
         if np.isnan(x):
             assert np.isnan(y)
         else:
             assert x == y  # bit-identical: warmup executed nothing
+            finite += 1
+    assert finite > 0, "every score NaN: equivalence was never exercised"
 
 
 def test_multicam_warmup_pins_shape_and_matches():
+    """Warmed == unwarmed bit-identically, for inference AND for CL runs.
+    A FRESH (deterministically initialized) model per run: CL trains
+    params in place, so sharing one model would make the second run start
+    from the first run's weights. 35 ticks so scores leave the scorer's
+    NaN warm-up window and real values are compared."""
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
     from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
 
     config = _tiny_config()
-    model = load_model_from_config(config)
     rng = np.random.RandomState(12)
     ticks = [[rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)]
-             for _ in range(4)]
+             for _ in range(35)]
 
     def run(warm, cl):
+        model = load_model_from_config(config)
         eng = MultiCameraEngine(model, config, n_streams=2)
         if cl:
             eng.enable_cont_learning = True
             eng.continuous_learning_period_ms = 0.0
         if warm:
             eng.warmup(cl=cl)
-            assert eng._ref_shape == (16, 16, 3)  # batch shape pinned
+            assert eng._ref_shape == (16, 16, 3)  # provisional pin
         out = []
         for t, tick in enumerate(ticks):
             out.append([r.score for r in eng.process_frames(tick, now=float(t))])
         return out
 
-    # inference-only: warmed == unwarmed bit-identically
-    for a_row, b_row in zip(run(True, False), run(False, False)):
-        for x, y in zip(a_row, b_row):
-            assert (np.isnan(x) and np.isnan(y)) or x == y
-    # with CL warmed: the CL jits pre-compile; scores stay finite and the
-    # run completes (numerics vs unwarmed differ only through the model's
-    # shared rng stream, which both runs advance identically — assert that)
-    for a_row, b_row in zip(run(True, True), run(False, True)):
-        for x, y in zip(a_row, b_row):
-            assert (np.isnan(x) and np.isnan(y)) or x == y
+    for cl in (False, True):
+        finite = 0
+        for a_row, b_row in zip(run(True, cl), run(False, cl)):
+            for x, y in zip(a_row, b_row):
+                if np.isnan(x):
+                    assert np.isnan(y)
+                else:
+                    assert x == y, f"cl={cl}"  # warmup executed nothing
+                    finite += 1
+        assert finite > 0, f"cl={cl}: every score NaN — vacuous comparison"
 
 
 def test_warmup_on_quantized_engine(engine):
@@ -969,7 +979,7 @@ def test_warmup_on_quantized_engine(engine):
     config = engine.config
     model = engine.model
     rng = np.random.RandomState(13)
-    frames = [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(4)]
+    frames = [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(35)]
 
     def run(warm):
         eng = StreamingEngine(model, config, quantize=True)
@@ -978,8 +988,14 @@ def test_warmup_on_quantized_engine(engine):
             eng.warmup()
         return [eng.process_frame(f).score for f in frames]
 
+    finite = 0
     for x, y in zip(run(True), run(False)):
-        assert (np.isnan(x) and np.isnan(y)) or x == y
+        if np.isnan(x):
+            assert np.isnan(y)
+        else:
+            assert x == y
+            finite += 1
+    assert finite > 0, "every score NaN: equivalence was never exercised"
 
 
 def _write_replay_csv(tmp_path, n=3):
@@ -996,15 +1012,22 @@ def _write_replay_csv(tmp_path, n=3):
     return str(csv_path)
 
 
-def test_warmup_cl_lowers_the_replay_shape(engine, tmp_path):
+def test_warmup_cl_lowers_the_replay_shape(tmp_path):
     """With a replay buffer loaded, the CL step only ever runs the
     ring+capacity stacked shape — warmup(cl=True) must lower THAT shape,
     not the ring-only one (which would leave the first real CL step to
     compile). Asserted by spying the lowered stacked aval, then running a
-    real CL step through the same signature."""
-    engine.load_replay_buffer_from_file(_write_replay_csv(tmp_path))
-    engine._ensure_cl()
-    real = engine._cl_step_j
+    real CL step through the same signature. Builds its OWN engine: the
+    CL step trains params in place and the shared `engine` fixture is
+    module-scoped."""
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+
+    config = _tiny_config()
+    eng = StreamingEngine(load_model_from_config(config), config)
+    eng.load_replay_buffer_from_file(_write_replay_csv(tmp_path))
+    eng._ensure_cl()
+    real = eng._cl_step_j
     lowered = []
 
     class Spy:
@@ -1012,17 +1035,19 @@ def test_warmup_cl_lowers_the_replay_shape(engine, tmp_path):
             lowered.append(a[2].shape)
             return real.lower(*a, **k)
 
-    engine._cl_step_j = Spy()
-    engine.warmup(cl=True)
-    engine._cl_step_j = real
-    expect = (engine.RING_SIZE + engine.replay_capacity, 16, 16, 3)
+    eng._cl_step_j = Spy()
+    try:
+        eng.warmup(cl=True)
+    finally:
+        eng._cl_step_j = real
+    expect = (eng.RING_SIZE + eng.replay_capacity, 16, 16, 3)
     assert lowered == [expect], lowered
 
     rng = np.random.RandomState(8)
-    engine.enable_cont_learning = True
-    engine._last_cl_t = 0.0
-    engine.inference_period_ms = 0.0
-    r = engine.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
+    eng.enable_cont_learning = True
+    eng._last_cl_t = 0.0
+    eng.inference_period_ms = 0.0
+    r = eng.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
     assert r.cl_stepped
 
 
@@ -1051,8 +1076,10 @@ def test_multicam_warmup_lowers_the_replay_variant(tmp_path):
             return real_n.lower(*a, **k)
 
     eng._cl_step_replay_j, eng._cl_step_j = SpyR(), SpyN()
-    eng.warmup(cl=True)
-    eng._cl_step_replay_j, eng._cl_step_j = real_r, real_n
+    try:
+        eng.warmup(cl=True)
+    finally:
+        eng._cl_step_replay_j, eng._cl_step_j = real_r, real_n
     assert calls == [("replay", eng.replay_buffer.shape)], calls
 
     rng = np.random.RandomState(9)

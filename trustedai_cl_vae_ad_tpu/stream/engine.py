@@ -307,13 +307,15 @@ class StreamingEngine:
         """
         shape = tuple(frame_shape) if frame_shape is not None else (
             self.height, self.width, self.channels)
-        self._warmed_shape = shape
         self._infer_score_j.lower(
             self._serve_params, self.ring, 0,
             jnp.zeros(shape, jnp.uint8),
             self.score_state.maps, self.score_state.scalars,
             jnp.float32(self.stream_error_ma), jnp.bool_(True),
         ).compile()
+        # only after .compile() returns: a failed/aborted warmup must not
+        # leave a stale shape that triggers a spurious mismatch warning
+        self._warmed_shape = shape
         if cl:
             self._ensure_cl()
             if self.replay_buffer is not None:

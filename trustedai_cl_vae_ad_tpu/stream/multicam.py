@@ -122,6 +122,7 @@ class MultiCameraEngine:
         self._task_scored = [0] * k  # per-stream cdf_warmup_skip counters
 
         self._ref_shape = None  # pinned at the first tick (one jit shape)
+        self._warm_pin = False  # _ref_shape came from warmup, not a real tick
         self._resize_warned = set()
 
         # pipelined mode: dispatch tick N, return tick N-1's results — the
@@ -281,14 +282,21 @@ class MultiCameraEngine:
 
         ``jit.lower(...).compile()`` populates the COMPILE cache without
         executing, so scorer state / the CL ring stay untouched (the first
-        real tick still re-traces — seconds — but never re-compiles). Also
-        PINS the batch shape to ``frame_shape`` (default: model resolution)
-        — same semantics as the first real tick."""
+        real tick still re-traces — seconds — but never re-compiles).
+
+        Tentatively pins the batch shape to ``frame_shape`` (default: the
+        model resolution). The pin is PROVISIONAL: if the first real tick
+        delivers a different resolution, it re-pins to the delivered shape
+        (the unwarmed semantics — device resize inside the jit, not a
+        host resize to the warmed shape), warns once, and recompiles. A
+        wrong ``frame_shape`` therefore wastes the warmup but never changes
+        scoring numerics."""
         shape = tuple(frame_shape) if frame_shape is not None else (
             self.height, self.width, self.channels)
         if self._ref_shape is None:
             self._ref_shape = shape
-        batch = jnp.zeros((self.n_streams, *shape), jnp.uint8)
+            self._warm_pin = True  # provisional until the first real tick
+        batch = jnp.zeros((self.n_streams, *self._ref_shape), jnp.uint8)
         self._step_j.lower(
             self._serve_params, batch, self.maps, self.scalars,
             jnp.float32(self.stream_error_ma),
@@ -628,6 +636,17 @@ class MultiCameraEngine:
             shapes = [f.shape for f in frames if f is not None]
             self._ref_shape = tuple(shapes[0]) if shapes else (
                 self.height, self.width, self.channels)
+        elif self._warm_pin:
+            # warmup's pin is provisional: the first real tick wins, so a
+            # wrong --warmup shape wastes the pre-compile instead of
+            # silently changing numerics (host-resizing every stream)
+            shapes = [f.shape for f in frames if f is not None]
+            if shapes and tuple(shapes[0]) != self._ref_shape:
+                print(f"warmup shape {self._ref_shape} != delivered frame "
+                      f"{shapes[0]}: recompiling (pass --warmup HxW matching "
+                      "the cameras)")
+                self._ref_shape = tuple(shapes[0])
+            self._warm_pin = False
         ref_shape = self._ref_shape
         batch = np.zeros((self.n_streams, *ref_shape), np.uint8)
         for i, f in enumerate(frames):
