@@ -42,6 +42,12 @@ def get_args():
     parser.add_argument("--histogram", action="store_true",
                         help="Headless: dump train/val latent histogram")
     parser.add_argument("--output", "-o", type=str, default="decoded.png")
+    parser.add_argument("--warmup", action="store_true",
+                        help="Decode one zero vector before the window shows "
+                             "— the first decode's jit (minutes at flagship "
+                             "scale on remote-compile runtimes) happens at "
+                             "launch instead of freezing the GUI on the "
+                             "first spinbox change")
     return parser.parse_args()
 
 
@@ -175,6 +181,16 @@ def main():
             file=sys.stderr,
         )
         raise SystemExit(2)
+    if args.warmup:
+        # decode is pure (no rng, no state): one throwaway execution warms
+        # both the compile and jax's call caches, unlike the streaming
+        # engines' lower().compile() which must not execute
+        import jax.numpy as jnp
+
+        print("warming up (compiling the decoder)")
+        latent = int(config["model"]["latent_dimensions"])
+        np.asarray(model.decode(jnp.zeros((1, latent), jnp.float32),
+                                apply_sigmoid=True))
     app = QApplication(sys.argv)
     window = DecoderGeneratorMainWindow(model, config)
     window.show()

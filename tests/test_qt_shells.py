@@ -393,3 +393,15 @@ def test_cam_window_warmup(model_dir, tmp_path, capsys):
     assert np.isfinite(a), "score still NaN after 35 ticks: vacuous test"
     assert a == b
     assert "recompiling" not in capsys.readouterr().out
+
+
+def test_decoder_warmup_flag(model_dir, monkeypatch, capsys):
+    """--warmup decodes one zero vector before the window shows (pure decode:
+    a throwaway execution warming the jit), then the GUI path proceeds."""
+    monkeypatch.setattr(
+        sys, "argv",
+        ["decoder_generator_qt.py", model_dir, "--warmup"])
+    with pytest.raises(SystemExit) as e:
+        decoder_generator_qt.main()
+    assert e.value.code == 0  # stub QApplication.exec_() returns 0
+    assert "warming up" in capsys.readouterr().out
