@@ -103,7 +103,14 @@ def run_bench(batch_size: int, steps: int = 30, warmup: int = 5):
         _flagship_config(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16
     )
     params = core.init(jax.random.PRNGKey(0))
-    optimizer = adam_lean(1e-4)  # bf16 moments, f32 EMA arithmetic
+    # BENCH_OPT=fp8 switches to the experimental fp8-moment Adam
+    # (ops/adam8.py) for A/B measurement; default is the shipped adam_lean
+    if os.environ.get("BENCH_OPT", "lean") == "fp8":
+        from trustedai_cl_vae_ad_tpu.ops.adam8 import adam_fp8
+
+        optimizer = adam_fp8(1e-4)
+    else:
+        optimizer = adam_lean(1e-4)  # bf16 moments, f32 EMA arithmetic
     opt_state = optimizer.init(params)
     step_fn = build_bench_step(core, optimizer)
 

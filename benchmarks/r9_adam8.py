@@ -47,7 +47,10 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "r9_results.jsonl
 
 
 def flagship_tree():
-    """The flagship param tree's leaf shapes (1.344B params, bf16)."""
+    """The flagship param tree's leaf shapes (1.344B params, bf16), created
+    ON DEVICE (an 8 GB host upload through the tunnel costs 10+ minutes on a
+    slow day; a jitted PRNG init costs seconds)."""
+    import jax
     import jax.numpy as jnp
 
     shapes = {
@@ -59,16 +62,21 @@ def flagship_tree():
         "dec_convt2": (3, 3, 64, 32),
         "dec_head": (3, 3, 32, 3),
     }
-    rs = np.random.RandomState(0)
-    params = {
-        k: jnp.asarray(rs.normal(0, 0.02, s).astype(np.float32), jnp.bfloat16)
-        for k, s in shapes.items()
-    }
-    grads = {
-        k: jnp.asarray(rs.normal(0, 1e-3, s).astype(np.float32), jnp.bfloat16)
-        for k, s in shapes.items()
-    }
-    return params, grads
+
+    @jax.jit
+    def make(key):
+        ks = jax.random.split(key, 2 * len(shapes))
+        params = {
+            k: (0.02 * jax.random.normal(ks[i], s)).astype(jnp.bfloat16)
+            for i, (k, s) in enumerate(shapes.items())
+        }
+        grads = {
+            k: (1e-3 * jax.random.normal(ks[len(shapes) + i], s)).astype(jnp.bfloat16)
+            for i, (k, s) in enumerate(shapes.items())
+        }
+        return params, grads
+
+    return make(jax.random.PRNGKey(0))
 
 
 def time_update(optimizer, params, grads, steps=20, warmup=3):

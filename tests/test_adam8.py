@@ -17,6 +17,7 @@ from trustedai_cl_vae_ad_tpu.ops.adam8 import (
     QLeaf,
     _sr_cast,
     adam_fp8,
+    dequant,
 )
 
 
@@ -62,7 +63,8 @@ def test_state_layout():
     by_shape = {l.shape: m for l, m in zip(leaves, inner.mu)}
     big = by_shape[BIG]
     assert isinstance(big, QLeaf)
-    assert big.q.dtype == FP8 and big.q.shape == BIG
+    # int8 view of e4m3 bitpatterns: donation-safe + checkpoint-safe
+    assert big.q.dtype == jnp.int8 and big.q.shape == BIG
     assert big.scale.shape == (BIG[0], 1) and big.scale.dtype == jnp.float32
     assert big.scale_next.shape == (BIG[0], 1)
     assert by_shape[(32, 8)].dtype == jnp.bfloat16
@@ -83,8 +85,7 @@ def test_sr_fixes_ema_freeze():
 
     def final_nu(mode):
         _, state = _run(adam_fp8(1e-3, stochastic_round=mode), w0, grads)
-        leaf = state[0].nu[0]
-        return float(jnp.mean(leaf.q.astype(jnp.float32) * leaf.scale))
+        return float(jnp.mean(dequant(state[0].nu[0])))
 
     nu_sr = final_nu("both")
     nu_rtn = final_nu("none")
@@ -143,8 +144,7 @@ def test_scale_tracks_magnitude_jump():
     small = [np.full(BIG, 1e-3, np.float32)] * 5
     big = [np.full(BIG, 1e-1, np.float32)] * 5
     _, state = _run(adam_fp8(1e-3), w0, small + big)
-    leaf = state[0].mu[0]
-    m = float(jnp.mean(leaf.q.astype(jnp.float32) * leaf.scale))
+    m = float(jnp.mean(dequant(state[0].mu[0])))
     # analytic EMA of the mu sequence
     b1 = 0.9
     expect = 0.0

@@ -27,19 +27,33 @@ import optax
 from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE
 
 
-def make_optimizer(learning_rate: float, param_dtype=jnp.float32) -> optax.GradientTransformation:
+def make_optimizer(learning_rate: float, param_dtype=jnp.float32,
+                   name: Optional[str] = None) -> optax.GradientTransformation:
     """Adam with an injectable (runtime-mutable) learning rate.
 
     Mirrors reference train.py:99-101 (tf.keras.optimizers.Adam(lr)); the
     injection replaces camera_streamer_qt.py:1329's
     ``tf.keras.backend.set_value(optimizer.learning_rate, lr)``.
 
-    bf16 models use ops/adam.py adam_lean: stock optax with bf16 params
-    stores the moments bf16 (zeros_like) but runs the nu EMA in bf16
-    arithmetic, where b2=0.999 increments round away; adam_lean keeps the
-    bf16 storage and accumulates in f32 (BENCH_NOTES.md round 2).
+    ``name`` (config key ``training.optimizer``) selects the variant:
+      * ``adam`` — stock optax Adam (f32-param default);
+      * ``adam_lean`` — bf16 moment storage, f32 EMA arithmetic
+        (ops/adam.py; the bf16-param default — stock optax with bf16 params
+        stores the moments bf16 AND runs the nu EMA in bf16 arithmetic,
+        where b2=0.999 increments round away; BENCH_NOTES.md round 2);
+      * ``adam_fp8`` — float8_e4m3 moment storage with lagged per-row
+        scales (ops/adam8.py; halves moment memory again — experimental).
     """
-    if param_dtype == jnp.bfloat16:
+    if name is None:
+        name = "adam_lean" if param_dtype == jnp.bfloat16 else "adam"
+    if name == "adam_fp8":
+        from trustedai_cl_vae_ad_tpu.ops.adam8 import adam_fp8
+
+        def _fp8_lr(learning_rate):
+            return adam_fp8(learning_rate)
+
+        return optax.inject_hyperparams(_fp8_lr)(learning_rate=learning_rate)
+    if name == "adam_lean":
         from trustedai_cl_vae_ad_tpu.ops.adam import adam_lean
 
         # wrap so inject_hyperparams only sees learning_rate (it would try to
@@ -48,6 +62,9 @@ def make_optimizer(learning_rate: float, param_dtype=jnp.float32) -> optax.Gradi
             return adam_lean(learning_rate)
 
         return optax.inject_hyperparams(_lean_lr)(learning_rate=learning_rate)
+    if name != "adam":
+        raise ValueError(f"unknown training.optimizer {name!r} "
+                         "(expected adam | adam_lean | adam_fp8)")
     return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
 
 
@@ -102,7 +119,10 @@ class VAEModel:
             learning_rate = float(self.config["training"]["learning_rate"])
         if zero1 is None:
             zero1 = bool(self.config.get("training", {}).get("zero1", False))
-        self.optimizer = make_optimizer(learning_rate, param_dtype=self.core.param_dtype)
+        self.optimizer = make_optimizer(
+            learning_rate, param_dtype=self.core.param_dtype,
+            name=self.config.get("training", {}).get("optimizer"),
+        )
         self.mesh = mesh
         self._zero1 = zero1 and mesh is not None
         if mesh is not None:

@@ -51,12 +51,16 @@ BIG_LEAF_ELEMS = 1 << 20
 class QLeaf(NamedTuple):
     """One quantized moment leaf: fp8 payload + two per-row f32 scales.
 
-    ``scale`` is the scale ``q`` was quantized WITH (dequant = q * scale);
-    ``scale_next`` is the fresh absmax/HEADROOM of the unquantized value,
-    used to quantize NEXT step. Keeping both is what makes the update a
-    single HBM pass: quantization never waits on this step's reduction."""
+    ``q`` holds float8_e4m3fn BITPATTERNS in an int8 array: donating fp8
+    buffers fails with INVALID_ARGUMENT on the tunneled TPU runtime (r9
+    bisect), the bitcast view is free, and int8 is the safer dtype for
+    checkpoint serialization. ``scale`` is the scale ``q`` was quantized
+    WITH (dequant = bitcast(q) * scale); ``scale_next`` is the fresh
+    absmax/HEADROOM of the unquantized value, used to quantize NEXT step.
+    Keeping both is what makes the update a single HBM pass: quantization
+    never waits on this step's reduction."""
 
-    q: jax.Array          # float8_e4m3fn, same shape as the param leaf
+    q: jax.Array          # int8 view of float8_e4m3fn, param leaf's shape
     scale: jax.Array      # f32, shape leaf.shape[:-1] + (1,)
     scale_next: jax.Array  # f32, same shape as scale
 
@@ -117,15 +121,19 @@ def _rowabsmax(x32: jax.Array) -> jax.Array:
 def _quantize(x32: jax.Array, scale: jax.Array, sr: bool, noise) -> jax.Array:
     y = x32 / scale
     y = jnp.clip(y, -FP8_MAX, FP8_MAX)  # e4m3fn has no inf: saturate, don't NaN
-    if sr:
-        return _sr_cast(y, FP8, noise)
-    return y.astype(FP8)
+    q = _sr_cast(y, FP8, noise) if sr else y.astype(FP8)
+    return jax.lax.bitcast_convert_type(q, jnp.int8)
 
 
-def _dequant(leaf: Union[jax.Array, QLeaf]) -> jax.Array:
+def dequant(leaf: Union[jax.Array, QLeaf]) -> jax.Array:
+    """f32 view of a moment leaf (handles both bf16 and quantized leaves)."""
     if isinstance(leaf, QLeaf):
-        return leaf.q.astype(jnp.float32) * leaf.scale
+        q = jax.lax.bitcast_convert_type(leaf.q, FP8)
+        return q.astype(jnp.float32) * leaf.scale
     return leaf.astype(jnp.float32)
+
+
+_dequant = dequant
 
 
 def scale_by_adam_fp8(
@@ -160,7 +168,8 @@ def scale_by_adam_fp8(
             d = _store_dtype(x, which)
             if d == FP8:
                 ones = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
-                return QLeaf(q=jnp.zeros(x.shape, FP8), scale=ones, scale_next=ones)
+                return QLeaf(q=jnp.zeros(x.shape, jnp.int8), scale=ones,
+                             scale_next=ones)
             return jnp.zeros(x.shape, d)
 
         return AdamFp8State(
@@ -196,18 +205,16 @@ def scale_by_adam_fp8(
                     return _sr_cast(x32, jnp.bfloat16, noise)
                 return x32.astype(dt)
             fresh_scale = jnp.maximum(_rowabsmax(x32) / HEADROOM_TARGET, 1e-30)
-
-            def first_step(_):
-                # step 0: the lagged scale is meaningless — pay one
-                # reduce-then-quantize double pass to seed it
-                return QLeaf(q=_quantize(x32, fresh_scale, sr, noise),
-                             scale=fresh_scale, scale_next=fresh_scale)
-
-            def lagged(_):
-                return QLeaf(q=_quantize(x32, prev.scale_next, sr, noise),
-                             scale=prev.scale_next, scale_next=fresh_scale)
-
-            return jax.lax.cond(count == 0, first_step, lagged, None)
+            # Always quantize with the PREVIOUS step's scale (single HBM
+            # pass: never wait on this step's reduction). Step 0 quantizes
+            # with the init scale (1.0) — the tiny first moments round to
+            # ~zero, i.e. the EMA effectively starts one step late, while
+            # the step-0 PARAM update itself uses the exact f32 value. A
+            # lax.cond special-casing step 0 was measured to force both f32
+            # moment intermediates to materialize as cond operands
+            # (2 x 5.4 GB on the flagship -> OOM, r9).
+            return QLeaf(q=_quantize(x32, prev.scale_next, sr, noise),
+                         scale=prev.scale_next, scale_next=fresh_scale)
 
         return update.astype(g.dtype), store(new_m, m_leaf, "mu"), store(new_v, v_leaf, "nu")
 
