@@ -84,6 +84,9 @@ def time_update(optimizer, params, grads, steps=20, warmup=3):
 
     from trustedai_cl_vae_ad_tpu.utils.profiling import device_fence
 
+    # fresh device-side copy: apply() donates params, and the caller reuses
+    # the same tree across variants (variant 2 would see deleted buffers)
+    params = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))(params)
     state = optimizer.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -51,10 +51,12 @@ BIG_LEAF_ELEMS = 1 << 20
 class QLeaf(NamedTuple):
     """One quantized moment leaf: fp8 payload + two per-row f32 scales.
 
-    ``q`` holds float8_e4m3fn BITPATTERNS in an int8 array: donating fp8
-    buffers fails with INVALID_ARGUMENT on the tunneled TPU runtime (r9
-    bisect), the bitcast view is free, and int8 is the safer dtype for
-    checkpoint serialization. ``scale`` is the scale ``q`` was quantized
+    ``q`` holds float8_e4m3fn BITPATTERNS in an int8 array: the bitcast
+    view is free and int8 is the safer dtype for checkpoint serialization
+    (orbax/np round-trip fp8 poorly). (An earlier r9 bisect blamed fp8
+    donation for the TPU INVALID_ARGUMENT failures; the real cause was
+    init aliasing scale/scale_next to ONE buffer — double donation — see
+    init_fn and BENCH_NOTES r9b.) ``scale`` is the scale ``q`` was quantized
     WITH (dequant = bitcast(q) * scale); ``scale_next`` is the fresh
     absmax/HEADROOM of the unquantized value, used to quantize NEXT step.
     Keeping both is what makes the update a single HBM pass: quantization
@@ -167,9 +169,17 @@ def scale_by_adam_fp8(
         def zero(x, which):
             d = _store_dtype(x, which)
             if d == FP8:
-                ones = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
-                return QLeaf(q=jnp.zeros(x.shape, jnp.int8), scale=ones,
-                             scale_next=ones)
+                # scale and scale_next MUST be distinct buffers AND distinct
+                # values: two donated input leaves sharing one buffer fail
+                # with INVALID_ARGUMENT on the tunneled TPU runtime (the
+                # real root cause of the r9 failures — bisect in BENCH_NOTES
+                # r9b), and identical constants can be CSE'd back into one
+                # buffer when init runs under jit. scale's init value is
+                # irrelevant: q starts at zero, so dequant is 0 * scale.
+                sshape = x.shape[:-1] + (1,)
+                return QLeaf(q=jnp.zeros(x.shape, jnp.int8),
+                             scale=jnp.zeros(sshape, jnp.float32),
+                             scale_next=jnp.ones(sshape, jnp.float32))
             return jnp.zeros(x.shape, d)
 
         return AdamFp8State(
