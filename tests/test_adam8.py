@@ -151,3 +151,22 @@ def test_scale_tracks_magnitude_jump():
     for g in [1e-3] * 5 + [1e-1] * 5:
         expect = b1 * expect + (1 - b1) * g
     assert abs(m - expect) / expect < 0.3, (m, expect)
+
+
+def test_init_scale_buffers_distinct():
+    """r9b regression: init built scale and scale_next from the SAME value —
+    two donated input leaves aliasing one buffer, which the tunneled TPU
+    runtime rejects with a bare INVALID_ARGUMENT at update time (double
+    donation). The invariant that prevents it: distinct init VALUES (so jit
+    CSE cannot re-merge them into one constant) and distinct buffers."""
+    params = {"big": jnp.zeros(BIG, jnp.bfloat16)}
+    opt = adam_fp8(1e-3)
+    st = jax.jit(opt.init)(params)
+    for moment in (st[0].mu, st[0].nu):
+        leaf = moment[0]  # mu/nu hold flat leaf lists (see test_state_layout)
+        assert isinstance(leaf, QLeaf)
+        # distinct values: zeros vs ones — CSE-proof
+        assert float(jnp.max(jnp.abs(leaf.scale - leaf.scale_next))) == 1.0
+        # distinct device buffers — donation-proof
+        assert (leaf.scale.unsafe_buffer_pointer()
+                != leaf.scale_next.unsafe_buffer_pointer())
