@@ -35,6 +35,15 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks", ".xla_cache"),
 )
 
+# Profile-guided compiler option (measured sweep, benchmarks/r9_xla_flags.py):
+# raising the scoped-VMEM fusion budget to 96 MiB lets the fusion pass pick
+# larger tiles for the HBM-bound Adam/narrow-conv fusions — +5.4% on the
+# flagship step (5,701 -> 6,007 f/s; 64m +4.8%, 112m plateau, latency-hiding
+# scheduler neutral). Ships as the default; TCVAE_COMPILER_OPTIONS overrides
+# ("" disables). XLA_FLAGS cannot do this here: compilation is remote and the
+# client XLA rejects TPU flags at parse — see _compiler_options().
+os.environ.setdefault("TCVAE_COMPILER_OPTIONS", "xla_tpu_scoped_vmem_limit_kib=98304")
+
 
 def _flagship_config(latent=2000):
     return {
@@ -63,6 +72,21 @@ def _flagship_config(latent=2000):
     }
 
 
+def _compiler_options():
+    """Optional per-compile XLA options (TCVAE_COMPILER_OPTIONS="k=v,k=v").
+
+    XLA_FLAGS cannot tune the TPU compiler in this environment: compilation
+    happens REMOTELY through the tunnel and the client-side XLA rejects every
+    TPU flag at parse ("Unknown flag in XLA_FLAGS", r9). PJRT compile options
+    DO ship through: lowered.compile(compiler_options=...) is validated and
+    honored by the remote compiler (a bogus name fails the remote compile).
+    """
+    spec = os.environ.get("TCVAE_COMPILER_OPTIONS", "").strip()
+    if not spec:
+        return None
+    return dict(kv.split("=", 1) for kv in spec.split(",") if kv)
+
+
 def build_bench_step(core, optimizer):
     import jax
     import jax.numpy as jnp
@@ -87,7 +111,21 @@ def build_bench_step(core, optimizer):
         z_scores = (err_reduced - mu) / sigma
         return params, opt_state, loss_dict["loss"], z_scores
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+    opts = _compiler_options()
+    if not opts:
+        return jitted
+
+    # lazy lower+compile with the requested options (single shape in bench);
+    # donation semantics come from the jitted fn the lowering derives from
+    state = {}
+
+    def call(*args):
+        if "compiled" not in state:
+            state["compiled"] = jitted.lower(*args).compile(compiler_options=opts)
+        return state["compiled"](*args)
+
+    return call
 
 
 def run_bench(batch_size: int, steps: int = 30, warmup: int = 5):

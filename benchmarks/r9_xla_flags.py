@@ -1,24 +1,35 @@
 #!/usr/bin/env python3
-"""r9: profile-guided XLA flag sweep on the flagship train+score step.
+"""r9/r10: profile-guided XLA compiler-option sweep on the flagship step.
 
 Round 1's "paths to close the gap" named "profile-guided XLA flag tuning"
-(BENCH_NOTES r1 #2) and it was never measured. This sweeps the plausible
-single-chip knobs on the exact bench.py step (b768, adam_lean + fast-vjp):
+(BENCH_NOTES r1 #2) and it was never measured. Two environment findings shape
+the harness:
 
-- ``--xla_tpu_scoped_vmem_limit_kib``: raises the VMEM budget the fusion
-  pass may assume, allowing larger fusion tiles — relevant because the step
-  is dominated by HBM-bound fusions (Adam update chains, narrow-conv grads)
+- ``XLA_FLAGS`` is a dead end here: the axon client's XLA rejects every TPU
+  compiler flag at parse ("Unknown flag in XLA_FLAGS") because compilation
+  happens REMOTELY and the client build carries no TPU compiler.
+- PJRT per-compile options DO reach the remote compiler and are validated
+  there: ``lowered.compile(compiler_options={...})`` with a real TPU option
+  compiles and runs; a bogus option name fails the remote compile with
+  HTTP 500. bench.py exposes this as ``TCVAE_COMPILER_OPTIONS="k=v,k=v"``.
+
+This sweeps the plausible single-chip knobs on the exact bench.py step
+(b768, adam_lean + fast-vjp):
+
+- ``xla_tpu_scoped_vmem_limit_kib``: raises the VMEM budget the fusion pass
+  may assume, allowing larger fusion tiles — relevant because the step is
+  dominated by HBM-bound fusions (Adam update chains, narrow-conv grads)
   whose tile sizes bound their achieved bandwidth.
-- ``--xla_tpu_enable_latency_hiding_scheduler``: overlap-oriented scheduling
-  (mostly collectives, but also async copies on one chip).
-- ``--xla_latency_hiding_scheduler_rerun``: scheduler effort.
+- ``xla_tpu_enable_latency_hiding_scheduler``: overlap-oriented scheduling.
+- ``xla_latency_hiding_scheduler_rerun``: scheduler effort.
 
-Each config runs ``bench.py`` in a fresh subprocess (XLA flags must be set
-before backend init; the tunnel is single-client so runs are serialized).
-Results append to benchmarks/r9_results.jsonl. Unknown/rejected flags are
+Each config runs ``bench.py`` in a fresh subprocess (the tunnel is
+single-client so runs are serialized; a changed option set is a fresh
+remote compile, so allow long timeouts). Results append to
+benchmarks/r9_results.jsonl. Options the remote compiler rejects are
 recorded as failures, not fatal.
 
-Usage: python benchmarks/r9_xla_flags.py [--steps N]
+Usage: python benchmarks/r9_xla_flags.py [--only NAME]
 """
 
 import json
@@ -32,21 +43,23 @@ OUT = os.path.join(REPO, "benchmarks", "r9_results.jsonl")
 
 CONFIGS = [
     ("baseline", ""),
-    ("vmem64m", "--xla_tpu_scoped_vmem_limit_kib=65536"),
-    ("vmem96m", "--xla_tpu_scoped_vmem_limit_kib=98304"),
-    ("lhs", "--xla_tpu_enable_latency_hiding_scheduler=true"),
+    ("vmem64m", "xla_tpu_scoped_vmem_limit_kib=65536"),
+    ("vmem96m", "xla_tpu_scoped_vmem_limit_kib=98304"),
+    ("vmem112m", "xla_tpu_scoped_vmem_limit_kib=114688"),
+    ("lhs", "xla_tpu_enable_latency_hiding_scheduler=true"),
     (
-        "lhs+vmem64m",
-        "--xla_tpu_enable_latency_hiding_scheduler=true "
-        "--xla_tpu_scoped_vmem_limit_kib=65536",
+        "lhs+vmem96m",
+        "xla_tpu_enable_latency_hiding_scheduler=true,"
+        "xla_tpu_scoped_vmem_limit_kib=98304",
     ),
 ]
 
 
-def run_config(name: str, flags: str, timeout: int = 1500) -> dict:
+def run_config(name: str, options: str, timeout: int = 2400) -> dict:
     env = dict(os.environ)
-    if flags:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+    env.pop("XLA_FLAGS", None)
+    if options:
+        env["TCVAE_COMPILER_OPTIONS"] = options
     env["BENCH_BATCHES"] = "768"
     t0 = time.time()
     try:
@@ -55,22 +68,27 @@ def run_config(name: str, flags: str, timeout: int = 1500) -> dict:
             env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout,
         )
     except subprocess.TimeoutExpired:
-        return {"config": name, "flags": flags, "error": f"timeout {timeout}s"}
+        return {"config": name, "options": options, "error": f"timeout {timeout}s"}
     wall = time.time() - t0
     if proc.returncode != 0:
         tail = proc.stderr.strip().splitlines()[-3:]
-        return {"config": name, "flags": flags, "error": " | ".join(tail),
+        return {"config": name, "options": options, "error": " | ".join(tail),
                 "wall_s": round(wall, 1)}
     line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
-    return {"config": name, "flags": flags, "frames_per_s": rec["value"],
+    return {"config": name, "options": options, "frames_per_s": rec["value"],
             "wall_s": round(wall, 1)}
 
 
 def main():
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     results = []
-    for name, flags in CONFIGS:
-        rec = run_config(name, flags)
+    for name, options in CONFIGS:
+        if only and name != only:
+            continue
+        rec = run_config(name, options)
         rec["experiment"] = "r9_xla_flags"
         print(json.dumps(rec), flush=True)
         with open(OUT, "a") as f:
