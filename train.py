@@ -44,6 +44,16 @@ def main():
     stamp_logdir(config)
     print(f"Log dir: {config['logdir']}")
 
+    # training.compiler_options ("k=v,k=v") ships per-compile XLA options to
+    # the (possibly remote) TPU compiler — XLA_FLAGS cannot (utils/compile.py).
+    # Measured: xla_tpu_scoped_vmem_limit_kib=98304 is +5.4% on the flagship
+    # step (BENCH_NOTES r10). Env var set explicitly wins over the config.
+    copts = (config.get("training") or {}).get("compiler_options")
+    if copts:
+        import os
+
+        os.environ.setdefault("TCVAE_COMPILER_OPTIONS", str(copts))
+
     # training shuffles per epoch (reference fit(shuffle=True)); the analysis
     # CLIs use load_data's deterministic default
     config["data"].setdefault("shuffle", True)

@@ -264,7 +264,11 @@ class VAEModel:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss_dict, x_hat
 
-        self._train_step_j = jax.jit(train_step, donate_argnums=(0, 1))
+        from trustedai_cl_vae_ad_tpu.utils.compile import optioned_jit
+
+        # honors TCVAE_COMPILER_OPTIONS / training.compiler_options (measured
+        # +5.4% on the flagship step — utils/compile.py); plain jit otherwise
+        self._train_step_j = optioned_jit(train_step, donate_argnums=(0, 1))
 
     # -- reference API surface (abstract_cvae.py:109-178) --------------------------
     def encode(self, x, training: bool = False):

@@ -21,6 +21,7 @@ from trustedai_cl_vae_ad_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
 )
+from trustedai_cl_vae_ad_tpu.utils.compile import optioned_jit
 
 
 def build_train_step(
@@ -50,7 +51,7 @@ def build_train_step(
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt_state, loss_dict, x_hat
 
-    return jax.jit(
+    return optioned_jit(
         train_step,
         in_shardings=(rep, osh, bsh, rep),
         out_shardings=(rep, osh, rep, bsh),
@@ -88,7 +89,7 @@ def build_train_step_sharded(
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt_state, loss_dict, x_hat
 
-    return jax.jit(
+    return optioned_jit(
         train_step,
         in_shardings=(params_shardings, opt_state_shardings, bsh, rep),
         out_shardings=(params_shardings, opt_state_shardings, rep, bsh),

@@ -1,0 +1,125 @@
+"""Opt-in per-compile XLA compiler options for the training hot paths.
+
+Profile-guided compiler tuning on this runtime cannot go through XLA_FLAGS:
+compilation happens on the REMOTE side of the tunnel and the client-side XLA
+rejects every TPU compiler flag at parse ("Unknown flag in XLA_FLAGS"). PJRT
+per-compile options DO ship through — ``lowered.compile(compiler_options=...)``
+is validated and honored by the remote compiler (BENCH_NOTES r10: a bogus
+option name fails the remote compile; a real one changes the schedule).
+
+Measured win (benchmarks/r9_xla_flags.py, flagship b768 train+score step):
+``xla_tpu_scoped_vmem_limit_kib=98304`` lifts throughput 5,701 -> 6,007
+frames/s (+5.4%) by giving the fusion pass a larger VMEM tile budget for the
+HBM-bound Adam/narrow-conv fusions.
+
+Usage: set ``TCVAE_COMPILER_OPTIONS="k=v,k=v"`` in the environment, or
+``training.compiler_options: "k=v,..."`` in the YAML config (train.py exports
+it to the env before building the model). Options are applied to the jit
+train-step sites via :func:`optioned_jit`; everything else (eval/serving
+dispatches, tests) compiles normally. Unknown options on the current backend
+(e.g. TPU names on the CPU tests backend) fall back to the un-optioned
+executable with a one-time warning instead of failing the run.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional
+
+import jax
+
+_ENV = "TCVAE_COMPILER_OPTIONS"
+_warned: set = set()
+
+
+def compiler_options() -> Optional[Dict[str, Any]]:
+    """Parse ``TCVAE_COMPILER_OPTIONS`` ("k=v,k=v") into typed PJRT options.
+
+    PJRT validates option TYPES, not just names ("'false' is not a valid bool
+    value"), so values are converted: true/false -> bool, digits -> int,
+    everything else stays str. Empty/unset -> None (plain jit path).
+    """
+    spec = os.environ.get(_ENV, "").strip()
+    if not spec:
+        return None
+    out: Dict[str, Any] = {}
+    for kv in spec.split(","):
+        kv = kv.strip()
+        if not kv:
+            continue
+        if "=" not in kv:
+            raise ValueError(f"{_ENV}: expected k=v, got {kv!r}")
+        k, v = kv.split("=", 1)
+        lv = v.strip().lower()
+        if lv in ("true", "false"):
+            out[k.strip()] = lv == "true"
+        elif lv.lstrip("+-").isdigit():
+            out[k.strip()] = int(lv)
+        else:
+            out[k.strip()] = v.strip()
+    return out or None
+
+
+def _signature_key(args, kwargs):
+    """Dispatch-cache key: tree structure + array (shape, dtype) per leaf.
+
+    Non-array leaves key by (type, value) — safe for the train-step sites
+    (all-array signatures) and correct for static flags; a float-valued
+    dynamic argument would fragment the cache, so don't wrap such sites.
+    """
+    tree = (args, tuple(sorted(kwargs.items())))
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    sig = []
+    for leaf in leaves:
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            sig.append((tuple(leaf.shape), str(leaf.dtype)))
+        else:
+            sig.append((type(leaf).__name__, leaf))
+    return treedef, tuple(sig)
+
+
+def optioned_jit(fun: Callable, **jit_kwargs) -> Callable:
+    """``jax.jit`` that honors ``TCVAE_COMPILER_OPTIONS`` when set.
+
+    Returns the plain jitted function when the env var is unset AT CALL TIME
+    (so train.py can export the config knob after import). When set, lazily
+    ``lower().compile(compiler_options=...)`` once per call signature —
+    donation/sharding semantics come from the jit_kwargs the lowering derives
+    from. If the backend rejects an option name (e.g. TPU options on CPU),
+    warns once and falls back to the un-optioned executable.
+
+    The wrapper forwards ``.lower`` (warmup paths pre-compile through it).
+    """
+    jitted = jax.jit(fun, **jit_kwargs)
+    cache: dict = {}
+
+    def call(*args, **kwargs):
+        opts = compiler_options()
+        if not opts:
+            return jitted(*args, **kwargs)
+        key = _signature_key(args, kwargs)
+        compiled = cache.get(key)
+        if compiled is None:
+            lowered = jitted.lower(*args, **kwargs)
+            try:
+                compiled = lowered.compile(compiler_options=opts)
+            except Exception as e:  # unknown option on this backend
+                msg = str(e)
+                if "compile option" in msg or "not a valid" in msg:
+                    if _ENV not in _warned:
+                        _warned.add(_ENV)
+                        print(
+                            f"WARNING: {_ENV}={os.environ.get(_ENV)!r} rejected "
+                            f"by this backend ({msg.splitlines()[0]}); "
+                            "compiling without options."
+                        )
+                    compiled = lowered.compile()
+                else:
+                    raise
+            cache[key] = compiled
+        return compiled(*args, **kwargs)
+
+    call.lower = jitted.lower  # type: ignore[attr-defined]
+    call._jitted = jitted  # type: ignore[attr-defined]  # introspection/tests
+    call._options_cache = cache  # type: ignore[attr-defined]
+    return call
