@@ -52,6 +52,22 @@ CONFIGS = [
         "xla_tpu_enable_latency_hiding_scheduler=true,"
         "xla_tpu_scoped_vmem_limit_kib=98304",
     ),
+    # round 2 of the sweep: fusion-adjacent options probed VALID on the
+    # remote compiler, stacked on the vmem96m winner
+    (
+        "vmem96m+scavenge",
+        "xla_tpu_scoped_vmem_limit_kib=98304,"
+        "xla_tpu_scavenge_vmem_for_fusions=true",
+    ),
+    (
+        "vmem96m+fcm",
+        "xla_tpu_scoped_vmem_limit_kib=98304,"
+        "xla_tpu_enable_experimental_fusion_cost_model=true",
+    ),
+    (
+        "vmem96m+norwb",
+        "xla_tpu_scoped_vmem_limit_kib=98304,xla_tpu_rwb_fusion=false",
+    ),
 ]
 
 
