@@ -84,10 +84,12 @@ def profile_train_step():
     import jax
     import jax.numpy as jnp
 
-    from bench import _flagship_config
+    # build_bench_step == r2_adam_batch_sweep.build_step PLUS the shipped
+    # TCVAE_COMPILER_OPTIONS default (vmem96m, +5.4% — BENCH_NOTES r10), so
+    # the trace reflects the exact bench.py configuration
+    from bench import _flagship_config, build_bench_step as build_step
     from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
     from trustedai_cl_vae_ad_tpu.ops.adam import adam_lean
-    from benchmarks.r2_adam_batch_sweep import build_step
 
     batch = int(os.environ.get("PROFILE_BATCH", "512"))
     core = KurtosisGlobalCVAE(_flagship_config(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
@@ -102,7 +104,10 @@ def profile_train_step():
         params, opt_state, loss, z = step_fn(params, opt_state, x, rngs[i], mu, sigma)
     float(loss)
 
-    tdir = os.path.join(TRACE_ROOT, f"train_step_b{batch}")
+    # PROFILE_TAG suffixes the artifact names so re-captures under different
+    # compiler options don't clobber earlier evidence (e.g. "_vmem96m")
+    tag = os.environ.get("PROFILE_TAG", "")
+    tdir = os.path.join(TRACE_ROOT, f"train_step_b{batch}{tag}")
     os.makedirs(tdir, exist_ok=True)
     with jax.profiler.trace(tdir, create_perfetto_trace=True):
         for i in range(3):
@@ -111,7 +116,8 @@ def profile_train_step():
     summary = parse_perfetto(tdir)
     summary["steps_traced"] = 3
     summary["batch"] = batch
-    with open(os.path.join(TRACE_ROOT, f"train_step_b{batch}_summary.json"), "w") as f:
+    summary["compiler_options"] = os.environ.get("TCVAE_COMPILER_OPTIONS", "")
+    with open(os.path.join(TRACE_ROOT, f"train_step_b{batch}{tag}_summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print("train step device busy per step: "
           f"{summary['device_busy_us_union'] / 3 / 1e3:.2f} ms", flush=True)
