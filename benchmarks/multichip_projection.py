@@ -29,8 +29,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
-# measured single-chip numbers (BENCH_NOTES r2b, traces/train_step_b768_*)
-MEASURED_STEP_MS = 136.4
+# measured single-chip numbers (BENCH_NOTES r10: b768 + adam_lean + fast-vjp
+# + the shipped vmem96m compiler option, 6,008 f/s;
+# traces/train_step_b768_vmem96m_*)
+MEASURED_STEP_MS = 127.8
 MEASURED_BATCH = 768
 PARAM_COUNT = 1.344e9
 BYTES_PER_PARAM = 2  # bf16
