@@ -85,6 +85,72 @@ def test_autosave_flow(tmp_path):
     assert not eng.model_changed_flag
 
 
+def test_train_state_sidecar_written(loop_setup):
+    from trustedai_cl_vae_ad_tpu.train.loop import load_train_state, train_model
+
+    config, model, data = loop_setup
+    train_model(config, model, data, parallel=False)
+    state = load_train_state(config["logdir"])
+    assert state == {"epochs_completed": 2,
+                     "step": state["step"],
+                     "beta": pytest.approx(1.0 * 0.98**2, rel=1e-6)}
+    assert state["step"] == 2 * (16 // 8)  # 2 epochs x 2 batches
+
+
+def test_resume_continues_schedule(loop_setup, tmp_path):
+    """Resume trains only the remaining epochs, continues the beta anneal and
+    the metric step numbering (the reference restarts all three)."""
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.train.loop import load_train_state, train_model
+
+    config, model, data = loop_setup
+    train_model(config, model, data, parallel=False)  # 2 of 4 total epochs
+    state = load_train_state(config["logdir"])
+
+    resumed = load_model_from_config(config)
+    resumed.compile()
+    resumed.load_model(config["logdir"], restore_optimizer=True)
+    resumed.beta = state["beta"]
+    config2 = dict(config)
+    config2["training"] = dict(config["training"], max_epochs=4)
+    config2["logdir"] = str(tmp_path / "resumed")
+    os.makedirs(config2["logdir"])
+    train_model(config2, resumed, data, parallel=False, log_every=1,
+                initial_epoch=state["epochs_completed"], initial_step=state["step"])
+
+    # 2 more epochs only; beta anneal continued across the restart
+    np.testing.assert_allclose(resumed.beta, 1.0 * 0.98**4, rtol=1e-6)
+    new_state = load_train_state(config2["logdir"])
+    assert new_state["epochs_completed"] == 4
+    assert new_state["step"] == state["step"] + 2 * (16 // 8)
+    # metric steps continue from the previous run's counter
+    lines = [json.loads(l) for l in open(os.path.join(config2["logdir"], "metrics.jsonl"))]
+    assert min(l["step"] for l in lines) >= state["step"]
+
+
+def test_resume_cli_flow(loop_setup, tmp_path, monkeypatch, capsys):
+    """train.py --resume picks up train_state.json end-to-end."""
+    import sys
+
+    import train as train_cli
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.train.loop import train_model
+
+    config, model, data = loop_setup
+    train_model(config, model, data, parallel=False)  # writes the sidecar
+
+    cfg_path = tmp_path / "config.yml"
+    save_config({k: v for k, v in config.items() if k != "logdir"}, str(cfg_path))
+    monkeypatch.chdir(tmp_path)  # stamp_logdir writes ./logs here
+    monkeypatch.setattr(sys, "argv",
+                        ["train.py", str(cfg_path), "--resume", config["logdir"],
+                         "--dry-run", "--no-parallel"])
+    train_cli.main()
+    out = capsys.readouterr().out
+    assert "Resume state: 2 epochs done" in out
+    assert "training 0 more" in out
+
+
 def test_midtrain_exception_still_checkpoints(tmp_path):
     """A mid-epoch failure checkpoints progress and flushes metrics like the
     Ctrl-C path does (train_model's finally block)."""
@@ -116,3 +182,9 @@ def test_midtrain_exception_still_checkpoints(tmp_path):
         train_model(config, model, {"train": exploding_batches(), "val": None},
                     parallel=False)
     assert os.path.isdir(os.path.join(str(tmp_path), "encoder"))
+    # the interrupted epoch counts as NOT completed (resume re-runs it), but
+    # the step counter keeps the finished batch
+    from trustedai_cl_vae_ad_tpu.train.loop import load_train_state
+
+    state = load_train_state(str(tmp_path))
+    assert state["epochs_completed"] == 0 and state["step"] == 1

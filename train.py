@@ -60,17 +60,33 @@ def main():
 
     data = load_data(config)
     model = load_model_from_config(config)
+    initial_epoch = initial_step = 0
     if args.resume:
         import os
+
+        from trustedai_cl_vae_ad_tpu.train.loop import load_train_state
 
         print(f"Resuming from: {args.resume}")
         if not os.path.exists(os.path.join(args.resume, "optimizer")):
             print("WARNING: no optimizer/ checkpoint in the resume dir — "
                   "weights restored, Adam moments start fresh")
         model.load_model(args.resume, restore_optimizer=True)
+        # continue the training schedule where the previous run stopped:
+        # remaining epochs only, beta at its annealed value, metric steps
+        # numbered continuously (train_state.json sidecar; absent on
+        # pre-feature log dirs -> reference behavior, full restart)
+        state = load_train_state(args.resume)
+        if state is not None:
+            initial_epoch, initial_step = state["epochs_completed"], state["step"]
+            if state["beta"] is not None:
+                model.beta = state["beta"]
+            total = int(config["training"]["max_epochs"])
+            print(f"Resume state: {initial_epoch} epochs done, step {initial_step}, "
+                  f"beta {model.beta:.6g} — training {max(total - initial_epoch, 0)} more")
     if args.dry_run:
         return
-    model = train_model(config, model, data, parallel=not args.no_parallel)
+    model = train_model(config, model, data, parallel=not args.no_parallel,
+                        initial_epoch=initial_epoch, initial_step=initial_step)
     evaluate(config, model, data)
 
 

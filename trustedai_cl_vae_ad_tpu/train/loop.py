@@ -36,6 +36,43 @@ class BetaAnnealing:
         model.beta = model.beta * self.rate
 
 
+# -- training-progress sidecar ------------------------------------------------
+#
+# The reference's checkpoint holds only weights; a resumed run restarts the
+# epoch count and the beta-anneal schedule from the config values. We persist
+# {epochs_completed, step, beta} next to the checkpoint so ``train.py
+# --resume`` continues the run where it stopped: remaining epochs only, beta
+# at its annealed value, metric steps numbered continuously (TB curves join).
+
+TRAIN_STATE_FILE = "train_state.json"
+
+
+def save_train_state(logdir: str, epochs_completed: int, step: int, beta: float) -> None:
+    import json
+
+    path = os.path.join(logdir, TRAIN_STATE_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"epochs_completed": int(epochs_completed), "step": int(step),
+             "beta": float(beta)}, f)
+    os.replace(tmp, path)  # atomic: a crash mid-write never corrupts the state
+
+
+def load_train_state(logdir: str) -> Optional[dict]:
+    """Progress sidecar from a previous run, or None (pre-feature log dirs)."""
+    import json
+
+    path = os.path.join(logdir, TRAIN_STATE_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        state = json.load(f)
+    return {"epochs_completed": int(state.get("epochs_completed", 0)),
+            "step": int(state.get("step", 0)),
+            "beta": float(state["beta"]) if "beta" in state else None}
+
+
 def train_model(
     config: dict,
     model: VAEModel,
@@ -45,8 +82,16 @@ def train_model(
     max_epochs: Optional[int] = None,
     log_every: int = 50,
     parallel: bool = True,
+    initial_epoch: int = 0,
+    initial_step: int = 0,
 ) -> VAEModel:
-    """Epoch loop over data['train'] with validation on data['val']."""
+    """Epoch loop over data['train'] with validation on data['val'].
+
+    ``initial_epoch``/``initial_step`` continue a resumed run (train.py
+    --resume reads them from the previous log dir's train_state.json):
+    ``max_epochs`` stays the TOTAL target, so a run resumed after k epochs
+    trains ``max_epochs - k`` more.
+    """
     logdir = config.get("logdir", ".")
     epochs = int(max_epochs if max_epochs is not None else config["training"]["max_epochs"])
     if beta_annealing is None:
@@ -67,9 +112,10 @@ def train_model(
         # its existing state (a fresh compile would wipe restored Adam moments)
         model.place_on_mesh(mesh)
 
-    step = 0
+    step = int(initial_step)
+    epochs_done = int(initial_epoch)
     try:
-        for epoch in range(epochs):
+        for epoch in range(int(initial_epoch), epochs):
             for batch in _iter_images(data["train"]):
                 loss = model.train_step(batch)
                 if step % log_every == 0:
@@ -87,13 +133,16 @@ def train_model(
                     writer.log(step, mean_val, prefix="val/")
             beta_annealing.on_epoch_end(model)
             writer.log(step, {"beta": model.beta, "epoch": epoch}, prefix="train/")
+            epochs_done = epoch + 1
     except KeyboardInterrupt:
         print("Keyboard Interrupt")  # parity: train.py:124-125 saves on Ctrl-C
     finally:
         # any mid-epoch failure (OOM, corrupt frame, device error) still
         # checkpoints the progress and flushes buffered metrics — the Ctrl-C
-        # path saved while an exception path silently lost both
+        # path saved while an exception path silently lost both. A mid-epoch
+        # stop counts that epoch as NOT completed (resume re-runs it).
         model.save_model(logdir)
+        save_train_state(logdir, epochs_done, step, model.beta)
         if owns_writer:
             writer.close()
     return model
