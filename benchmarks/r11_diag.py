@@ -1,5 +1,10 @@
 #!/usr/bin/env python3
-"""r11 diagnosis: WHY is the fused dense-grad+Adam kernel 4x off its floor?
+"""r11 diagnosis: WHY the fused dense-grad+Adam kernel ran 4x off its floor.
+
+ANSWER (BENCH_NOTES.md r11): lane-misaligned N=4000 makes Pallas
+input_output_aliases fail (Mosaic inserts full state copies); at N=4096 it
+connects (--N 4096 run: fused 1.79 ms, temp 0). The kernel is archived in
+r11_kernel.py — dead end, XLA output-fuses the dot in the real step.
 
 The full-scale enc measurement (r11_results.jsonl) came in at 65.1 ms vs
 XLA's 40.3 and a 16.3 ms HBM floor, with 6.16 GB of compiled temp (= w/mu/nu
@@ -82,7 +87,7 @@ def build(variant, block_bytes=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from trustedai_cl_vae_ad_tpu.ops import fused_dense_adam as fda
+    import r11_kernel as fda
 
     kw = dict(lr=1e-4, b1=0.9, b2=0.999, eps=1e-8)
     itm = 2
@@ -263,7 +268,7 @@ def run(variant, steps):
     import jax
     import jax.numpy as jnp
 
-    from trustedai_cl_vae_ad_tpu.ops import fused_dense_adam as fda
+    import r11_kernel as fda
     from trustedai_cl_vae_ad_tpu.utils.profiling import device_fence
 
     old_bb = fda._BLOCK_BYTES

@@ -1,26 +1,28 @@
 #!/usr/bin/env python3
-"""r11: fused dense-gradient + Adam update (ops/fused_dense_adam.py) microbench.
+"""r11: fused dense-gradient + Adam update microbench — DEAD END (see verdict).
 
-Target (traces/train_step_b768_vmem96m_roofline.json): the encoder dense
-kernel's update chain is the largest single cost in the flagship step —
-dW matmul 8.8 ms (materializes 2.15 GB bf16 to HBM) + Adam fusion 20.3 ms
-(re-reads it along with param+mu+nu). The decoder dense adds ~5.5 + ~2.5 ms.
-Fusing the matmul into the update removes the gradient's HBM round-trip:
+The premise (from a misread of the b768 trace): the encoder dense update was
+thought to be "8.8 ms dW matmul + 20.3 ms Adam fusion" with a 2.15 GB bf16 dW
+round-tripping HBM, so a Pallas kernel (archived in r11_kernel.py) computed
+dW tile-wise on the MXU and applied Adam in-VMEM.
 
-  encoder theoretical floor:  (param+mu+nu in+out = 12.9 GB + x 0.41 GB)
-                              / 819 GB/s  = 16.3 ms   (vs ~29.1 measured)
-  decoder theoretical floor:  (3.23 GB + dz 0.21 GB) / 819 = 4.2 ms (vs ~8)
-
-MXU has 2x slack: dW FLOPs / HBM bytes = 2K/12 = 128 flop/byte < the 240
-v5e ridge, so the kernel is HBM-bound and the epilogue rides under the DMA.
+VERDICT (BENCH_NOTES.md r11): dead end, kernel deleted from the package.
+(1) At the real lane-misaligned N=4000, Pallas input_output_aliases fails —
+Mosaic inserts full w/mu/nu copies (6.16 GB temp) and the kernel runs 65 ms
+vs XLA's 40. (2) At aligned N=4096 aliasing connects and the kernel hits
+22.4 ms (1.35x floor) vs standalone XLA 41.4 — but the REAL STEP's XLA
+already output-fuses the dW dot into the Adam chain (add_convert_fusion,
+20.3 ms, no dW materialization; the "8.8 ms dW matmul" op was actually the
+forward dense recompute). Best-case Pallas loses to what XLA already emits.
 
 Variants per shape:
-  xla    jit(dot_general -> adam epilogue), w/mu/nu donated — the in-step
-         pattern XLA produces today, isolated.
-  fused  jit(fused_dense_grad_adam), donated.
+  xla        jit(dot_general -> adam epilogue), w/mu/nu donated.
+  fused      jit(fused_dense_grad_adam), donated.
+  xla_opt /  same, compiled under TCVAE_COMPILER_OPTIONS (vmem96m) like the
+  fused_opt  real train-step site.
 
-Usage: python benchmarks/r11_fused_dense_adam.py [--shapes enc,dec]
-       [--variants xla,fused] [--steps N]
+Usage: python benchmarks/r11_fused_dense_adam.py [--shapes enc,dec,enc4096]
+       [--variants xla,fused,xla_opt,fused_opt] [--steps N]
 Appends to benchmarks/r11_results.jsonl. Serialize with all other TPU work.
 """
 
@@ -44,6 +46,10 @@ SHAPES = {
     # (K=batch, M=in_features, N=out_features) — flagship b768
     "enc": (768, 268800, 4000),
     "dec": (768, 2000, 134400),
+    # the encoder shape with a 128-multiple lane dim (latent 2048): the
+    # aliasing-connects case — sizes the prize IF the latent head were
+    # padded/aligned (diag showed N=4000 forces full state copies)
+    "enc4096": (768, 268800, 4096),
 }
 
 
@@ -69,17 +75,27 @@ def build_step(variant):
     import jax
     import jax.numpy as jnp
 
-    from trustedai_cl_vae_ad_tpu.ops.fused_dense_adam import (
+    from r11_kernel import (
         fused_dense_grad_adam,
         fused_dense_grad_adam_reference,
     )
+    from trustedai_cl_vae_ad_tpu.utils.compile import optioned_jit
 
-    fn = fused_dense_grad_adam if variant == "fused" else fused_dense_grad_adam_reference
+    fn = (fused_dense_grad_adam if variant.startswith("fused")
+          else fused_dense_grad_adam_reference)
 
     def step(x, dz, w, mu, nu, count):
         return fn(x, dz, w, mu, nu, lr=1e-4, b1=0.9, b2=0.999, eps=1e-8,
                   count=count)
 
+    # "*_opt" variants compile under TCVAE_COMPILER_OPTIONS (the bench.py
+    # default vmem96m) like the real train-step site — the option changes
+    # XLA's fusion decisions (it output-fuses the dW dot into the Adam chain
+    # in the full step).
+    if variant.endswith("_opt"):
+        os.environ.setdefault(
+            "TCVAE_COMPILER_OPTIONS", "xla_tpu_scoped_vmem_limit_kib=98304")
+        return optioned_jit(step, donate_argnums=(2, 3, 4))
     return jax.jit(step, donate_argnums=(2, 3, 4))
 
 
@@ -100,14 +116,16 @@ def run(shape_name, variant, steps, check):
         # — full scale can't hold ref+got+originals in 16 GB HBM. Tolerance:
         # ~1 bf16 ulp (tiled dot accumulation order differs from the
         # whole-array dot; the elementwise math matches).
-        from trustedai_cl_vae_ad_tpu.ops.fused_dense_adam import (
+        from r11_kernel import (
             fused_dense_grad_adam,
             fused_dense_grad_adam_reference,
         )
 
         # fixed reduced shapes that exercise the same grid layout as the full
         # shape (dz-resident for enc, x-resident for dec)
-        cK, cM, cN = (K, 12800, 4000) if shape_name == "enc" else (K, 2000, 13440)
+        cK, cM, cN = {"enc": (K, 12800, 4000),
+                      "enc4096": (K, 12800, 4096),
+                      "dec": (K, 2000, 13440)}[shape_name]
         cx, cdz, cw, cmu, cnu = make_operands(cK, cM, cN)
         kw = dict(lr=1e-4, b1=0.9, b2=0.999, eps=1e-8, count=jnp.int32(5))
         ref = jax.jit(

@@ -1,4 +1,13 @@
-"""Fused dense-kernel gradient + Adam update (Pallas, TPU).
+"""ARCHIVED dead-end kernel (r11): fused dense-gradient + Adam update.
+
+Deleted from the package (BENCH_NOTES.md r11): Pallas input_output_aliases
+fails on the flagship's lane-misaligned N=4000 state shapes (Mosaic inserts
+full w/mu/nu copies), and in the real step XLA already output-fuses the dW
+dot into the Adam chain (add_convert_fusion, 20.3 ms) — beating this
+kernel's best aligned case (22.4 ms). Kept here so the r11 harnesses stay
+runnable; not part of the product surface. Original rationale below.
+
+Fused dense-kernel gradient + Adam update (Pallas, TPU).
 
 The flagship step's single biggest cost is updating the two giant dense
 kernels (encoder Dense 268800x4000 = 1.075B params, decoder Dense
