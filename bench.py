@@ -81,10 +81,11 @@ def _compiler_options():
     DO ship through: lowered.compile(compiler_options=...) is validated and
     honored by the remote compiler (a bogus name fails the remote compile).
     """
-    spec = os.environ.get("TCVAE_COMPILER_OPTIONS", "").strip()
-    if not spec:
-        return None
-    return dict(kv.split("=", 1) for kv in spec.split(",") if kv)
+    # typed parse (true/false -> bool, digits -> int): PJRT validates option
+    # VALUE TYPES, not just names — "'false' is not a valid bool value"
+    from trustedai_cl_vae_ad_tpu.utils.compile import compiler_options
+
+    return compiler_options()
 
 
 def build_bench_step(core, optimizer):
