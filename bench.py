@@ -41,7 +41,7 @@ os.environ.setdefault(
 # flagship step (5,701 -> 6,007 f/s; 64m +4.8%, 112m plateau, latency-hiding
 # scheduler neutral). Ships as the default; TCVAE_COMPILER_OPTIONS overrides
 # ("" disables). XLA_FLAGS cannot do this here: compilation is remote and the
-# client XLA rejects TPU flags at parse — see _compiler_options().
+# client XLA rejects TPU flags at parse — see utils/compile.py.
 os.environ.setdefault("TCVAE_COMPILER_OPTIONS", "xla_tpu_scoped_vmem_limit_kib=98304")
 
 
@@ -72,22 +72,6 @@ def _flagship_config(latent=2000):
     }
 
 
-def _compiler_options():
-    """Optional per-compile XLA options (TCVAE_COMPILER_OPTIONS="k=v,k=v").
-
-    XLA_FLAGS cannot tune the TPU compiler in this environment: compilation
-    happens REMOTELY through the tunnel and the client-side XLA rejects every
-    TPU flag at parse ("Unknown flag in XLA_FLAGS", r9). PJRT compile options
-    DO ship through: lowered.compile(compiler_options=...) is validated and
-    honored by the remote compiler (a bogus name fails the remote compile).
-    """
-    # typed parse (true/false -> bool, digits -> int): PJRT validates option
-    # VALUE TYPES, not just names — "'false' is not a valid bool value"
-    from trustedai_cl_vae_ad_tpu.utils.compile import compiler_options
-
-    return compiler_options()
-
-
 def build_bench_step(core, optimizer):
     import jax
     import jax.numpy as jnp
@@ -112,21 +96,12 @@ def build_bench_step(core, optimizer):
         z_scores = (err_reduced - mu) / sigma
         return params, opt_state, loss_dict["loss"], z_scores
 
-    jitted = jax.jit(step, donate_argnums=(0, 1))
-    opts = _compiler_options()
-    if not opts:
-        return jitted
+    # honors TCVAE_COMPILER_OPTIONS (bench default: vmem96m, +5.4%) via the
+    # shared wrapper — per-(options, signature) compile cache, unknown-option
+    # fallback, donation semantics from the jit kwargs (utils/compile.py)
+    from trustedai_cl_vae_ad_tpu.utils.compile import optioned_jit
 
-    # lazy lower+compile with the requested options (single shape in bench);
-    # donation semantics come from the jitted fn the lowering derives from
-    state = {}
-
-    def call(*args):
-        if "compiled" not in state:
-            state["compiled"] = jitted.lower(*args).compile(compiler_options=opts)
-        return state["compiled"](*args)
-
-    return call
+    return optioned_jit(step, donate_argnums=(0, 1))
 
 
 def run_bench(batch_size: int, steps: int = 30, warmup: int = 5):

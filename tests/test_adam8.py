@@ -170,3 +170,22 @@ def test_init_scale_buffers_distinct():
         # distinct device buffers — donation-proof
         assert (leaf.scale.unsafe_buffer_pointer()
                 != leaf.scale_next.unsafe_buffer_pointer())
+
+
+def test_f32_storage_keeps_dtype_under_stochastic_round():
+    """Regression: requesting f32 moment storage with the default
+    stochastic_round='both' used to silently store bf16 (store() hardcoded
+    the SR cast target), flipping the opt-state leaf dtype after the first
+    update — which also breaks donation aliasing under a jitted step. f32
+    storage of the f32 EMA is exact, so SR must be a no-op there."""
+    params = {"big": jnp.zeros(BIG, jnp.float32)}
+    opt = adam_fp8(1e-3, mu_dtype=jnp.float32, nu_dtype=jnp.float32)
+    state = opt.init(params)
+    assert state[0].mu[0].dtype == jnp.float32
+    g = {"big": jnp.full(BIG, 1e-3, jnp.float32)}
+    _, state = opt.update(g, state, params)
+    assert state[0].mu[0].dtype == jnp.float32, state[0].mu[0].dtype
+    assert state[0].nu[0].dtype == jnp.float32
+    # and the stored value is the exact f32 EMA (no dither applied)
+    np.testing.assert_allclose(
+        np.asarray(state[0].mu[0]), np.full(BIG, (1 - 0.9) * 1e-3), rtol=1e-6)

@@ -133,3 +133,49 @@ def test_train_step_equivalent_with_options(tiny_config):
     os.environ[ENV] = "xla_cpu_enable_fast_math=false"
     optioned = run()
     assert plain == optioned
+
+
+def test_option_change_compiles_fresh_executable():
+    """Regression: the dispatch cache was keyed only by call signature, so
+    changing TCVAE_COMPILER_OPTIONS mid-process silently reused executables
+    compiled under the OLD options (any in-process A/B sweep compared
+    identical binaries). The key must include the option values."""
+    calls = []
+
+    def f(x):
+        calls.append(1)
+        return x * 2.0
+
+    fn = optioned_jit(f)
+    x = jnp.ones((4,))
+    # CPU rejects the TPU option name -> fallback path; caching still applies
+    os.environ[ENV] = "xla_tpu_scoped_vmem_limit_kib=65536"
+    fn(x)
+    n_after_first = len(fn._options_cache)
+    fn(x)
+    assert len(fn._options_cache) == n_after_first  # same options: cache hit
+    os.environ[ENV] = "xla_tpu_scoped_vmem_limit_kib=98304"
+    fn(x)
+    assert len(fn._options_cache) == n_after_first + 1  # new options: fresh
+
+
+def test_warmup_lower_compile_populates_dispatch_cache():
+    """Regression: .lower was forwarded straight to the plain jit, so a
+    warmup's fn.lower(x).compile() pre-compiled an executable the call path
+    never reused (double 90-200 s compile on remote runtimes). The proxy's
+    .compile() must land in the same cache the first call reads."""
+    def f(x):
+        return x + 1.0
+
+    fn = optioned_jit(f)
+    x = jnp.ones((4,))
+    os.environ[ENV] = "xla_tpu_scoped_vmem_limit_kib=98304"
+    warm = fn.lower(x).compile()
+    assert len(fn._options_cache) == 1
+    # the first real call dispatches to the SAME executable object
+    key, cached = next(iter(fn._options_cache.items()))
+    assert cached is warm
+    np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(x) + 1.0)
+    assert len(fn._options_cache) == 1  # no second compile
+    # the proxy still exposes Lowered introspection
+    assert "HloModule" in fn.lower(x).as_text() or "module" in fn.lower(x).as_text()

@@ -188,3 +188,49 @@ def test_midtrain_exception_still_checkpoints(tmp_path):
 
     state = load_train_state(str(tmp_path))
     assert state["epochs_completed"] == 0 and state["step"] == 1
+
+
+def test_interrupt_during_anneal_saves_consistent_pair(tmp_path):
+    """Regression: an interrupt landing AFTER beta_annealing.on_epoch_end
+    mutated model.beta but BEFORE the epoch was counted used to save an
+    ANNEALED beta with the epoch marked incomplete — resume then re-ran the
+    epoch and annealed twice (final beta = config_beta * 0.98^(max_epochs+1)).
+    The sidecar must hold a mutually consistent (epochs_completed, beta)
+    snapshot: here, the PRE-anneal pair."""
+    import os
+
+    import pytest
+
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.train.loop import (
+        BetaAnnealing, load_train_state, train_model)
+
+    config = {
+        "data": {"dataset": "synthetic", "image_size": [16, 16, 3],
+                 "n_train": 8, "n_val": 4},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3,
+                     "max_epochs": 1},
+        "logdir": str(tmp_path),
+    }
+    model = load_model_from_config(config)
+    beta0 = model.beta
+
+    class InterruptedAnneal(BetaAnnealing):
+        def on_epoch_end(self, m):
+            super().on_epoch_end(m)  # beta already multiplied by 0.98 ...
+            raise KeyboardInterrupt  # ... when the interrupt lands
+
+    def batches():
+        yield np.random.RandomState(0).random((4, 16, 16, 3)).astype(np.float32)
+
+    train_model(config, model, {"train": batches(), "val": None},
+                beta_annealing=InterruptedAnneal(), parallel=False)
+    state = load_train_state(str(tmp_path))
+    # epoch incomplete -> the saved beta must be the PRE-anneal value, so the
+    # resumed re-run anneals exactly once
+    assert state["epochs_completed"] == 0
+    assert state["beta"] == pytest.approx(beta0)

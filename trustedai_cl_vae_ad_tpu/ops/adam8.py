@@ -16,8 +16,11 @@ Design constraints (all measured in earlier rounds):
   forces a reduce-then-requantize double pass that eats the byte savings.
   We quantize with the PREVIOUS step's scale (absmax/256 of 448 — 1.75x
   headroom; e4m3 saturation clips outliers for one step) and emit the fresh
-  scale as a fused side-output for the next step. Step 0 takes the
-  double-pass branch (lax.cond) so the scales initialize correctly.
+  scale as a fused side-output for the next step. Step 0 quantizes with the
+  init scale (1.0), so the EMA effectively starts one step late — a lax.cond
+  double-pass special-casing step 0 was measured to materialize both f32
+  moment intermediates as cond operands (2 x 5.4 GB on the flagship -> OOM,
+  r9); the step-0 PARAM update itself still uses the exact f32 values.
 - **EMA arithmetic in f32** (adam_lean's fix): storage is narrow, math is
   not. e4m3's ~6% relative resolution makes the b2=0.999 EMA's ~1e-3
   increments round away under round-to-nearest (the bf16 freeze, 30x
@@ -36,7 +39,7 @@ both hold; see BENCH_NOTES r9 for the measurements.
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Tuple, Union
+from typing import List, NamedTuple, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -71,7 +74,6 @@ class AdamFp8State(NamedTuple):
     count: jax.Array
     mu: List[Union[jax.Array, QLeaf]]
     nu: List[Union[jax.Array, QLeaf]]
-    treedef: Any = None  # static; stored for sanity, not traced
 
 
 def _is_big(x) -> bool:
@@ -182,11 +184,11 @@ def scale_by_adam_fp8(
                              scale_next=jnp.ones(sshape, jnp.float32))
             return jnp.zeros(x.shape, d)
 
+        del treedef  # structure is implied by the params tree at update time
         return AdamFp8State(
             count=jnp.zeros([], jnp.int32),
             mu=[zero(x, "mu") for x in leaves],
             nu=[zero(x, "nu") for x in leaves],
-            treedef=None,
         )
 
     def _update_leaf(i, g, m_leaf, v_leaf, count):
@@ -204,7 +206,10 @@ def scale_by_adam_fp8(
 
         def store(x32, prev, which):
             dt = _store_dtype(g, which)
-            sr = _sr_on(which)
+            # stochastic rounding only applies to NARROW storage: an f32 (or
+            # wider) store of the f32 EMA is exact, and dithering it would
+            # both waste VPU work and silently change the requested dtype
+            sr = _sr_on(which) and dt in (FP8, jnp.bfloat16)
             noise = (
                 _hash_bits(x32.shape, salt + (0 if which == "mu" else 1))
                 if sr
@@ -212,7 +217,7 @@ def scale_by_adam_fp8(
             )
             if dt != FP8:
                 if sr:
-                    return _sr_cast(x32, jnp.bfloat16, noise)
+                    return _sr_cast(x32, dt, noise)
                 return x32.astype(dt)
             fresh_scale = jnp.maximum(_rowabsmax(x32) / HEADROOM_TARGET, 1e-30)
             # Always quantize with the PREVIOUS step's scale (single HBM
@@ -240,7 +245,6 @@ def scale_by_adam_fp8(
             count=state.count + 1,
             mu=[o[1] for o in outs],
             nu=[o[2] for o in outs],
-            treedef=None,
         )
 
     return optax.GradientTransformation(init_fn, update_fn)

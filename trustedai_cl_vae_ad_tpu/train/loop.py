@@ -113,7 +113,14 @@ def train_model(
         model.place_on_mesh(mesh)
 
     step = int(initial_step)
-    epochs_done = int(initial_epoch)
+    # (epochs_completed, beta-at-that-boundary) updated in ONE tuple
+    # assignment after each anneal: an interrupt can land between
+    # on_epoch_end (which mutates model.beta) and the bookkeeping, and saving
+    # the LIVE beta there would record an annealed beta with the epoch marked
+    # incomplete — resume would then re-run the epoch and anneal TWICE.
+    # Saving this snapshot keeps (count, beta) mutually consistent: either
+    # the pre-anneal pair (epoch re-runs, anneals once) or the post pair.
+    progress = (int(initial_epoch), float(model.beta))
     try:
         for epoch in range(int(initial_epoch), epochs):
             for batch in _iter_images(data["train"]):
@@ -132,17 +139,19 @@ def train_model(
                     }
                     writer.log(step, mean_val, prefix="val/")
             beta_annealing.on_epoch_end(model)
+            progress = (epoch + 1, float(model.beta))
             writer.log(step, {"beta": model.beta, "epoch": epoch}, prefix="train/")
-            epochs_done = epoch + 1
     except KeyboardInterrupt:
         print("Keyboard Interrupt")  # parity: train.py:124-125 saves on Ctrl-C
     finally:
         # any mid-epoch failure (OOM, corrupt frame, device error) still
         # checkpoints the progress and flushes buffered metrics — the Ctrl-C
         # path saved while an exception path silently lost both. A mid-epoch
-        # stop counts that epoch as NOT completed (resume re-runs it).
+        # stop counts that epoch as NOT completed (resume re-runs it) and
+        # saves the last epoch BOUNDARY's beta (beta only changes at epoch
+        # end, so the model never trained on a newer value).
         model.save_model(logdir)
-        save_train_state(logdir, epochs_done, step, model.beta)
+        save_train_state(logdir, progress[0], step, progress[1])
         if owns_writer:
             writer.close()
     return model

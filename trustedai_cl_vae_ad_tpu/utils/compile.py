@@ -78,17 +78,79 @@ def _signature_key(args, kwargs):
     return treedef, tuple(sig)
 
 
+def _compile_with_options(lowered, opts):
+    """``lowered.compile(compiler_options=opts)`` with the unknown-option
+    fallback (e.g. TPU option names on the CPU tests backend): warn once and
+    compile un-optioned instead of failing the run."""
+    if not opts:
+        return lowered.compile()
+    try:
+        return lowered.compile(compiler_options=opts)
+    except Exception as e:  # unknown option on this backend
+        msg = str(e)
+        if "compile option" in msg or "not a valid" in msg:
+            if _ENV not in _warned:
+                _warned.add(_ENV)
+                print(
+                    f"WARNING: {_ENV}={os.environ.get(_ENV)!r} rejected "
+                    f"by this backend ({msg.splitlines()[0]}); "
+                    "compiling without options."
+                )
+            return lowered.compile()
+        raise
+
+
+def _options_key(opts) -> tuple:
+    return tuple(sorted(opts.items())) if opts else ()
+
+
+class _OptionedLowered:
+    """Proxy over ``jax.stages.Lowered`` whose ``.compile()`` applies the env
+    options and populates the wrapper's dispatch cache — so a warmup's
+    ``fn.lower(args).compile()`` produces the SAME executable the first real
+    call dispatches to (a plain forward of ``jitted.lower`` would pre-compile
+    an un-optioned executable the call path never reuses, wasting the 90-200 s
+    remote compile warmup exists to avoid)."""
+
+    def __init__(self, lowered, cache, sig):
+        self._lowered = lowered
+        self._cache = cache
+        self._sig = sig
+
+    def compile(self, compiler_options=None, **kw):
+        opts = compiler_options if compiler_options is not None else _env_opts()
+        if kw:  # unusual extras: compile directly, don't cache
+            return self._lowered.compile(compiler_options=opts or None, **kw)
+        key = (_options_key(opts), self._sig)
+        compiled = self._cache.get(key)
+        if compiled is None:
+            compiled = _compile_with_options(self._lowered, opts)
+            self._cache[key] = compiled
+        return compiled
+
+    def __getattr__(self, name):  # as_text, cost_analysis, ...
+        return getattr(self._lowered, name)
+
+
+def _env_opts():
+    return compiler_options() or {}
+
+
 def optioned_jit(fun: Callable, **jit_kwargs) -> Callable:
     """``jax.jit`` that honors ``TCVAE_COMPILER_OPTIONS`` when set.
 
-    Returns the plain jitted function when the env var is unset AT CALL TIME
-    (so train.py can export the config knob after import). When set, lazily
-    ``lower().compile(compiler_options=...)`` once per call signature —
-    donation/sharding semantics come from the jit_kwargs the lowering derives
-    from. If the backend rejects an option name (e.g. TPU options on CPU),
-    warns once and falls back to the un-optioned executable.
+    Dispatches to the plain jitted function when the env var is unset AT CALL
+    TIME (so train.py can export the config knob after import). When set,
+    lazily ``lower().compile(compiler_options=...)`` once per (options, call
+    signature) — donation/sharding semantics come from the jit_kwargs the
+    lowering derives from; changing the options mid-process compiles fresh
+    executables rather than silently reusing stale ones. If the backend
+    rejects an option name (e.g. TPU options on CPU), warns once and falls
+    back to the un-optioned executable.
 
-    The wrapper forwards ``.lower`` (warmup paths pre-compile through it).
+    ``.lower`` is forwarded through a proxy whose ``.compile()`` applies the
+    same options and shares the dispatch cache (warmup paths pre-compile
+    through it and the first call reuses the executable).
     """
     jitted = jax.jit(fun, **jit_kwargs)
     cache: dict = {}
@@ -97,29 +159,19 @@ def optioned_jit(fun: Callable, **jit_kwargs) -> Callable:
         opts = compiler_options()
         if not opts:
             return jitted(*args, **kwargs)
-        key = _signature_key(args, kwargs)
+        key = (_options_key(opts), _signature_key(args, kwargs))
         compiled = cache.get(key)
         if compiled is None:
             lowered = jitted.lower(*args, **kwargs)
-            try:
-                compiled = lowered.compile(compiler_options=opts)
-            except Exception as e:  # unknown option on this backend
-                msg = str(e)
-                if "compile option" in msg or "not a valid" in msg:
-                    if _ENV not in _warned:
-                        _warned.add(_ENV)
-                        print(
-                            f"WARNING: {_ENV}={os.environ.get(_ENV)!r} rejected "
-                            f"by this backend ({msg.splitlines()[0]}); "
-                            "compiling without options."
-                        )
-                    compiled = lowered.compile()
-                else:
-                    raise
+            compiled = _compile_with_options(lowered, opts)
             cache[key] = compiled
         return compiled(*args, **kwargs)
 
-    call.lower = jitted.lower  # type: ignore[attr-defined]
+    def lower(*args, **kwargs):
+        return _OptionedLowered(
+            jitted.lower(*args, **kwargs), cache, _signature_key(args, kwargs))
+
+    call.lower = lower  # type: ignore[attr-defined]
     call._jitted = jitted  # type: ignore[attr-defined]  # introspection/tests
     call._options_cache = cache  # type: ignore[attr-defined]
     return call
