@@ -88,11 +88,17 @@ def profile_train_step():
     # TCVAE_COMPILER_OPTIONS default (vmem96m, +5.4% — BENCH_NOTES r10), so
     # the trace reflects the exact bench.py configuration
     from bench import _flagship_config, build_bench_step as build_step
-    from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
+    from trustedai_cl_vae_ad_tpu.registry import import_vae_based_on_type
     from trustedai_cl_vae_ad_tpu.ops.adam import adam_lean
 
     batch = int(os.environ.get("PROFILE_BATCH", "512"))
-    core = KurtosisGlobalCVAE(_flagship_config(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    # PROFILE_MODEL selects the loss family (default: the headline flagship);
+    # used by the r13 family comparison to locate KLGaussian's +10 ms
+    model_type = os.environ.get("PROFILE_MODEL", "KurtosisGlobal")
+    cfg = _flagship_config()
+    cfg["model"]["type"] = model_type
+    core = import_vae_based_on_type(model_type)(
+        cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     params = core.init(jax.random.PRNGKey(0))
     optimizer = adam_lean(1e-4)
     opt_state = optimizer.init(params)
