@@ -1,0 +1,204 @@
+#!/usr/bin/env python3
+"""Log-directory doctor: diagnose a checkpoint dir against the full ABI.
+
+The log dir is the framework's (and the reference's) de-facto checkpoint
+format — ``encoder/ decoder/ config.yml`` (reference train.py:127-128,
+load_model.py:74-83) plus this framework's additions: ``optimizer/`` (Adam
+moments for true resume), ``train_state.json`` (schedule resume sidecar),
+``quantized/`` (int8 serving boot), ``replay_buffer_paths.csv`` (CL replay
+provenance). A dir can drift in ways each tool only discovers at boot time
+(minutes into a flagship upload): missing pieces, a config that no longer
+builds, weight shapes that don't match the config, a stale int8 sidecar
+after a retrain. This CLI checks everything up front, without loading the
+(possibly multi-GB) weight payloads.
+
+Usage: python tools/validate_logdir.py <log_dir> [--strict]
+
+Exit code 0 = usable for inference (errors empty); --strict also fails on
+warnings (missing optimizer state, stale quantized sidecar, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _tree_mtime(root: str) -> float:
+    return max((os.path.getmtime(os.path.join(r, f))
+                for r, _d, fs in os.walk(root) for f in fs), default=0.0)
+
+
+def validate_logdir(log_dir: str) -> dict:
+    """Return {"errors": [...], "warnings": [...], "info": {...}}.
+
+    Errors make the dir unusable for inference; warnings degrade a specific
+    capability (resume, int8 boot, schedule continuation) but scoring works.
+    Weight payloads are NOT read — shape checks go through orbax metadata.
+    """
+    errors: list = []
+    warnings: list = []
+    info: dict = {}
+    report = {"errors": errors, "warnings": warnings, "info": info}
+
+    if not os.path.isdir(log_dir):
+        errors.append(f"not a directory: {log_dir}")
+        return report
+
+    # -- config.yml must parse AND build the model (shape source of truth)
+    config_path = os.path.join(log_dir, "config.yml")
+    if not os.path.exists(config_path):
+        errors.append("config.yml missing (every loader needs it: "
+                      "registry.load_model_from_directory)")
+        return report
+    try:
+        from trustedai_cl_vae_ad_tpu.config import load_config
+        from trustedai_cl_vae_ad_tpu.registry import build_core_from_config
+
+        config = load_config(config_path)
+        core = build_core_from_config(config)
+        info["model_type"] = config.get("model", {}).get("type", "KurtosisGlobal")
+        info["latent_dimensions"] = int(config["model"]["latent_dimensions"])
+        info["image_size"] = list(config["data"]["image_size"])
+    except Exception as e:
+        errors.append(f"config.yml does not build a model: {e!r}")
+        return report
+
+    # -- expected leaf shapes from the config (no device arrays: eval_shape)
+    import jax
+
+    params_shape = jax.eval_shape(core.init, jax.random.PRNGKey(0))
+    expected = {
+        sub: {path: leaf for path, leaf in _flat(params_shape[sub])}
+        for sub in ("encoder", "decoder")
+    }
+
+    # -- encoder/ decoder/ orbax checkpoints: present + metadata shape match
+    import orbax.checkpoint as ocp
+
+    ck = ocp.StandardCheckpointer()
+    for sub in ("encoder", "decoder"):
+        path = os.path.abspath(os.path.join(log_dir, sub))
+        if not os.path.isdir(path):
+            errors.append(f"{sub}/ checkpoint missing")
+            continue
+        try:
+            meta = ck.metadata(path).item_metadata  # tree of ArrayMetadata
+        except Exception as e:
+            errors.append(f"{sub}/ checkpoint unreadable: {e!r}")
+            continue
+        got = {p: l for p, l in _flat(meta)}
+        for p, want in expected[sub].items():
+            if p not in got:
+                errors.append(f"{sub}: leaf {p} missing from checkpoint")
+            else:
+                g = got[p]
+                gshape = tuple(getattr(g, "shape", ()) or ())
+                if gshape != tuple(want.shape):
+                    errors.append(
+                        f"{sub}: {p} shape {gshape} != config-derived "
+                        f"{tuple(want.shape)} (config/weights drift)")
+        extra = set(got) - set(expected[sub])
+        if extra:
+            warnings.append(f"{sub}: {len(extra)} extra leaves not in the "
+                            f"config-derived tree (e.g. {sorted(extra)[:2]})")
+
+    # -- optimizer/ (resume capability)
+    if os.path.isdir(os.path.join(log_dir, "optimizer")):
+        info["optimizer_state"] = True
+    else:
+        info["optimizer_state"] = False
+        warnings.append("optimizer/ missing — --resume restarts Adam moments "
+                        "(reference behavior; harmless for inference)")
+
+    # -- train_state.json (schedule-resume sidecar)
+    ts_path = os.path.join(log_dir, "train_state.json")
+    if os.path.exists(ts_path):
+        try:
+            with open(ts_path) as f:
+                ts = json.load(f)
+            info["train_state"] = {k: ts.get(k) for k in
+                                   ("epochs_completed", "step", "beta")}
+            max_epochs = int(config.get("training", {}).get("max_epochs", 0))
+            if max_epochs and int(ts.get("epochs_completed", 0)) > max_epochs:
+                warnings.append(
+                    f"train_state.json epochs_completed "
+                    f"{ts['epochs_completed']} > training.max_epochs "
+                    f"{max_epochs} — --resume will train 0 epochs")
+        except (ValueError, KeyError) as e:
+            warnings.append(f"train_state.json unreadable ({e!r}) — "
+                            "--resume falls back to a full restart")
+    else:
+        warnings.append("train_state.json missing — --resume restores weights "
+                        "but restarts the epoch/beta schedule")
+
+    # -- quantized/ int8 serving sidecar: staleness vs float weights
+    from trustedai_cl_vae_ad_tpu.ops.quant import QUANTIZED_SUBDIR
+
+    qdir = os.path.join(log_dir, QUANTIZED_SUBDIR)
+    if os.path.isdir(qdir):
+        info["quantized"] = True
+        float_mtime = max(_tree_mtime(os.path.join(log_dir, s))
+                          for s in ("encoder", "decoder")
+                          if os.path.isdir(os.path.join(log_dir, s)))
+        if float_mtime > _tree_mtime(qdir):
+            warnings.append(
+                "quantized/ is OLDER than the float checkpoint — --quantize "
+                "boots serve pre-retrain weights; re-run "
+                "tools/quantize_checkpoint.py")
+    else:
+        info["quantized"] = False
+
+    # -- replay provenance (CL resume)
+    rp = os.path.join(log_dir, "replay_buffer_paths.csv")
+    if os.path.exists(rp):
+        with open(rp) as f:
+            paths = [ln.strip() for ln in f if ln.strip()]
+        missing = [p for p in paths if not os.path.exists(p)]
+        info["replay_paths"] = len(paths)
+        if missing:
+            warnings.append(f"replay provenance lists {len(missing)} missing "
+                            f"file(s) (e.g. {missing[0]}) — CL resume will "
+                            "skip them")
+    return report
+
+
+def _flat(tree):
+    import jax
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    for path, leaf in flat:
+        yield jax.tree_util.keystr(path), leaf
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("log_dir")
+    ap.add_argument("--strict", action="store_true",
+                    help="non-zero exit on warnings too")
+    ap.add_argument("--json", action="store_true", help="machine-readable")
+    args = ap.parse_args(argv)
+
+    report = validate_logdir(args.log_dir)
+    if args.json:
+        print(json.dumps(report, indent=1, default=str))
+    else:
+        for e in report["errors"]:
+            print(f"ERROR: {e}")
+        for w in report["warnings"]:
+            print(f"warning: {w}")
+        for k, v in report["info"].items():
+            print(f"{k}: {v}")
+        verdict = ("UNUSABLE" if report["errors"] else
+                   "usable (with warnings)" if report["warnings"] else "healthy")
+        print(f"=> {args.log_dir}: {verdict}")
+    bad = bool(report["errors"]) or (args.strict and report["warnings"])
+    return 2 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
