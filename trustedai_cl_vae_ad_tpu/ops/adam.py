@@ -6,8 +6,11 @@ optax's f32 second moment the optimizer state is 8.1 GB and batch 512 OOMs a
 batch 512-1024 where the ~20 ms Adam update amortizes toward zero per frame
 (reference hot loop: abstract_cvae.py:154-162 + train.py:99-101).
 
-Numerics: all arithmetic runs in f32 (moments are upcast, updated, then
-stored back in ``mu_dtype``/``nu_dtype``); only the *storage* is narrow.
+Numerics: the SECOND moment's EMA runs in f32 (nu is upcast, updated, then
+stored back in ``nu_dtype``) because that is where narrow arithmetic breaks;
+mu keeps optax's native behavior (with bf16 cotangents its EMA runs in bf16
+arithmetic — harmless: b1=0.9 makes the per-step increment ~10% of the
+moment, far above bf16's ~0.2% relative resolution).
 With b2=0.999 the per-step relative increment to nu (~1e-3) sits below
 bf16's relative resolution (~2e-3), so round-to-nearest can freeze nu near
 steady state; ``stochastic_round_nu=True`` dithers the cast with random
