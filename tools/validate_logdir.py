@@ -121,15 +121,17 @@ def validate_logdir(log_dir: str) -> dict:
         try:
             with open(ts_path) as f:
                 ts = json.load(f)
+            if not isinstance(ts, dict):
+                raise ValueError(f"top level is {type(ts).__name__}, not an object")
             info["train_state"] = {k: ts.get(k) for k in
                                    ("epochs_completed", "step", "beta")}
             max_epochs = int(config.get("training", {}).get("max_epochs", 0))
-            if max_epochs and int(ts.get("epochs_completed", 0)) > max_epochs:
+            if max_epochs and int(ts.get("epochs_completed", 0) or 0) > max_epochs:
                 warnings.append(
                     f"train_state.json epochs_completed "
                     f"{ts['epochs_completed']} > training.max_epochs "
                     f"{max_epochs} — --resume will train 0 epochs")
-        except (ValueError, KeyError) as e:
+        except (ValueError, KeyError, TypeError, OSError) as e:
             warnings.append(f"train_state.json unreadable ({e!r}) — "
                             "--resume falls back to a full restart")
     else:
@@ -142,9 +144,10 @@ def validate_logdir(log_dir: str) -> dict:
     qdir = os.path.join(log_dir, QUANTIZED_SUBDIR)
     if os.path.isdir(qdir):
         info["quantized"] = True
-        float_mtime = max(_tree_mtime(os.path.join(log_dir, s))
-                          for s in ("encoder", "decoder")
-                          if os.path.isdir(os.path.join(log_dir, s)))
+        float_mtime = max((_tree_mtime(os.path.join(log_dir, s))
+                           for s in ("encoder", "decoder")
+                           if os.path.isdir(os.path.join(log_dir, s))),
+                          default=0.0)  # both missing: already errored above
         if float_mtime > _tree_mtime(qdir):
             warnings.append(
                 "quantized/ is OLDER than the float checkpoint — --quantize "
@@ -156,8 +159,15 @@ def validate_logdir(log_dir: str) -> dict:
     # -- replay provenance (CL resume)
     rp = os.path.join(log_dir, "replay_buffer_paths.csv")
     if os.path.exists(rp):
-        with open(rp) as f:
-            paths = [ln.strip() for ln in f if ln.strip()]
+        # csv, first column — the writer is csv.writer (stream/engine.py
+        # save_model_dir), so a raw line read would keep csv quoting on
+        # paths containing commas and report them falsely missing. (The
+        # canonical reader parse_replay_file can't be used here: it FILTERS
+        # to existing files, which is exactly what this check diagnoses.)
+        import csv
+
+        with open(rp, newline="") as f:
+            paths = [row[0] for row in csv.reader(f) if row and row[0].strip()]
         missing = [p for p in paths if not os.path.exists(p)]
         info["replay_paths"] = len(paths)
         if missing:

@@ -106,7 +106,10 @@ def _sr_cast(x32: jax.Array, dtype, noise: jax.Array) -> jax.Array:
     truncated value is exactly representable for in-range normals; subnormal
     targets see slightly coarser dither, which only weakens — never breaks —
     the unbiasedness)."""
-    drop = {jnp.bfloat16: 16, FP8: 20}[dtype]
+    # bits of f32 mantissa below the target's mantissa width (bf16 is the
+    # f32 high half; e4m3 keeps 3 mantissa bits; f16 keeps 10 — truncated
+    # in-range normals are exactly representable in each)
+    drop = {jnp.bfloat16: 16, FP8: 20, jnp.float16: 13}[dtype]
     bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
     mask = jnp.uint32((1 << drop) - 1)
     dithered = bits + (noise & mask)
@@ -206,10 +209,11 @@ def scale_by_adam_fp8(
 
         def store(x32, prev, which):
             dt = _store_dtype(g, which)
-            # stochastic rounding only applies to NARROW storage: an f32 (or
-            # wider) store of the f32 EMA is exact, and dithering it would
-            # both waste VPU work and silently change the requested dtype
-            sr = _sr_on(which) and dt in (FP8, jnp.bfloat16)
+            # stochastic rounding only applies to NARROW storage (itemsize
+            # < 4: fp8/bf16/f16): an f32-or-wider store of the f32 EMA is
+            # exact, and dithering it would both waste VPU work and silently
+            # change the requested dtype
+            sr = _sr_on(which) and jnp.dtype(dt).itemsize < 4
             noise = (
                 _hash_bits(x32.shape, salt + (0 if which == "mu" else 1))
                 if sr

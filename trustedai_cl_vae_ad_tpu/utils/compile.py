@@ -121,6 +121,12 @@ class _OptionedLowered:
         opts = compiler_options if compiler_options is not None else _env_opts()
         if kw:  # unusual extras: compile directly, don't cache
             return self._lowered.compile(compiler_options=opts or None, **kw)
+        if not opts:
+            # no-options warmup: don't cache here — the call path's fast
+            # branch dispatches through the plain jitted fn (never reads the
+            # cache), and the persistent compile cache (TCVAE_COMPILE_CACHE)
+            # is what makes its first dispatch reuse this compile's work
+            return self._lowered.compile()
         key = (_options_key(opts), self._sig)
         compiled = self._cache.get(key)
         if compiled is None:
@@ -150,7 +156,10 @@ def optioned_jit(fun: Callable, **jit_kwargs) -> Callable:
 
     ``.lower`` is forwarded through a proxy whose ``.compile()`` applies the
     same options and shares the dispatch cache (warmup paths pre-compile
-    through it and the first call reuses the executable).
+    through it and the first call reuses the executable). With no options
+    set, warmup + first call go through jax.jit's own path instead — there
+    the warmup's payoff comes from the persistent compile cache
+    (TCVAE_COMPILE_CACHE), same as any plain-jit warmup in this repo.
     """
     jitted = jax.jit(fun, **jit_kwargs)
     cache: dict = {}
