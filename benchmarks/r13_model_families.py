@@ -71,7 +71,9 @@ def run(model_type: str, batch: int, steps: int, warmup: int = 5) -> dict:
     dt = time.perf_counter() - t0
     rec = {"model_type": model_type, "batch": batch,
            "frames_per_s": round(batch * steps / dt, 1),
-           "ms_per_step": round(dt / steps * 1e3, 2), "ts": time.time()}
+           "ms_per_step": round(dt / steps * 1e3, 2),
+           "compiler_options": os.environ.get("TCVAE_COMPILER_OPTIONS", ""),
+           "ts": time.time()}
     print(json.dumps(rec), flush=True)
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
