@@ -191,6 +191,27 @@ def test_bst_prob_parity():
         assert abs(tree_p - fast_p) < 0.08, (q, tree_p, fast_p)
 
 
+def test_bst_prob_duplicates_and_custom_match():
+    """Array-backed tree edge cases: duplicate values collapse to one leaf;
+    a custom match_fun (strict <) is honored at build and query time."""
+    from trustedai_cl_vae_ad_tpu.anomaly.cdf import BSTProb
+
+    # duplicates: every query lands on a well-defined leaf
+    x = np.array([1.0, 1.0, 1.0, 2.0, 2.0, 5.0])
+    p = np.array([0.1, 0.1, 0.1, 0.4, 0.4, 1.0])
+    bst = BSTProb(x, p)
+    assert bst[0.0] == 0.1 and bst[1.5] == 0.4 and bst[10.0] == 1.0
+    # single element degenerates to a one-leaf tree
+    assert BSTProb([3.0], [0.7])[999.0] == 0.7
+    # custom match_fun: strict less-than flips which side boundary queries take
+    bst_lt = BSTProb(x, p, match_fun=lambda a, b: a < b)
+    assert isinstance(bst_lt[2.0], float)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BSTProb([], [])
+
+
 def test_sharded_scoring_matches_single_device(tiny_model):
     """mesh-sharded two-pass scoring == single-device scoring (ragged last
     batch included: padded rows must be dropped from z/maps pairing)."""

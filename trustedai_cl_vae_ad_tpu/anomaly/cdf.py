@@ -2,11 +2,13 @@
 
 Capability parity with reference src/cdf_object.py:6-107: histogram-based
 empirical CDF with value->probability and probability->value lookups, plus the
-``BSTProb`` mean-split binary-search tree API. The reference builds the CDF
-with an O(n^2) lower-triangular mask matmul (cdf_object.py:96-98) and walks a
-Python dict tree per query; here the CDF is a cumsum and lookups are
-``np.searchsorted`` (vectorized, accepts arrays), which is what the BST
-approximated. ``BSTProb`` is kept for API parity and small-n introspection.
+``BSTProb`` mean-split search-tree API. The reference builds the CDF with an
+O(n^2) lower-triangular mask matmul (cdf_object.py:96-98) and walks a
+recursively-built Python dict tree per query; here the CDF is a cumsum and
+lookups are ``np.searchsorted`` (vectorized, accepts arrays), which is what
+the tree approximated. ``BSTProb`` keeps only the reference's *API* (same
+constructor/getitem surface and mean-split lookup semantics) over a flat
+array-backed tree built and queried iteratively.
 
 The reference ships this component with no importers (SURVEY.md section 2 L6);
 here it is wired into the continual-learning stream as the per-task threshold
@@ -23,57 +25,75 @@ ArrayLike = Union[Sequence, np.ndarray]
 
 
 class BSTProb:
-    """Mean-split BST over (x, prob) pairs. Parity with cdf_object.py:6-77."""
+    """Mean-split search tree over (x, prob) pairs — API parity with
+    cdf_object.py:6-77 (same constructor, ``reset``, ``[]`` lookup and
+    mean-split/match_fun semantics), array-backed and iterative.
+
+    Nodes live in flat parallel arrays (``_key``/``_prob``/``_left``/
+    ``_right``); the tree is grown with an explicit worklist and queried
+    with an index-chasing loop, so there is no recursion limit and no
+    per-node Python dict. A leaf's key is the mean of its value subset and
+    its prob is the first prob of that subset (subsets whose values are all
+    equal collapse to one leaf), matching the lookup behavior of the
+    reference's dict tree exactly.
+    """
+
+    _NO_CHILD = -1
 
     def __init__(self, x: ArrayLike, probs: ArrayLike, match_fun: Callable = None):
-        self.reset(x, probs, match_fun or (lambda a, b: a <= b))
+        self.match_fun = match_fun or (lambda a, b: a <= b)
+        self.reset(x, probs)
 
     def reset(self, x, probs, match_fun=None):
-        assert len(x) == len(probs)
-        assert len(x) > 0
-        if match_fun:
+        if match_fun is not None:
             self.match_fun = match_fun
-        order = np.argsort(np.asarray(x), kind="stable")
-        self.x = np.asarray(x)[order]
-        self.probs = np.asarray(probs)[order]
-        self._build_tree()
-
-    def _build_tree(self):
-        self._tree = self._step_down(self.x, self.probs, np.mean(self.x), 0)
-        assert self._tree
-        self._tree["parent"] = None
-
-    def _step_down(self, x, probs, meu, parent_depth):
-        if len(x) == 0:
-            return None
-        if len(x) == 1 or np.min(x) == np.max(x):
-            return {"key": meu, "prob": probs[0], "depth": parent_depth + 1}
-        node = {"key": meu, "depth": parent_depth + 1}
-        left_match = self.match_fun(x, meu)
-        left_x, left_p = x[left_match], probs[left_match]
-        if len(left_x) > 0:
-            node["left"] = self._step_down(left_x, left_p, np.mean(left_x), parent_depth + 1)
-            if node["left"]:
-                node["left"]["parent"] = node
-        right_match = np.logical_not(left_match)
-        right_x, right_p = x[right_match], probs[right_match]
-        if len(right_x) > 0:
-            node["right"] = self._step_down(right_x, right_p, np.mean(right_x), parent_depth + 1)
-            if node["right"]:
-                node["right"]["parent"] = node
-        return node
+        x = np.asarray(x)
+        probs = np.asarray(probs)
+        if len(x) != len(probs) or len(x) == 0:
+            raise ValueError("BSTProb needs equal-length, non-empty x/probs")
+        order = np.argsort(x, kind="stable")
+        self.x = x[order]
+        self.probs = probs[order]
+        key, prob, left, right = [], [], [], []
+        # worklist of (node_index, value_subset, prob_subset); children are
+        # appended to the arrays and linked back by index
+        pending = [(0, self.x, self.probs)]
+        key.append(float(np.mean(self.x)))
+        prob.append(np.nan)
+        left.append(self._NO_CHILD)
+        right.append(self._NO_CHILD)
+        while pending:
+            idx, vals, ps = pending.pop()
+            if len(vals) == 1 or vals[0] == vals[-1]:
+                prob[idx] = float(ps[0])  # leaf: all values identical
+                continue
+            goes_left = np.asarray(self.match_fun(vals, key[idx]))
+            for is_left, sub_v, sub_p in (
+                (True, vals[goes_left], ps[goes_left]),
+                (False, vals[~goes_left], ps[~goes_left]),
+            ):
+                if len(sub_v) == 0:
+                    continue
+                child = len(key)
+                key.append(float(np.mean(sub_v)))
+                prob.append(np.nan)
+                left.append(self._NO_CHILD)
+                right.append(self._NO_CHILD)
+                (left if is_left else right)[idx] = child
+                pending.append((child, sub_v, sub_p))
+        self._key = np.asarray(key)
+        self._prob = np.asarray(prob)
+        self._left = np.asarray(left)
+        self._right = np.asarray(right)
 
     def __getitem__(self, x):
-        walk = self._tree
-        while "prob" not in walk:
-            left = self.match_fun(x, walk["key"])
-            if left and "left" in walk:
-                walk = walk["left"]
-            elif not left and "right" in walk:
-                walk = walk["right"]
-            else:
-                raise Exception("Error: BSTProb[], should never reach here")
-        return walk["prob"]
+        idx = 0
+        while np.isnan(self._prob[idx]):
+            nxt = self._left[idx] if self.match_fun(x, self._key[idx]) else self._right[idx]
+            if nxt == self._NO_CHILD:
+                raise KeyError(f"BSTProb lookup fell off the tree at {x!r}")
+            idx = int(nxt)
+        return float(self._prob[idx])
 
 
 class CDFObject:
