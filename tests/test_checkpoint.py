@@ -153,3 +153,84 @@ def test_bf16_adam_lean_state_roundtrip(small_config, tmp_path):
                               jax.numpy.asarray(x), rng)[0]
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adam_fp8_legacy_treedef_restore(small_config, tmp_path):
+    """Optimizer checkpoints written by earlier builds (AdamFp8State with a
+    4th ``treedef`` field, always None) must still resume: the restore
+    fallback retries with a treedef-augmented target and strips the stale
+    field (ADVICE r3, medium)."""
+    import shutil
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from trustedai_cl_vae_ad_tpu.ops.adam8 import AdamFp8State
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.train.checkpoint import _LegacyAdamFp8State
+
+    cfg = dict(small_config)
+    cfg["training"] = dict(cfg["training"], optimizer="adam_fp8")
+    model = load_model_from_config(cfg)
+    model.compile()
+    x = np.random.RandomState(0).random((4, 64, 64, 3)).astype(np.float32)
+    for _ in range(2):
+        model.train_step(x)
+    d = tmp_path / "ck"
+    d.mkdir()
+    model.save_model(str(d))
+
+    # rewrite optimizer/ in the LEGACY on-disk layout
+    def _is_fp8(n):
+        return isinstance(n, AdamFp8State)
+
+    legacy = jax.tree_util.tree_map(
+        lambda n: _LegacyAdamFp8State(n.count, n.mu, n.nu, None) if _is_fp8(n) else n,
+        model.opt_state,
+        is_leaf=_is_fp8,
+    )
+    opt_path = (d / "optimizer").resolve()
+    shutil.rmtree(opt_path)
+    ck = ocp.StandardCheckpointer()
+    ck.save(str(opt_path), legacy, force=True)
+    ck.wait_until_finished()
+
+    m2 = load_model_from_config(cfg)
+    m2.load_model(str(d), restore_optimizer=True)
+    fp8_a = m2.opt_state.inner_state[0]
+    fp8_b = model.opt_state.inner_state[0]
+    assert isinstance(fp8_a, AdamFp8State) and not hasattr(fp8_a, "treedef")
+    assert int(fp8_a.count) == int(fp8_b.count) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(fp8_a), jax.tree_util.tree_leaves(fp8_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_incompatible_optimizer_checkpoint_warns_and_resumes_fresh(small_config, tmp_path):
+    """A structurally incompatible optimizer/ checkpoint (e.g. saved under a
+    different training.optimizer) must not crash --resume: params restore,
+    the optimizer falls back to fresh init with a warning."""
+    import jax
+
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    cfg_lean = dict(small_config)
+    cfg_lean["training"] = dict(cfg_lean["training"], optimizer="adam_lean")
+    model = load_model_from_config(cfg_lean)
+    model.compile()
+    x = np.random.RandomState(0).random((4, 64, 64, 3)).astype(np.float32)
+    model.train_step(x)
+    d = tmp_path / "ck"
+    d.mkdir()
+    model.save_model(str(d))
+
+    cfg_fp8 = dict(small_config)
+    cfg_fp8["training"] = dict(cfg_fp8["training"], optimizer="adam_fp8")
+    m2 = load_model_from_config(cfg_fp8)
+    m2.compile()
+    with pytest.warns(UserWarning, match="fresh"):
+        m2.load_model(str(d), restore_optimizer=True)
+    # params restored, optimizer fresh
+    for a, b in zip(jax.tree_util.tree_leaves(model.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(m2.opt_state.inner_state[0].count) == 0

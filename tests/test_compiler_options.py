@@ -179,3 +179,37 @@ def test_warmup_lower_compile_populates_dispatch_cache():
     assert len(fn._options_cache) == 1  # no second compile
     # the proxy still exposes Lowered introspection
     assert "HloModule" in fn.lower(x).as_text() or "module" in fn.lower(x).as_text()
+
+
+def test_transient_failure_is_not_classified_as_rejection():
+    """A transient compile failure whose message merely contains the phrases
+    'compile option' / 'not a valid' must re-raise, not silently pin options
+    off via the fallback cache (ADVICE r3). Only messages naming one of the
+    current option keys/values count as rejections."""
+    from trustedai_cl_vae_ad_tpu.utils.compile import _is_option_rejection
+
+    opts = {"xla_tpu_scoped_vmem_limit_kib": 98304}
+    # genuine rejections: the message names the option key or value
+    assert _is_option_rejection(
+        "INVALID_ARGUMENT: No such compile option: 'xla_tpu_scoped_vmem_limit_kib'",
+        opts,
+    )
+    assert _is_option_rejection("'false' is not a valid bool value", {"k": False})
+    # transient failures that happen to contain the phrases: NOT rejections
+    assert not _is_option_rejection(
+        "remote compile failed: server said 'not a valid session token'", opts
+    )
+    assert not _is_option_rejection(
+        "tunnel error while shipping compile option payload", opts
+    )
+
+    class _Boom:
+        def compile(self, compiler_options=None):
+            if compiler_options:
+                raise RuntimeError("transient: connection reset (not a valid frame)")
+            raise AssertionError("fallback path must not run on transient errors")
+
+    from trustedai_cl_vae_ad_tpu.utils.compile import _compile_with_options
+
+    with pytest.raises(RuntimeError, match="transient"):
+        _compile_with_options(_Boom(), opts)

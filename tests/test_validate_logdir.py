@@ -80,7 +80,9 @@ def test_missing_pieces(tmp_path):
     assert any("decoder/ checkpoint missing" in e for e in rep["errors"])
 
 
-def test_stale_quantized_warns(logdir, tmp_path):
+def test_stale_quantized_warns_mtime_fallback(logdir, tmp_path):
+    """No content provenance at all (hand-made quantized/ dir): the mtime
+    fallback fires with the soft 'MAY be stale' wording."""
     import shutil
 
     d = str(tmp_path / "stale_q")
@@ -94,7 +96,66 @@ def test_stale_quantized_warns(logdir, tmp_path):
     old = time.time() - 3600
     os.utime(os.path.join(qdir, "marker"), (old, old))
     rep = validate_logdir(d)
-    assert any("OLDER than the float checkpoint" in w for w in rep["warnings"])
+    assert any("MAY be stale" in w for w in rep["warnings"])
+
+
+def test_quantized_provenance_is_content_based(logdir, tmp_path):
+    """Fresh sidecar: healthy even when mtimes LIE (float checkpoint touched
+    newer, as cp -p / rsync -a / clock skew produce); after a retrain the
+    provenance mismatch warns even when mtimes are equalized."""
+    import shutil
+
+    import jax.numpy as jnp
+
+    d = str(tmp_path / "prov_q")
+    shutil.copytree(logdir, d)
+    from trustedai_cl_vae_ad_tpu.ops.quant import (
+        QUANTIZED_SUBDIR,
+        quantize_params,
+        save_quantized_checkpoint,
+    )
+
+    m, _ = tc.load_model_from_directory(d)
+    qp = quantize_params(m.core, m.params, min_elems=1)
+    save_quantized_checkpoint(d, qp)
+
+    # fresh sidecar + mtime lie: no staleness warning (content evidence wins)
+    now = time.time()
+    for r, _dirs, fs in os.walk(os.path.join(d, "encoder")):
+        for f in fs:
+            os.utime(os.path.join(r, f), (now + 3600, now + 3600))
+    rep = validate_logdir(d)
+    assert not any("stale" in w.lower() or "DIFFERENT float" in w
+                   for w in rep["warnings"]), rep["warnings"]
+
+    # retrain + resave the float checkpoint: provenance mismatch warns even
+    # with the quantized/ tree's mtimes pushed into the future
+    m.compile()
+    m.train_step(jnp.asarray(
+        np.random.RandomState(1).rand(4, 32, 32, 3), jnp.float32))
+    m.save_model(d)
+    for r, _dirs, fs in os.walk(os.path.join(d, QUANTIZED_SUBDIR)):
+        for f in fs:
+            os.utime(os.path.join(r, f), (now + 7200, now + 7200))
+    rep = validate_logdir(d)
+    assert any("DIFFERENT float checkpoint" in w for w in rep["warnings"]), \
+        rep["warnings"]
+
+
+def test_precision_drift_warns(logdir, tmp_path):
+    """Checkpoint saved under one training.precision, config says another:
+    leaf shapes match but dtypes differ — surfaced as a warning (ADVICE r3)."""
+    import shutil
+
+    d = str(tmp_path / "dtype_drift")
+    shutil.copytree(logdir, d)
+    cfg = _tiny_config()
+    cfg["training"]["precision"] = "bfloat16"  # weights were saved f32
+    tc.save_config(cfg, os.path.join(d, "config.yml"))
+    rep = validate_logdir(d)
+    assert rep["errors"] == []
+    assert any("dtype" in w and "training.precision" in w
+               for w in rep["warnings"]), rep["warnings"]
 
 
 def test_replay_provenance_missing_files_warn(logdir, tmp_path):

@@ -92,6 +92,7 @@ def validate_logdir(log_dir: str) -> dict:
             errors.append(f"{sub}/ checkpoint unreadable: {e!r}")
             continue
         got = {p: l for p, l in _flat(meta)}
+        dtype_drift = []
         for p, want in expected[sub].items():
             if p not in got:
                 errors.append(f"{sub}: leaf {p} missing from checkpoint")
@@ -102,6 +103,17 @@ def validate_logdir(log_dir: str) -> dict:
                     errors.append(
                         f"{sub}: {p} shape {gshape} != config-derived "
                         f"{tuple(want.shape)} (config/weights drift)")
+                else:
+                    gdtype = getattr(g, "dtype", None)
+                    if gdtype is not None and str(gdtype) != str(want.dtype):
+                        dtype_drift.append((p, str(gdtype), str(want.dtype)))
+        if dtype_drift:
+            p0, got0, want0 = dtype_drift[0]
+            warnings.append(
+                f"{sub}: {len(dtype_drift)} leaf dtype(s) differ from the "
+                f"config-derived tree (e.g. {p0}: checkpoint {got0} vs config "
+                f"{want0}) — saved under a different training.precision; "
+                "loaders restore the checkpoint dtype")
         extra = set(got) - set(expected[sub])
         if extra:
             warnings.append(f"{sub}: {len(extra)} extra leaves not in the "
@@ -138,21 +150,64 @@ def validate_logdir(log_dir: str) -> dict:
         warnings.append("train_state.json missing — --resume restores weights "
                         "but restarts the epoch/beta schedule")
 
-    # -- quantized/ int8 serving sidecar: staleness vs float weights
-    from trustedai_cl_vae_ad_tpu.ops.quant import QUANTIZED_SUBDIR
+    # -- quantized/ int8 serving sidecar: staleness vs float weights.
+    # Preferred evidence is CONTENT-based (survives cp -p / rsync -a / tar,
+    # which preserve mtimes): the provenance file save_quantized_checkpoint
+    # writes (the float checkpoint's orbax commit stamps at quantization
+    # time), else the commit stamps themselves (quantized must be committed
+    # AFTER the float weights it came from). Filesystem mtimes are the last
+    # resort and only warrant a "may be stale".
+    from trustedai_cl_vae_ad_tpu.ops.quant import (
+        PROVENANCE_FILE,
+        QUANTIZED_SUBDIR,
+        float_checkpoint_stamp,
+    )
 
     qdir = os.path.join(log_dir, QUANTIZED_SUBDIR)
     if os.path.isdir(qdir):
         info["quantized"] = True
-        float_mtime = max((_tree_mtime(os.path.join(log_dir, s))
-                           for s in ("encoder", "decoder")
-                           if os.path.isdir(os.path.join(log_dir, s))),
-                          default=0.0)  # both missing: already errored above
-        if float_mtime > _tree_mtime(qdir):
-            warnings.append(
-                "quantized/ is OLDER than the float checkpoint — --quantize "
-                "boots serve pre-retrain weights; re-run "
-                "tools/quantize_checkpoint.py")
+        stale_msg = ("— --quantize boots/serves pre-retrain weights; re-run "
+                     "tools/quantize_checkpoint.py")
+        float_stamp = float_checkpoint_stamp(log_dir)
+        prov_path = os.path.join(qdir, PROVENANCE_FILE)
+        prov = None
+        if os.path.exists(prov_path):
+            try:
+                with open(prov_path) as f:
+                    prov = json.load(f).get("float_checkpoint")
+            except (OSError, ValueError):
+                prov = None
+        if prov is not None:
+            if prov != float_stamp:
+                warnings.append(
+                    "quantized/ was built from a DIFFERENT float checkpoint "
+                    f"(provenance mismatch) {stale_msg}")
+        else:
+            q_meta = os.path.join(qdir, "_CHECKPOINT_METADATA")
+            q_commit = None
+            try:
+                with open(q_meta) as f:
+                    q_commit = json.load(f).get("commit_timestamp_nsecs")
+            except (OSError, ValueError):
+                pass
+            float_commits = [v for v in float_stamp.values() if v is not None]
+            if q_commit is not None and float_commits:
+                if max(float_commits) > q_commit:
+                    warnings.append(
+                        "quantized/ was committed BEFORE the float "
+                        f"checkpoint {stale_msg}")
+            else:
+                # no content evidence at all: mtimes (can lie under
+                # mtime-preserving copies or clock skew — soft wording)
+                float_mtime = max((_tree_mtime(os.path.join(log_dir, s))
+                                   for s in ("encoder", "decoder")
+                                   if os.path.isdir(os.path.join(log_dir, s))),
+                                  default=0.0)
+                if float_mtime > _tree_mtime(qdir):
+                    warnings.append(
+                        "quantized/ MAY be stale (older filesystem mtime than "
+                        "the float checkpoint; no content provenance found) "
+                        f"{stale_msg}")
     else:
         info["quantized"] = False
 

@@ -175,6 +175,26 @@ def serving_forward(core, params: dict, quantize: bool = False, mode: str = "w8a
 
 
 QUANTIZED_SUBDIR = "quantized"
+PROVENANCE_FILE = "float_provenance.json"
+
+
+def float_checkpoint_stamp(log_dir: str) -> dict:
+    """Content-based identity of the float checkpoint: orbax's
+    ``commit_timestamp_nsecs`` from encoder/ and decoder/ ``_CHECKPOINT_METADATA``
+    (file CONTENT, so it survives mtime-preserving copies — cp -p, rsync -a,
+    tar — unlike filesystem mtimes). Missing pieces map to None."""
+    import json
+    import os
+
+    stamp = {}
+    for sub in ("encoder", "decoder"):
+        meta_path = os.path.join(log_dir, sub, "_CHECKPOINT_METADATA")
+        try:
+            with open(meta_path) as f:
+                stamp[sub] = json.load(f).get("commit_timestamp_nsecs")
+        except (OSError, ValueError):
+            stamp[sub] = None
+    return stamp
 
 
 def save_quantized_checkpoint(log_dir: str, qparams: dict) -> str:
@@ -197,6 +217,13 @@ def save_quantized_checkpoint(log_dir: str, qparams: dict) -> str:
     ck = ocp.StandardCheckpointer()
     ck.save(path, host, force=True)
     ck.wait_until_finished()
+    # record WHICH float checkpoint this sidecar came from (content-based;
+    # tools/validate_logdir.py's staleness check reads it — mtimes lie under
+    # mtime-preserving copies)
+    import json
+
+    with open(os.path.join(path, PROVENANCE_FILE), "w") as f:
+        json.dump({"float_checkpoint": float_checkpoint_stamp(log_dir)}, f)
     return path
 
 

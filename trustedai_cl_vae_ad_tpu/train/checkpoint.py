@@ -13,13 +13,79 @@ SURVEY.md section 5.4 — which breaks continual-learning resume; fixed here).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+import warnings
+from typing import Any, NamedTuple, Optional, Tuple
 
 import orbax.checkpoint as ocp
 
 
 def _checkpointer() -> ocp.StandardCheckpointer:
     return ocp.StandardCheckpointer()
+
+
+class _LegacyAdamFp8State(NamedTuple):
+    """Pre-round-3 ``AdamFp8State`` layout: a 4th ``treedef`` field (always
+    None) that later builds dropped. Only used as a restore target for old
+    optimizer checkpoints."""
+
+    count: Any
+    mu: Any
+    nu: Any
+    treedef: Any
+
+
+def _restore_optimizer_with_fallback(ck, opt_path: str, opt_state_like: Any) -> Optional[Any]:
+    """Restore optimizer state, tolerating the legacy adam_fp8 layout.
+
+    Optimizer checkpoints written before AdamFp8State dropped its ``treedef``
+    field fail orbax structure matching against the current 3-field state
+    ("treedef: Source: MISSING"). Retry those with a treedef-augmented target
+    and strip the stale field; any other structure mismatch warns and returns
+    None so the caller resumes with a freshly initialized optimizer instead
+    of crashing ``train.py --resume``.
+    """
+    import jax
+
+    try:
+        return ck.restore(opt_path, opt_state_like)
+    except Exception as err:  # noqa: BLE001 — orbax raises bare ValueError
+        first_err = err
+
+    try:
+        from trustedai_cl_vae_ad_tpu.ops.adam8 import AdamFp8State
+
+        def _is_fp8(n):
+            return isinstance(n, AdamFp8State)
+
+        def _is_legacy(n):
+            return isinstance(n, _LegacyAdamFp8State)
+
+        legacy_like = jax.tree_util.tree_map(
+            lambda n: _LegacyAdamFp8State(n.count, n.mu, n.nu, None) if _is_fp8(n) else n,
+            opt_state_like,
+            is_leaf=_is_fp8,
+        )
+        has_fp8 = any(
+            _is_fp8(n)
+            for n in jax.tree_util.tree_leaves(opt_state_like, is_leaf=_is_fp8)
+        )
+        if has_fp8:
+            restored = ck.restore(opt_path, legacy_like)
+            return jax.tree_util.tree_map(
+                lambda n: AdamFp8State(n.count, n.mu, n.nu) if _is_legacy(n) else n,
+                restored,
+                is_leaf=_is_legacy,
+            )
+    except Exception:  # noqa: BLE001 — fall through to the fresh-state warning
+        pass
+
+    warnings.warn(
+        f"optimizer checkpoint at {opt_path} does not match the current "
+        f"optimizer state structure ({first_err}); resuming with a fresh "
+        "optimizer (params are restored; Adam moments restart from zero)",
+        stacklevel=3,
+    )
+    return None
 
 
 def save_checkpoint(log_dir: str, params: dict, opt_state: Any = None) -> None:
@@ -60,5 +126,5 @@ def restore_checkpoint(
     opt_state = None
     opt_path = os.path.abspath(os.path.join(log_dir, "optimizer"))
     if opt_state_like is not None and os.path.exists(opt_path):
-        opt_state = ck.restore(opt_path, opt_state_like)
+        opt_state = _restore_optimizer_with_fallback(ck, opt_path, opt_state_like)
     return params, opt_state

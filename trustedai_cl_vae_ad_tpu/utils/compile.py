@@ -78,17 +78,35 @@ def _signature_key(args, kwargs):
     return treedef, tuple(sig)
 
 
+def _is_option_rejection(msg: str, opts) -> bool:
+    """True only for a compiler rejection of THESE options — the message must
+    both carry the PJRT rejection phrasing ("No such compile option: 'k'" /
+    "'v' is not a valid <type> value") and name one of the option keys or
+    values. A transient remote-compile failure that merely contains "compile
+    option" or "not a valid" must NOT be treated as a rejection: the fallback
+    caches an un-optioned executable under the options key, which would pin
+    options off for the rest of the process (ADVICE r3)."""
+    if "compile option" not in msg and "not a valid" not in msg:
+        return False
+    lmsg = msg.lower()
+    return any(str(k).lower() in lmsg for k in opts) or any(
+        str(v).lower() in lmsg for v in opts.values()
+    )
+
+
 def _compile_with_options(lowered, opts):
     """``lowered.compile(compiler_options=opts)`` with the unknown-option
     fallback (e.g. TPU option names on the CPU tests backend): warn once and
-    compile un-optioned instead of failing the run."""
+    compile un-optioned instead of failing the run. Rejections are
+    deterministic per backend (the option name is unknown), so caching the
+    fallback executable is safe; transient failures re-raise."""
     if not opts:
         return lowered.compile()
     try:
         return lowered.compile(compiler_options=opts)
-    except Exception as e:  # unknown option on this backend
+    except Exception as e:
         msg = str(e)
-        if "compile option" in msg or "not a valid" in msg:
+        if _is_option_rejection(msg, opts):
             if _ENV not in _warned:
                 _warned.add(_ENV)
                 print(
