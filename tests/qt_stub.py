@@ -187,10 +187,33 @@ class QPixmap(_WidgetBase):
 
 
 class QImage:
+    """Performs real Qt scanline math: validates the buffer against the
+    declared stride and decodes pixels row-by-row AT that stride — so a
+    wrong bytes-per-line (the classic integration bug on widths whose
+    3*w is not a multiple of 4, invisible to a no-op stub) either trips
+    the buffer-size assertion or produces a skewed ``array`` that
+    pixel-equality tests catch."""
+
     Format_RGB888 = 13
+    _BPP = {Format_RGB888: 3}
 
     def __init__(self, data, w, h, stride, fmt):
+        import numpy as np
+
         self.w, self.h = w, h
+        self.fmt = fmt
+        bpp = self._BPP[fmt]
+        buf = data if isinstance(data, memoryview) else memoryview(data)
+        buf = buf.cast("B") if buf.ndim != 1 or buf.format != "B" else buf
+        assert stride >= bpp * w, f"stride {stride} < {bpp}*{w} bytes/row"
+        # Qt reads rows at `stride` offsets; the last row only needs its pixels
+        need = stride * (h - 1) + bpp * w
+        assert len(buf) >= need, (
+            f"QImage buffer too small for stride math: {len(buf)} < {need} "
+            f"(w={w} h={h} stride={stride})")
+        rows = [np.frombuffer(buf, np.uint8, count=bpp * w, offset=r * stride)
+                for r in range(h)]
+        self.array = np.stack(rows).reshape(h, w, bpp).copy()
 
 
 class QFileDialog:

@@ -177,3 +177,66 @@ def test_do_anomaly_int8_checkpoint_boot(tool_env, monkeypatch, tmp_path, capsys
     assert "int8 boot" in capsys.readouterr().out
     names = os.listdir(out)
     assert "anomaly_fig.png" in names and "anomaly_list.csv" in names, names
+
+
+def test_plot_umap_real_umap_branch(tool_env, monkeypatch, tmp_path):
+    """Exercise the REAL-UMAP code path (reference plot_umap.py:67-121) with
+    an interface-faithful fake ``umap`` module (umap-learn is absent from
+    this env, so only the PCA fallback had ever executed): asserts our code
+    constructs UMAP with the reference's hyperparameters and drives
+    fit/transform/inverse_transform with the right shapes, through the full
+    CLI incl. the --interpolate inverse-transform grid."""
+    import sys
+    import types
+
+    calls = {"init": None, "fit": [], "transform": [], "inverse": []}
+
+    class FakeUMAP:
+        """Records the call protocol; embeds by truncation so the pipeline
+        produces valid downstream arrays (like UMAP, NOT an exact inverse)."""
+
+        def __init__(self, **kwargs):
+            calls["init"] = kwargs
+            self._dim = None
+
+        def fit(self, z):
+            z = np.asarray(z)
+            assert z.ndim == 2
+            self._dim = z.shape[1]
+            calls["fit"].append(z.shape)
+            return self
+
+        def transform(self, z):
+            z = np.asarray(z)
+            assert self._dim is not None, "transform before fit"
+            assert z.shape[1:] == (self._dim,)
+            calls["transform"].append(z.shape)
+            return z[:, :2].astype(np.float32)
+
+        def inverse_transform(self, e):
+            e = np.asarray(e)
+            assert e.shape[1:] == (2,)
+            calls["inverse"].append(e.shape)
+            out = np.zeros((e.shape[0], self._dim), np.float32)
+            out[:, :2] = e
+            return out
+
+    fake_mod = types.ModuleType("umap")
+    fake_mod.UMAP = FakeUMAP
+    monkeypatch.setitem(sys.modules, "umap", fake_mod)
+
+    out = tmp_path / "umap.png"
+    interp = tmp_path / "umap_interp.png"
+    _run(monkeypatch, "plot_umap",
+         [tool_env["logdir"], "-o", str(out), "-n", "7", "-d", "0.25",
+          "-m", "cosine", "--standardize", "--interpolate", "-t", str(interp)])
+
+    assert out.exists() and interp.exists()
+    # constructor got the CLI hyperparameters (reference plot_umap.py:67-73)
+    assert calls["init"] == {"n_neighbors": 7, "n_components": 2,
+                             "min_dist": 0.25, "metric": "cosine",
+                             "verbose": True}
+    # fit on train latents; transform on train AND val; one 10x10 grid inverse
+    assert calls["fit"] == [(16, 8)]
+    assert calls["transform"] == [(16, 8), (8, 8)]
+    assert calls["inverse"] == [(100, 2)]

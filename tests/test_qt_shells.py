@@ -405,3 +405,45 @@ def test_decoder_warmup_flag(model_dir, monkeypatch, capsys):
         decoder_generator_qt.main()
     assert e.value.code == 0  # stub QApplication.exec_() returns 0
     assert "warming up" in capsys.readouterr().out
+
+
+def test_np_to_pixmap_stride_exact_on_odd_widths():
+    """QImage scanline math on widths where 3*w is not a multiple of 4 (the
+    classic Qt stride bug class): the shell passes stride=3*w explicitly, so
+    decoded pixels must equal the source bit-exactly for w=25, 31, 333 —
+    and for the grayscale and 1-channel render paths (VERDICT r3 item 7)."""
+    rng = np.random.RandomState(7)
+    for w in (25, 31, 333):
+        arr = rng.randint(0, 255, (17, w, 3), np.uint8)
+        pix = camera_streamer_qt._np_to_pixmap(arr)
+        np.testing.assert_array_equal(pix.img.array, arr)
+    # 2-D grayscale and (h, w, 1) inputs render as stacked RGB
+    g = rng.randint(0, 255, (9, 25), np.uint8)
+    np.testing.assert_array_equal(
+        camera_streamer_qt._np_to_pixmap(g).img.array,
+        np.stack([g] * 3, axis=-1))
+    g1 = g[..., None]
+    np.testing.assert_array_equal(
+        camera_streamer_qt._np_to_pixmap(g1).img.array,
+        np.stack([g] * 3, axis=-1))
+
+
+def test_qimage_stub_rejects_wrong_stride():
+    """The stub must CATCH stride bugs, not paper over them: a buffer sized
+    for stride=3*w declared with a 4-byte-aligned stride fails, and a
+    deliberately skewed (but large enough) buffer decodes to shifted pixels."""
+    from tests.qt_stub import QImage
+
+    w, h = 25, 8  # 3*25 = 75, 4-aligned stride would be 76
+    arr = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    with pytest.raises(AssertionError, match="too small"):
+        QImage(arr.data, w, h, 76, QImage.Format_RGB888)
+    # oversized buffer + wrong stride: decodes, but pixels shift (detectable)
+    padded = np.zeros((h, w * 3 + 1), np.uint8)
+    padded[:, : w * 3] = arr.reshape(h, -1)
+    img = QImage(np.ascontiguousarray(padded).data, w, h, w * 3 + 1,
+                 QImage.Format_RGB888)
+    np.testing.assert_array_equal(img.array, arr)  # correct stride decl is fine
+    img_bad = QImage(np.ascontiguousarray(padded).data[: h * w * 3 + h],
+                     w, h, w * 3, QImage.Format_RGB888)
+    assert not np.array_equal(img_bad.array, arr)  # skew is visible
