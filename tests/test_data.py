@@ -436,3 +436,68 @@ def test_directory_source_skips_corrupt_frame(tmp_path):
     frames = list(src)
     assert len(frames) == 3  # 4 files, 1 corrupt, stream did NOT end at it
     assert src.exhausted
+
+
+def test_device_cached_stream_exact_and_hostless(tmp_path):
+    """data.device_cache: epoch 1 fills the HBM cache; epoch 2 yields the
+    SAME device buffers (no host decode, no upload) with identical values."""
+    from trustedai_cl_vae_ad_tpu.data.ingest import DeviceCachedStream
+    from trustedai_cl_vae_ad_tpu.data.loader import SyntheticDataset
+
+    calls = {"n": 0}
+
+    class CountingSource:
+        def __init__(self):
+            self.inner = SyntheticDataset(10, [8, 8, 3], 4, seed=0)
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            calls["n"] += 1
+            return iter(self.inner)
+
+    stream = DeviceCachedStream(CountingSource(), [8, 8, 3])
+    ep1 = [b["image"] for b in stream]
+    ep2 = [b["image"] for b in stream]
+    assert calls["n"] == 1  # host source iterated exactly once
+    assert len(ep1) == len(ep2) == 3
+    for a, b in zip(ep1, ep2):
+        assert a is b  # the very same device array, not a re-upload
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_cached_stream_budget_fallback(capsys):
+    """A dataset over the HBM budget streams instead of caching — every epoch
+    re-reads the host source, values still correct."""
+    from trustedai_cl_vae_ad_tpu.data.ingest import DeviceCachedStream
+    from trustedai_cl_vae_ad_tpu.data.loader import SyntheticDataset
+
+    src = SyntheticDataset(10, [8, 8, 3], 4, seed=0)
+    # budget below one f32 batch (4*8*8*3*4 = 3 KiB)
+    stream = DeviceCachedStream(src, [8, 8, 3], max_bytes=1024)
+    ep1 = [np.asarray(b["image"]) for b in stream]
+    assert "device-cache budget" in capsys.readouterr().out
+    assert stream._cache is None and stream._gave_up
+    ep2 = [np.asarray(b["image"]) for b in stream]
+    assert len(ep1) == len(ep2) == 3
+    for a, b in zip(ep1, ep2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_load_data_device_cache_knob():
+    from trustedai_cl_vae_ad_tpu.data.ingest import DeviceCachedStream
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    config = {
+        "data": {"dataset": "synthetic", "image_size": [8, 8, 3], "n_train": 8,
+                 "n_val": 4, "device_cache": True},
+        "training": {"batch_size": 4},
+    }
+    data = load_data(config)
+    assert isinstance(data["train"], DeviceCachedStream)
+    assert sum(np.asarray(b["image"]).shape[0] for b in data["train"]) == 8
+    # cached second epoch returns the same device arrays
+    first = [b["image"] for b in data["train"]]
+    second = [b["image"] for b in data["train"]]
+    assert all(a is b for a, b in zip(first, second))

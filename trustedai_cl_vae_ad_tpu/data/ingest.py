@@ -50,6 +50,67 @@ def preprocess_batch(batch_u8: np.ndarray, image_size) -> jax.Array:
     return _preprocess_u8(jnp.asarray(batch_u8), out_hw)
 
 
+class DeviceCachedStream:
+    """HBM-resident dataset cache: decode + upload once, train from device forever.
+
+    TPU-native upgrade of the reference's host-side ``tf.data .cache()``
+    (data_loader.py:49-53): the reference caches DECODED tensors in host RAM,
+    so every epoch after the first still pays the host->device transfer. Here
+    the first epoch materializes the preprocessed (f32, resized, normalized)
+    batches in HBM; epochs 2+ never touch the host at all — the train step
+    reads its input straight from device memory.
+
+    Guard rails: caching stops (and the stream transparently falls back to
+    the host path for the remainder + subsequent epochs) once the projected
+    footprint exceeds ``max_bytes`` — a dataset that doesn't fit next to the
+    model/optimizer state must stream. The decision is logged once.
+
+    Numerics: exact — the cached arrays ARE the `device_prefetch` outputs,
+    so a cached epoch is bit-identical to a streamed one.
+    """
+
+    def __init__(self, source, image_size, depth: int = 2, max_bytes: int = 4 << 30):
+        self.source = source
+        self.image_size = image_size
+        self.depth = depth
+        self.max_bytes = int(max_bytes)
+        self._cache: Optional[list] = None
+        self._gave_up = False
+
+    def __len__(self):
+        if self._cache is not None:
+            return len(self._cache)
+        return len(self.source)
+
+    def __iter__(self) -> Iterator[dict]:
+        if self._cache is not None:
+            return iter(self._cache)
+        if self._gave_up:
+            return device_prefetch(iter(self.source), self.image_size, depth=self.depth)
+        return self._fill_iter()
+
+    def _fill_iter(self) -> Iterator[dict]:
+        items: list = []
+        used = 0
+        stream = device_prefetch(iter(self.source), self.image_size, depth=self.depth)
+        for batch in stream:
+            if not self._gave_up:
+                used += int(batch["image"].nbytes)
+                if used > self.max_bytes:
+                    self._gave_up = True
+                    items = []  # free the device refs we were holding
+                    print(
+                        f"DeviceCachedStream: dataset exceeds the {self.max_bytes >> 30} GiB "
+                        "device-cache budget — falling back to host streaming "
+                        "(set data.device_cache_max_gb to raise the cap)."
+                    )
+                else:
+                    items.append(batch)
+            yield batch
+        if not self._gave_up:
+            self._cache = items
+
+
 def device_prefetch(
     batches: Iterable,
     image_size,

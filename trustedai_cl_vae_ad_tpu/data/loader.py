@@ -22,6 +22,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from trustedai_cl_vae_ad_tpu.data import ingest
+from trustedai_cl_vae_ad_tpu.data.ingest import DeviceCachedStream
 from trustedai_cl_vae_ad_tpu.data.pipeline import MappedDataset
 from trustedai_cl_vae_ad_tpu.data.raite import RaiteDataset
 from trustedai_cl_vae_ad_tpu.data.saved_dataset import SavedDataset, is_saved_dataset
@@ -164,6 +165,17 @@ def load_data(config: dict) -> dict:
     img_size = data_config["image_size"]
     batch_size = int(config["training"]["batch_size"])
 
+    # data.device_cache: true -> HBM-resident dataset cache (epochs 2+ never
+    # touch the host; the TPU-native upgrade of the reference's host .cache()).
+    # Opt-in: it freezes the first epoch's batch order (a shuffled source is
+    # NOT reshuffled between epochs) and budgets HBM next to the model state
+    # (data.device_cache_max_gb, default 4).
+    def _stream(source, depth: int = 2):
+        if data_config.get("device_cache"):
+            max_bytes = int(float(data_config.get("device_cache_max_gb", 4)) * (1 << 30))
+            return DeviceCachedStream(source, img_size, depth=depth, max_bytes=max_bytes)
+        return DeviceStream(source, img_size, depth=depth)
+
     if dataset_name == "raite":
         assert os.path.exists(dataset_path)
         assert os.path.isdir(dataset_path)
@@ -184,8 +196,8 @@ def load_data(config: dict) -> dict:
         rdb = RaiteDataset(train_path, test_path, batchsize=batch_size)
         rdb.cache()  # decoded uint8 batches cached in RAM (tf.data .cache())
 
-        train_stream = DeviceStream(rdb.train_data, img_size)
-        val_stream = DeviceStream(rdb.test_data, img_size)
+        train_stream = _stream(rdb.train_data)
+        val_stream = _stream(rdb.test_data)
         return {
             "train": MappedDataset(train_stream, lambda b: b["image"]),
             # labels come straight from the host-side batch source — mapping
@@ -223,16 +235,16 @@ def load_data(config: dict) -> dict:
         else:
             train_ds = SavedDataset(train_dir, batch_size, shuffle=shuffle)
             val_ds = SavedDataset(val_dir, batch_size) if os.path.exists(val_dir) else None
-        out = {"train": DeviceStream(train_ds, img_size)}
-        out["val"] = DeviceStream(val_ds, img_size) if val_ds is not None else None
+        out = {"train": _stream(train_ds)}
+        out["val"] = _stream(val_ds) if val_ds is not None else None
         return out
 
     if dataset_name == "synthetic":
         n_train = int(data_config.get("n_train", 256))
         n_val = int(data_config.get("n_val", 64))
         return {
-            "train": DeviceStream(SyntheticDataset(n_train, img_size, batch_size, seed=0), img_size),
-            "val": DeviceStream(SyntheticDataset(n_val, img_size, batch_size, seed=1), img_size),
+            "train": _stream(SyntheticDataset(n_train, img_size, batch_size, seed=0)),
+            "val": _stream(SyntheticDataset(n_val, img_size, batch_size, seed=1)),
         }
 
     if dataset_name is not None:
@@ -254,8 +266,8 @@ def load_data(config: dict) -> dict:
         val_ds = TFDSCatalogDataset(dataset_name, val_split, img_size,
                                     batch_size, data_dir=data_dir)
         return {
-            "train": DeviceStream(train_ds, img_size),
-            "val": DeviceStream(val_ds, img_size),
+            "train": _stream(train_ds),
+            "val": _stream(val_ds),
         }
 
     raise ValueError(
