@@ -156,3 +156,74 @@ def test_upconv2x_subpixel_matches_convtranspose():
     gp_ref = jax.grad(lambda P: jnp.sum(ref_fn(x, P) * g))(P)
     gp = jax.grad(lambda P: jnp.sum(_upconv2x_subpixel(x, P, bias) * g))(P)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_ref), atol=5e-5)
+
+
+def test_encoder_s2d_matches_stride2_conv():
+    """_conv1_s2d == nn.Conv(strides=2, padding='SAME') to float tolerance,
+    including BOTH gradients (kernel and input), on even H, W."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from trustedai_cl_vae_ad_tpu.models.cvae import _conv1_s2d
+
+    rng = jax.random.PRNGKey(3)
+    for (h, w) in [(8, 12), (224 // 4, 300 // 6)]:
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(rng, h), 3)
+        x = jax.random.normal(k1, (2, h, w, 3), jnp.float32)
+        kernel = jax.random.normal(k2, (3, 3, 3, 16), jnp.float32) * 0.1
+        bias = jax.random.normal(k3, (16,), jnp.float32)
+
+        def ref_fn(x, kernel, bias):
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias
+
+        y_ref = ref_fn(x, kernel, bias)
+        y_s2d = _conv1_s2d(x, kernel, bias)
+        assert y_s2d.shape == y_ref.shape == (2, h // 2, w // 2, 16)
+        np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        # gradients via a scalar loss touching every output
+        cot = jax.random.normal(jax.random.fold_in(rng, h + 1), y_ref.shape)
+        g_ref = jax.grad(lambda x, k, b: jnp.sum(ref_fn(x, k, b) * cot),
+                         argnums=(0, 1, 2))(x, kernel, bias)
+        g_s2d = jax.grad(lambda x, k, b: jnp.sum(_conv1_s2d(x, k, b) * cot),
+                         argnums=(0, 1, 2))(x, kernel, bias)
+        for a, b in zip(g_s2d, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_s2d_flag_preserves_params_and_forward(tiny_config):
+    """model.s2d_input: identical param tree (checkpoint-interchangeable) and
+    identical encoder outputs; odd spatial sizes fall back to plain conv."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    from trustedai_cl_vae_ad_tpu.models.kurtosis_global import KurtosisGlobalCVAE
+
+    cfg = copy.deepcopy(tiny_config)
+    base = KurtosisGlobalCVAE(cfg)
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["model"]["s2d_input"] = True
+    fast = KurtosisGlobalCVAE(cfg2)
+
+    params = base.init(jax.random.PRNGKey(0))
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        fast.init(jax.random.PRNGKey(0))
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, *base.encoder_input_shape))
+    e0 = base.encoder.apply({"params": params["encoder"]}, x)
+    e1 = fast.encoder.apply({"params": params["encoder"]}, x)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e0), rtol=2e-5, atol=2e-5)
+
+    # odd input: fallback branch, still identical
+    x_odd = x[:, : x.shape[1] - 1, : x.shape[2] - 1, :]
+    e0 = base.encoder.apply({"params": params["encoder"]}, x_odd)
+    e1 = fast.encoder.apply({"params": params["encoder"]}, x_odd)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e0), rtol=2e-5, atol=2e-5)

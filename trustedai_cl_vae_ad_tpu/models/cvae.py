@@ -43,6 +43,69 @@ Array = jax.Array
 _glorot = nn.initializers.glorot_uniform()
 
 
+def _conv1_s2d(x: Array, kernel: Array, bias: Array) -> Array:
+    """Space-to-depth evaluation of the encoder's first stride-2 3x3 SAME conv
+    (abstract_cvae.py:22-29): 2x2 input pixels pack into channels (3 -> 12 of
+    the 128 MXU lanes), the stride-2 3x3 conv becomes a stride-1 2x2 conv on
+    the packed grid. Bit-identical to nn.Conv(strides=2, padding='SAME') for
+    even H, W — the TF SAME pad here is (top 0, bottom 1): output (i, j)
+    reads input rows 2i..2i+2, so after padding H+2 (one SAME pad row + one
+    block-parity row, both zero) tap (dy, dx) lands in block (dy//2, dx//2)
+    at within-block offset (dy%2, dx%2).
+
+    Rationale: encoder conv1's RGB input uses 3/128 input lanes; its dW
+    backward is one of the lane-padded residuals in the roofline trace
+    (BENCH_NOTES r14 measures the full-step effect).
+    """
+    B, H, W, C = x.shape
+    Co = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (0, 2), (0, 2), (0, 0)))
+    Hb, Wb = (H + 2) // 2, (W + 2) // 2
+    xs = (
+        xp.reshape(B, Hb, 2, Wb, 2, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, Hb, Wb, 4 * C)
+    )
+    K2 = jnp.zeros((2, 2, 4 * C, Co), kernel.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            base = (dy % 2) * 2 * C + (dx % 2) * C
+            K2 = K2.at[dy // 2, dx // 2, base : base + C, :].set(kernel[dy, dx])
+    y = jax.lax.conv_general_dilated(
+        xs, K2, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + bias.astype(y.dtype)
+
+
+class _ConvS2D(nn.Module):
+    """Stride-2 3x3 SAME conv with nn.Conv's parameter tree (kernel
+    (3,3,Ci,Co), bias) so checkpoints are interchangeable; evaluates via the
+    space-to-depth fast path when H, W are even, plain nn.Conv otherwise."""
+
+    features: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ci = x.shape[-1]
+        kernel = self.param("kernel", _glorot, (3, 3, ci, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        x = x.astype(self.dtype)
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            return _conv1_s2d(x, kernel.astype(self.dtype), bias)
+        return (
+            jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(self.dtype),
+                (2, 2),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            + bias.astype(self.dtype)
+        )
+
+
 class Encoder(nn.Module):
     """Conv encoder producing the concatenated (mean, logvar) vector.
 
@@ -54,11 +117,23 @@ class Encoder(nn.Module):
     encoder_dense_filters: Optional[int] = None
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # evaluate the first conv (channel-narrow RGB input) via space-to-depth
+    # packing (_conv1_s2d). Off by default pending the r14 measurement.
+    s2d_input: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = x.astype(self.dtype)
-        for filters in self.conv_filters:
+        for i, filters in enumerate(self.conv_filters):
+            if self.s2d_input and i == 0:
+                x = _ConvS2D(
+                    features=filters,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="Conv_0",  # keep checkpoint keys
+                )(x)
+                x = nn.relu(x)
+                continue
             x = nn.Conv(
                 features=filters,
                 kernel_size=(3, 3),
@@ -67,6 +142,9 @@ class Encoder(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 kernel_init=_glorot,
+                name=f"Conv_{i}",  # flax auto-naming restarts per class:
+                # with _ConvS2D holding "Conv_0", the first nn.Conv would
+                # otherwise ALSO claim Conv_0
             )(x)
             x = nn.relu(x)
         x = x.reshape((x.shape[0], -1))  # row-major HWC flatten, as Keras Flatten
@@ -317,6 +395,7 @@ class AbstractCVAE:
             encoder_dense_filters=self.encoder_dense_filters,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            s2d_input=bool(cfg["model"].get("s2d_input", False)),
         )
         self.decoder = Decoder(
             conv_filters=self.conv_filters,
