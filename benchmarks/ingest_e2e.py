@@ -222,6 +222,9 @@ def main():
     ap.add_argument("--decode-frames", type=int, default=512,
                     help="frames for the decode microbench")
     ap.add_argument("--keep-frames", action="store_true")
+    ap.add_argument("--phases", default="control,cold,host,device",
+                    help="comma list of e2e phases to run "
+                         "(control,cold,host,device)")
     args = ap.parse_args()
 
     import jax
@@ -297,27 +300,66 @@ def main():
             return iter(self.factory())
 
     # warmup: compile the step on one pipeline batch (excluded from timings)
-    warm_stream = DeviceStream(_Reiterable(decode_stream), image_size)
-    wb = next(iter(warm_stream))
+    warm_it = iter(DeviceStream(_Reiterable(decode_stream), image_size))
+    wb = next(warm_it)
     p2, o2, loss, _ = step_fn(state[0], state[1], wb["image"], rngs[0],
                               state[3], state[4])
     float(loss)
     state = (p2, o2, rngs, state[3], state[4])
-    del wb
+    # release the abandoned prefetcher's in-flight device batches promptly
+    warm_it.close() if hasattr(warm_it, "close") else None
+    del wb, warm_it
+
+    import gc
+
+    phases = set(args.phases.split(","))
+
+    # -- phase 0: control (device-resident f32 batch, no pipeline) ------------
+    # Self-calibration against bench.py: the SAME step on one reused
+    # device-resident batch. Environment throughput swings 15%+ run-to-run
+    # (r15: the identical f32 step measured 75 and then 180+ ms across
+    # sessions while host decode/upload benches degraded in lockstep) — a
+    # per-run control makes pipeline overhead separable from machine state.
+    if "control" in phases:
+        x_ctl = jax.device_put(
+            jnp.asarray(
+                np.random.RandomState(7).rand(args.batch, h, w, 3), jnp.float32
+            )
+        )
+
+        class _CtlStream:
+            def __iter__(self):
+                while True:
+                    yield {"image": x_ctl}
+
+        rec_ctl, state = run_e2e(_CtlStream(), step_fn, state,
+                                 args.steps * 3, "control_device_step")
+        results["control"] = rec_ctl
+        del x_ctl
+        gc.collect()
 
     # -- phase A: cold (disk decode + upload + step) --------------------------
-    cold_stream = DeviceStream(_Reiterable(decode_stream), image_size)
-    rec_cold, state = run_e2e(cold_stream, step_fn, state, args.steps, "cold")
-    results["cold"] = rec_cold
+    if "cold" in phases:
+        cold_stream = DeviceStream(_Reiterable(decode_stream), image_size)
+        rec_cold, state = run_e2e(cold_stream, step_fn, state, args.steps, "cold")
+        results["cold"] = rec_cold
+        del cold_stream
+        gc.collect()
 
     # -- phase B: host-RAM cache (reference .cache(): decode skipped) --------
-    host_cached = CachedDataset(decode_stream)
-    list(host_cached)  # fill outside the timed region
-    host_stream = DeviceStream(host_cached, image_size)
-    rec_host, state = run_e2e(host_stream, step_fn, state, args.steps, "host_cached")
-    results["host_cached"] = rec_host
+    if "host" in phases:
+        host_cached = CachedDataset(decode_stream)
+        list(host_cached)  # fill outside the timed region
+        host_stream = DeviceStream(host_cached, image_size)
+        rec_host, state = run_e2e(host_stream, step_fn, state, args.steps, "host_cached")
+        results["host_cached"] = rec_host
+        del host_stream, host_cached
+        gc.collect()
 
     # -- phase C: HBM-resident cache (data.device_cache) ---------------------
+    if "device" not in phases:
+        _finish(results, args)
+        return
     cache_batches = max(2, min(4, args.steps))
     short = png_paths[: args.batch * cache_batches]
 
@@ -336,28 +378,38 @@ def main():
     rec_dev, state = run_e2e(dev_stream, step_fn, state, args.steps * 3, "device_cached")
     results["device_cached"] = rec_dev
 
-    # -- scaling model ---------------------------------------------------------
-    dev_fps = rec_dev["fps"]
-    frame_b = results["upload"]["frame_bytes_u8"]
-    best_decode = max(
-        v for fmt in results["decode"].values() for v in fmt.values()
-    )
-    results["scaling_model"] = {
-        "device_step_fps": dev_fps,
-        "decode_cores_needed_at_device_rate": round(dev_fps / best_decode, 2),
-        "decode_fps_per_core_best": best_decode,
-        "upload_GBps_needed_at_device_rate": round(dev_fps * frame_b / 1e9, 3),
-        "tunnel_upload_fps_ceiling": results["upload"]["upload_fps_u8"],
-        "note": (
-            "decode f/s measured on this 1-core VM == per-core rate; a real "
-            "multi-core host needs ceil(cores) decode workers "
-            "(data/pipeline.py fans out; runtime_native pool scales with "
-            "hardware_concurrency). Upload need is far below PCIe (~10-30 "
-            "GB/s); the tunnel's ~40 MB/s is this environment's ceiling and "
-            "bounds the cold/host_cached phases above."
-        ),
-    }
-    print(json.dumps({"scaling_model": results["scaling_model"]}, indent=2))
+    _finish(results, args)
+
+
+def _finish(results, args):
+    rec_dev = results.get("device_cached")
+    if rec_dev is not None:
+        dev_fps = rec_dev["fps"]
+        frame_b = results["upload"]["frame_bytes_u8"]
+        best_decode = max(
+            v for fmt in results["decode"].values() for v in fmt.values()
+        )
+        ctl = results.get("control")
+        results["scaling_model"] = {
+            "device_step_fps": dev_fps,
+            "control_fps": ctl["fps"] if ctl else None,
+            "pipeline_overhead_vs_control": (
+                round(ctl["fps"] / dev_fps - 1.0, 4) if ctl else None
+            ),
+            "decode_cores_needed_at_device_rate": round(dev_fps / best_decode, 2),
+            "decode_fps_per_core_best": best_decode,
+            "upload_GBps_needed_at_device_rate": round(dev_fps * frame_b / 1e9, 3),
+            "tunnel_upload_fps_ceiling": results["upload"]["upload_fps_u8"],
+            "note": (
+                "decode f/s measured on this 1-core VM == per-core rate; a real "
+                "multi-core host needs ceil(cores) decode workers "
+                "(data/pipeline.py fans out; runtime_native pool scales with "
+                "hardware_concurrency). Upload need is far below PCIe (~10-30 "
+                "GB/s); the tunnel's ~40 MB/s is this environment's ceiling and "
+                "bounds the cold/host_cached phases above."
+            ),
+        }
+        print(json.dumps({"scaling_model": results["scaling_model"]}, indent=2))
 
     with open(OUT_JSON, "w") as f:
         json.dump(results, f, indent=2)
