@@ -33,9 +33,16 @@ def trace(logdir: str):
 
 
 def device_fence(tree) -> float:
-    """Reliable device sync: fetch a scalar derived from the first leaf."""
+    """Reliable device sync: fetch a scalar derived from the first leaf.
+
+    Indexes a single element rather than ravel-then-slice: an eager ravel
+    dispatches a full-tensor reshape copy, which both wastes bandwidth and
+    can OOM when fencing a large batch at the HBM edge (observed on a
+    310 MB f32 batch next to the 1.34B-param train state).
+    """
     leaf = jax.tree_util.tree_leaves(tree)[0]
-    return float(jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32)))
+    elem = leaf[(0,) * getattr(leaf, "ndim", 0)]
+    return float(jnp.asarray(elem, jnp.float32))
 
 
 class StepTimer:
