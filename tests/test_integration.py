@@ -130,3 +130,17 @@ def test_profiler_trace_smoke(tmp_path):
     with timer.step(fence_tree=y):
         jax.jit(lambda x: x + 1)(y)
     assert timer.p50_ms() is not None
+
+
+def test_device_fence_shapes():
+    """device_fence handles scalar / n-d / pytree leaves and returns the
+    first element (it must INDEX, not ravel: an eager ravel dispatches a
+    full-tensor copy, which OOMed fencing a 310 MB batch at the HBM edge)."""
+    import jax.numpy as jnp
+
+    from trustedai_cl_vae_ad_tpu.utils.profiling import device_fence
+
+    assert device_fence(jnp.float32(7.0)) == 7.0
+    assert device_fence(jnp.arange(5, dtype=jnp.int32) + 3) == 3.0
+    assert device_fence({"a": jnp.full((2, 3, 4), 2.5)}) == 2.5
+    assert device_fence([jnp.zeros((1, 1), jnp.bfloat16)]) == 0.0
