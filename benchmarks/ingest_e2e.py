@@ -77,14 +77,19 @@ def write_frames(root: str, n: int, h: int, w: int, fmt: str) -> list:
     d = os.path.join(root, f"{fmt}_{w}x{h}")
     os.makedirs(d, exist_ok=True)
     paths = []
-    rng = np.random.RandomState(0)
     for i in range(n):
         p = os.path.join(d, f"frame_{i:05d}.{fmt}")
         paths.append(p)
-        if not os.path.exists(p):  # prep is reusable across runs
-            cv2.imwrite(p, cv2.cvtColor(make_scene(h, w, i, rng), cv2.COLOR_RGB2BGR))
-        else:
-            rng.normal(0, 4.0, (h, w, 3))  # keep rng stream aligned (unused)
+        if not os.path.exists(p):  # prep is reusable across runs: each frame
+            # draws from its own per-index stream, so skipping existing files
+            # cannot shift the content of the ones still to be written
+            cv2.imwrite(
+                p,
+                cv2.cvtColor(
+                    make_scene(h, w, i, np.random.RandomState(100003 + i)),
+                    cv2.COLOR_RGB2BGR,
+                ),
+            )
     return paths
 
 

@@ -181,7 +181,14 @@ def main():
         paths.extend(b.get("filepath", []))
     eps_eval = np.concatenate(eps_eval)
     z = (eps_eval - meu) / sigma
-    # frames/ walk is sorted by filename, so disk order == injection order
+    # positional z<->frame pairing relies on the loader yielding frames in
+    # filename order (frame_{i:05d}.png == injection order) — check it, so a
+    # shuffled or re-ordered loader fails loudly instead of silently scoring
+    # the wrong frames as anomalous
+    got_idx = [int(os.path.basename(p).rsplit("_", 1)[1].split(".")[0])
+               for p in paths]
+    assert got_idx == list(range(n_eval)), (
+        f"loader order != injection order (got {got_idx[:5]}...)")
     is_anom = np.zeros(n_eval, bool)
     is_anom[anom_idx] = True
     det = z > 3.0

@@ -317,3 +317,14 @@ def test_threshold_from_cdf_extreme_quantiles():
     thr = threshold_from_cdf(cdf, 1.0, robust=True)
     assert np.isfinite(thr) and thr > threshold_from_cdf(cdf, 0.9, robust=True)
     assert np.isfinite(threshold_from_cdf(cdf, 0.0, robust=True))
+
+
+def test_bst_prob_nan_prob_is_a_valid_leaf():
+    """A leaf whose stored prob is legitimately NaN (empty histogram bins,
+    0/0 normalizations) must return NaN like the reference's dict tree did —
+    leafness is an explicit flag, not a NaN-in-prob sentinel."""
+    from trustedai_cl_vae_ad_tpu.anomaly.cdf import BSTProb
+
+    bst = BSTProb([1.0, 2.0, 3.0], [0.1, np.nan, 0.9])
+    assert np.isnan(bst[2.0])
+    assert bst[1.0] == 0.1 and bst[3.0] == 0.9

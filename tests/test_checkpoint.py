@@ -234,3 +234,29 @@ def test_incompatible_optimizer_checkpoint_warns_and_resumes_fresh(small_config,
                     jax.tree_util.tree_leaves(m2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(m2.opt_state.inner_state[0].count) == 0
+
+
+def test_optimizer_restore_io_error_propagates():
+    """Only STRUCTURE mismatches may fall back to a fresh optimizer; an I/O
+    error on a perfectly compatible checkpoint must propagate so the user can
+    retry instead of silently resuming with zeroed Adam moments."""
+    from trustedai_cl_vae_ad_tpu.train.checkpoint import (
+        _restore_optimizer_with_fallback,
+    )
+
+    class IOErrorCk:
+        def restore(self, path, like):
+            raise OSError("read failed: connection reset by peer")
+
+    with pytest.raises(OSError):
+        _restore_optimizer_with_fallback(IOErrorCk(), "/x/optimizer", {"count": 0})
+
+    class MismatchCk:
+        def restore(self, path, like):
+            raise ValueError(
+                "Tree structures do not match: treedef: Source: MISSING")
+
+    with pytest.warns(UserWarning, match="fresh"):
+        out = _restore_optimizer_with_fallback(
+            MismatchCk(), "/x/optimizer", {"count": 0})
+    assert out is None

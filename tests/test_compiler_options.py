@@ -213,3 +213,21 @@ def test_transient_failure_is_not_classified_as_rejection():
 
     with pytest.raises(RuntimeError, match="transient"):
         _compile_with_options(_Boom(), opts)
+
+
+def test_short_option_values_do_not_match_transient_text():
+    """Option VALUES like 1/0/true appear inside unrelated transient messages
+    ("attempt 1 of 3"); the matcher must require the exact quoted-token
+    rejection phrasing, not a bare substring."""
+    from trustedai_cl_vae_ad_tpu.utils.compile import _is_option_rejection
+
+    assert not _is_option_rejection(
+        "remote compile failed: not a valid frame (attempt 1 of 3)",
+        {"xla_tpu_foo": 1},
+    )
+    assert not _is_option_rejection(
+        "compile option stream interrupted, retry true", {"k": True}
+    )
+    # the genuine quoted forms still classify
+    assert _is_option_rejection("No such compile option: 'k'", {"k": True})
+    assert _is_option_rejection("'1' is not a valid bool value", {"k": 1})

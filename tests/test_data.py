@@ -501,3 +501,63 @@ def test_load_data_device_cache_knob():
     first = [b["image"] for b in data["train"]]
     second = [b["image"] for b in data["train"]]
     assert all(a is b for a, b in zip(first, second))
+
+
+def test_device_cache_budget_shared_across_streams():
+    """train + val caches share one DeviceCacheBudget, so the documented
+    data.device_cache_max_gb knob caps the COMBINED HBM footprint; the
+    stream that overflows it falls back to host streaming."""
+    from trustedai_cl_vae_ad_tpu.data.ingest import (
+        DeviceCacheBudget,
+        DeviceCachedStream,
+    )
+    from trustedai_cl_vae_ad_tpu.data.loader import SyntheticDataset
+
+    batch_bytes = 4 * 8 * 8 * 3 * 4  # one f32 batch of 4 8x8x3 frames
+    budget = DeviceCacheBudget(2 * batch_bytes)  # fits exactly one stream
+    a = DeviceCachedStream(
+        SyntheticDataset(8, [8, 8, 3], 4, seed=0), [8, 8, 3], budget=budget)
+    b = DeviceCachedStream(
+        SyntheticDataset(8, [8, 8, 3], 4, seed=1), [8, 8, 3], budget=budget)
+    list(a)
+    assert a._cache is not None  # 2 batches fit the shared budget exactly
+    list(b)
+    assert b._cache is None and b._gave_up  # budget already spent by `a`
+    # b still yields correct data every epoch via the host path
+    assert sum(np.asarray(x["image"]).shape[0] for x in b) == 8
+
+
+def test_device_cache_abandoned_fill_releases_budget():
+    """A fill abandoned mid-epoch (consumer break) must return its budget
+    reservation and leave the stream able to cache on the next full pass."""
+    from trustedai_cl_vae_ad_tpu.data.ingest import (
+        DeviceCacheBudget,
+        DeviceCachedStream,
+    )
+    from trustedai_cl_vae_ad_tpu.data.loader import SyntheticDataset
+
+    budget = DeviceCacheBudget(1 << 20)
+    stream = DeviceCachedStream(
+        SyntheticDataset(8, [8, 8, 3], 4, seed=0), [8, 8, 3], budget=budget)
+    it = iter(stream)
+    next(it)
+    it.close()  # abandon: GeneratorExit runs the fill's finally
+    assert budget._used == 0 and stream._cache is None
+    list(stream)  # a full pass afterwards caches normally
+    assert stream._cache is not None and budget._used > 0
+
+
+def test_device_cache_concurrent_iteration_single_fill():
+    """Two live iterators: only the first fills the cache; the second streams
+    from the host (no double-fill, no last-writer-wins race on _cache)."""
+    from trustedai_cl_vae_ad_tpu.data.ingest import DeviceCachedStream
+    from trustedai_cl_vae_ad_tpu.data.loader import SyntheticDataset
+
+    stream = DeviceCachedStream(
+        SyntheticDataset(8, [8, 8, 3], 4, seed=0), [8, 8, 3])
+    it1 = iter(stream)
+    next(it1)  # fill in progress
+    ep2 = [np.asarray(x["image"]) for x in stream]  # concurrent: host path
+    assert len(ep2) == 2 and stream._cache is None
+    list(it1)  # first iterator finishes -> its fill commits
+    assert stream._cache is not None and len(stream._cache) == 2

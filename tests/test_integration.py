@@ -141,6 +141,8 @@ def test_device_fence_shapes():
     from trustedai_cl_vae_ad_tpu.utils.profiling import device_fence
 
     assert device_fence(jnp.float32(7.0)) == 7.0
+    assert device_fence(3.0) == 3.0  # plain Python scalar leaves
+    assert device_fence({"a": 3, "b": jnp.ones(2)}) == 3.0
     assert device_fence(jnp.arange(5, dtype=jnp.int32) + 3) == 3.0
     assert device_fence({"a": jnp.full((2, 3, 4), 2.5)}) == 2.5
     assert device_fence([jnp.zeros((1, 1), jnp.bfloat16)]) == 0.0

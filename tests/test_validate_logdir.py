@@ -188,3 +188,32 @@ def test_cli_exit_codes(logdir, tmp_path):
                        capture_output=True, text=True, env=env, timeout=300)
     assert r.returncode == 2, (r.returncode, r.stdout)
     assert "train_state.json missing" in r.stdout
+
+
+def test_all_none_provenance_falls_back_to_mtimes(logdir, tmp_path):
+    """A provenance stamp whose values are all None (orbax metadata files
+    absent at quantization time) carries no content evidence: it must not
+    compare 'equal' to an equally-blank current stamp and certify a stale
+    sidecar as fresh — the doctor falls back to the mtime check."""
+    import json as _json
+    import shutil
+
+    d = str(tmp_path / "blank_prov_q")
+    shutil.copytree(logdir, d)
+    from trustedai_cl_vae_ad_tpu.ops.quant import PROVENANCE_FILE, QUANTIZED_SUBDIR
+
+    qdir = os.path.join(d, QUANTIZED_SUBDIR)
+    os.makedirs(qdir)
+    with open(os.path.join(qdir, PROVENANCE_FILE), "w") as f:
+        _json.dump({"float_checkpoint": {"encoder": None, "decoder": None}}, f)
+    # strip the float checkpoint's metadata so its stamp is all-None too
+    for side in ("encoder", "decoder"):
+        meta = os.path.join(d, side, "_CHECKPOINT_METADATA")
+        if os.path.exists(meta):
+            os.remove(meta)
+    old = time.time() - 3600
+    for r, _dirs, fs in os.walk(qdir):
+        for fn in fs:
+            os.utime(os.path.join(r, fn), (old, old))
+    rep = validate_logdir(d)
+    assert any("MAY be stale" in w for w in rep["warnings"]), rep["warnings"]

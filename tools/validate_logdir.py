@@ -177,6 +177,12 @@ def validate_logdir(log_dir: str) -> dict:
                     prov = json.load(f).get("float_checkpoint")
             except (OSError, ValueError):
                 prov = None
+        # an all-None stamp (orbax metadata files absent at quantization
+        # time) carries no content evidence — comparing it against an
+        # equally-blank current stamp would certify a stale sidecar as
+        # fresh; fall through to commit stamps / mtimes instead
+        if isinstance(prov, dict) and not any(v is not None for v in prov.values()):
+            prov = None
         if prov is not None:
             if prov != float_stamp:
                 warnings.append(

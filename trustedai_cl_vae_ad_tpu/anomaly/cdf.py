@@ -54,18 +54,22 @@ class BSTProb:
         order = np.argsort(x, kind="stable")
         self.x = x[order]
         self.probs = probs[order]
-        key, prob, left, right = [], [], [], []
+        key, prob, leaf, left, right = [], [], [], [], []
         # worklist of (node_index, value_subset, prob_subset); children are
-        # appended to the arrays and linked back by index
+        # appended to the arrays and linked back by index. Leafness is an
+        # explicit flag — a NaN-in-prob sentinel would misroute leaves whose
+        # stored prob is legitimately NaN (empty histogram bins, 0/0 norms).
         pending = [(0, self.x, self.probs)]
         key.append(float(np.mean(self.x)))
         prob.append(np.nan)
+        leaf.append(False)
         left.append(self._NO_CHILD)
         right.append(self._NO_CHILD)
         while pending:
             idx, vals, ps = pending.pop()
             if len(vals) == 1 or vals[0] == vals[-1]:
                 prob[idx] = float(ps[0])  # leaf: all values identical
+                leaf[idx] = True
                 continue
             goes_left = np.asarray(self.match_fun(vals, key[idx]))
             for is_left, sub_v, sub_p in (
@@ -77,18 +81,20 @@ class BSTProb:
                 child = len(key)
                 key.append(float(np.mean(sub_v)))
                 prob.append(np.nan)
+                leaf.append(False)
                 left.append(self._NO_CHILD)
                 right.append(self._NO_CHILD)
                 (left if is_left else right)[idx] = child
                 pending.append((child, sub_v, sub_p))
         self._key = np.asarray(key)
         self._prob = np.asarray(prob)
+        self._leaf = np.asarray(leaf)
         self._left = np.asarray(left)
         self._right = np.asarray(right)
 
     def __getitem__(self, x):
         idx = 0
-        while np.isnan(self._prob[idx]):
+        while not self._leaf[idx]:
             nxt = self._left[idx] if self.match_fun(x, self._key[idx]) else self._right[idx]
             if nxt == self._NO_CHILD:
                 raise KeyError(f"BSTProb lookup fell off the tree at {x!r}")

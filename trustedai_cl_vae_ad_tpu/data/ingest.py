@@ -12,6 +12,7 @@ frames over PCIe and the VPU does the math. ``device_prefetch`` keeps
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Iterable, Iterator, Optional, Tuple
 
 import jax
@@ -50,6 +51,33 @@ def preprocess_batch(batch_u8: np.ndarray, image_size) -> jax.Array:
     return _preprocess_u8(jnp.asarray(batch_u8), out_hw)
 
 
+class DeviceCacheBudget:
+    """Shared HBM byte budget for the device caches of ONE dataset.
+
+    ``data.device_cache_max_gb`` documents a single dataset budget; the train
+    and val streams of one ``load_data`` call share an instance so their
+    combined footprint honors it (independent per-stream caps would allow 2x
+    the documented HBM use). Thread-safe: cache fills run inside prefetcher
+    threads.
+    """
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = int(max_bytes)
+        self._used = 0
+        self._lock = threading.Lock()
+
+    def take(self, n: int) -> bool:
+        with self._lock:
+            if self._used + n > self.max_bytes:
+                return False
+            self._used += n
+            return True
+
+    def release(self, n: int) -> None:
+        with self._lock:
+            self._used -= n
+
+
 class DeviceCachedStream:
     """HBM-resident dataset cache: decode + upload once, train from device forever.
 
@@ -62,20 +90,33 @@ class DeviceCachedStream:
 
     Guard rails: caching stops (and the stream transparently falls back to
     the host path for the remainder + subsequent epochs) once the projected
-    footprint exceeds ``max_bytes`` — a dataset that doesn't fit next to the
-    model/optimizer state must stream. The decision is logged once.
+    footprint exceeds the byte budget — a dataset that doesn't fit next to
+    the model/optimizer state must stream. The decision is logged once. Pass
+    a shared :class:`DeviceCacheBudget` to cap SEVERAL streams (train + val)
+    jointly; ``max_bytes`` alone budgets this stream only. A cache fill that
+    is abandoned mid-epoch returns its reservation; only one iterator fills
+    at a time (concurrent iterations stream from the host).
 
     Numerics: exact — the cached arrays ARE the `device_prefetch` outputs,
     so a cached epoch is bit-identical to a streamed one.
     """
 
-    def __init__(self, source, image_size, depth: int = 2, max_bytes: int = 4 << 30):
+    def __init__(
+        self,
+        source,
+        image_size,
+        depth: int = 2,
+        max_bytes: int = 4 << 30,
+        budget: Optional[DeviceCacheBudget] = None,
+    ):
         self.source = source
         self.image_size = image_size
         self.depth = depth
-        self.max_bytes = int(max_bytes)
+        self.budget = budget if budget is not None else DeviceCacheBudget(max_bytes)
         self._cache: Optional[list] = None
         self._gave_up = False
+        self._filling = False
+        self._lock = threading.Lock()
 
     def __len__(self):
         if self._cache is not None:
@@ -83,32 +124,52 @@ class DeviceCachedStream:
         return len(self.source)
 
     def __iter__(self) -> Iterator[dict]:
-        if self._cache is not None:
-            return iter(self._cache)
-        if self._gave_up:
-            return device_prefetch(iter(self.source), self.image_size, depth=self.depth)
-        return self._fill_iter()
+        with self._lock:
+            if self._cache is not None:
+                return iter(self._cache)
+            # only ONE iteration fills (concurrent fills would transiently
+            # double the HBM footprint and race on _cache); concurrent or
+            # post-give-up iterations stream through the host path
+            fill = not (self._gave_up or self._filling)
+            if fill:
+                self._filling = True
+        if fill:
+            return self._fill_iter()
+        return device_prefetch(iter(self.source), self.image_size, depth=self.depth)
 
     def _fill_iter(self) -> Iterator[dict]:
         items: list = []
         used = 0
+        committed = False
         stream = device_prefetch(iter(self.source), self.image_size, depth=self.depth)
-        for batch in stream:
+        try:
+            for batch in stream:
+                if not self._gave_up:
+                    nbytes = int(batch["image"].nbytes)
+                    if self.budget.take(nbytes):
+                        used += nbytes
+                        items.append(batch)
+                    else:
+                        self._gave_up = True
+                        self.budget.release(used)
+                        used = 0
+                        items = []  # free the device refs we were holding
+                        print(
+                            "DeviceCachedStream: dataset exceeds the "
+                            f"{self.budget.max_bytes >> 30} GiB device-cache "
+                            "budget — falling back to host streaming (set "
+                            "data.device_cache_max_gb to raise the cap)."
+                        )
+                yield batch
             if not self._gave_up:
-                used += int(batch["image"].nbytes)
-                if used > self.max_bytes:
-                    self._gave_up = True
-                    items = []  # free the device refs we were holding
-                    print(
-                        f"DeviceCachedStream: dataset exceeds the {self.max_bytes >> 30} GiB "
-                        "device-cache budget — falling back to host streaming "
-                        "(set data.device_cache_max_gb to raise the cap)."
-                    )
-                else:
-                    items.append(batch)
-            yield batch
-        if not self._gave_up:
-            self._cache = items
+                self._cache = items
+                committed = True  # the reservation now backs real HBM arrays
+        finally:
+            # abandoned mid-epoch (consumer break/exception/GC): the cache
+            # never commits, so return the reserved bytes to the shared budget
+            if not committed and used:
+                self.budget.release(used)
+            self._filling = False
 
 
 def device_prefetch(

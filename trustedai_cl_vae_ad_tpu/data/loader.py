@@ -22,7 +22,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from trustedai_cl_vae_ad_tpu.data import ingest
-from trustedai_cl_vae_ad_tpu.data.ingest import DeviceCachedStream
+from trustedai_cl_vae_ad_tpu.data.ingest import DeviceCacheBudget, DeviceCachedStream
 from trustedai_cl_vae_ad_tpu.data.pipeline import MappedDataset
 from trustedai_cl_vae_ad_tpu.data.raite import RaiteDataset
 from trustedai_cl_vae_ad_tpu.data.saved_dataset import SavedDataset, is_saved_dataset
@@ -170,10 +170,15 @@ def load_data(config: dict) -> dict:
     # Opt-in: it freezes the first epoch's batch order (a shuffled source is
     # NOT reshuffled between epochs) and budgets HBM next to the model state
     # (data.device_cache_max_gb, default 4).
+    # one budget for the whole load_data call: train + val caches share it,
+    # so the documented knob caps the COMBINED dataset footprint in HBM
+    cache_budget = DeviceCacheBudget(
+        int(float(data_config.get("device_cache_max_gb", 4)) * (1 << 30))
+    ) if data_config.get("device_cache") else None
+
     def _stream(source, depth: int = 2):
-        if data_config.get("device_cache"):
-            max_bytes = int(float(data_config.get("device_cache_max_gb", 4)) * (1 << 30))
-            return DeviceCachedStream(source, img_size, depth=depth, max_bytes=max_bytes)
+        if cache_budget is not None:
+            return DeviceCachedStream(source, img_size, depth=depth, budget=cache_budget)
         return DeviceStream(source, img_size, depth=depth)
 
     if dataset_name == "raite":

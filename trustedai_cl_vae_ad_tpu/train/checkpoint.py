@@ -23,6 +23,25 @@ def _checkpointer() -> ocp.StandardCheckpointer:
     return ocp.StandardCheckpointer()
 
 
+def _is_structure_mismatch(err: Exception) -> bool:
+    """True when an orbax restore failed because the checkpoint's pytree
+    structure differs from the target (the only failure it is safe to paper
+    over with a fresh optimizer). Transient I/O errors or corrupt payloads
+    must propagate — silently zeroing 1.3B Adam moments on a *compatible*
+    checkpoint because a read flaked would degrade the resumed run."""
+    msg = str(err)
+    return any(
+        marker in msg
+        for marker in (
+            "Source: MISSING",
+            "Destination: MISSING",
+            "do not match",
+            "mismatch",
+            "not match the current",
+        )
+    )
+
+
 class _LegacyAdamFp8State(NamedTuple):
     """Pre-round-3 ``AdamFp8State`` layout: a 4th ``treedef`` field (always
     None) that later builds dropped. Only used as a restore target for old
@@ -40,15 +59,18 @@ def _restore_optimizer_with_fallback(ck, opt_path: str, opt_state_like: Any) -> 
     Optimizer checkpoints written before AdamFp8State dropped its ``treedef``
     field fail orbax structure matching against the current 3-field state
     ("treedef: Source: MISSING"). Retry those with a treedef-augmented target
-    and strip the stale field; any other structure mismatch warns and returns
+    and strip the stale field; any other STRUCTURE mismatch warns and returns
     None so the caller resumes with a freshly initialized optimizer instead
-    of crashing ``train.py --resume``.
+    of crashing ``train.py --resume``. Non-structure failures (I/O errors,
+    corrupt payloads) re-raise: the checkpoint may be perfectly compatible.
     """
     import jax
 
     try:
         return ck.restore(opt_path, opt_state_like)
     except Exception as err:  # noqa: BLE001 — orbax raises bare ValueError
+        if not _is_structure_mismatch(err):
+            raise
         first_err = err
 
     try:

@@ -88,9 +88,12 @@ def _is_option_rejection(msg: str, opts) -> bool:
     options off for the rest of the process (ADVICE r3)."""
     if "compile option" not in msg and "not a valid" not in msg:
         return False
+    # exact quoted-token matches only: a bare substring test on short values
+    # ("1", "true") matches inside unrelated transient errors ("attempt 1 of
+    # 3"), re-pinning options off — the precise failure this guard exists for
     lmsg = msg.lower()
-    return any(str(k).lower() in lmsg for k in opts) or any(
-        str(v).lower() in lmsg for v in opts.values()
+    return any(f"'{k}'" in msg for k in opts) or any(
+        f"'{str(v).lower()}' is not a valid" in lmsg for v in opts.values()
     )
 
 

@@ -41,8 +41,10 @@ def device_fence(tree) -> float:
     310 MB f32 batch next to the 1.34B-param train state).
     """
     leaf = jax.tree_util.tree_leaves(tree)[0]
-    elem = leaf[(0,) * getattr(leaf, "ndim", 0)]
-    return float(jnp.asarray(elem, jnp.float32))
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim:  # plain Python scalars / 0-d arrays are not subscriptable
+        leaf = leaf[(0,) * ndim]
+    return float(jnp.asarray(leaf, jnp.float32))
 
 
 class StepTimer:
