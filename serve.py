@@ -47,30 +47,35 @@ class MicroBatcher:
 
     BUCKETS = (1, 2, 4, 8, 16)
 
-    def __init__(self, model, config, stats=None, max_batch: int = 8,
+    def __init__(self, model, config, max_batch: int = 8,
                  max_wait_ms: float = 5.0, quantize: bool = False,
                  qparams=None):
         import jax
         import jax.numpy as jnp
 
         self.model = model
-        self.stats = stats
         self.max_batch = self._clamp_to_bucket(max_batch)
         self.max_wait_s = max_wait_ms / 1000.0
         size = config["data"]["image_size"]
         self.hwc = (int(size[0]), int(size[1]), int(size[2]))
         self.queue: queue.Queue = queue.Queue()
         self._stop = False
+        # serializes submit() against close(): a submit racing shutdown must
+        # fail fast, not enqueue into a queue nothing will ever drain again
+        # (the client would block for its full result() timeout)
+        self._submit_lock = threading.Lock()
         # observability (read by the /metrics endpoint): how full the
         # coalesced batches run tells the operator whether max_batch /
-        # max_wait_ms match the offered load
+        # max_wait_ms match the offered load. _stats_lock guards them — the
+        # worker thread inserts new bucket_counts keys while /metrics
+        # handler threads iterate the dict.
+        self._stats_lock = threading.Lock()
         self.batches_dispatched = 0
         self.items_scored = 0
         self.batch_errors = 0
         self.bucket_counts: dict = {}
 
         core = model.core
-        out_hw = self.hwc[:2]
         self.quantized = bool(quantize) or qparams is not None
         # int8 big-dense kernels when quantized: serving batches are
         # weight-streaming bound, so halving the dominant kernel bytes cuts
@@ -85,12 +90,9 @@ class MicroBatcher:
         )
 
         def _eps_and_rec(params, x_u8):
+            # every batch is assembled as np.zeros((bucket, *self.hwc)) from
+            # _decode_to_model_size output, so x is model-sized by contract
             x = x_u8.astype(jnp.float32) / 255.0
-            if x.shape[1:3] != out_hw:
-                x = jax.image.resize(
-                    x, (x.shape[0], out_hw[0], out_hw[1], x.shape[3]),
-                    method="linear", antialias=True,
-                )
             x_hat = _forward(params, x)
             err = jnp.sum((x - x_hat) ** 2, axis=3)
             eps = jnp.sum(err, axis=(1, 2))  # per-frame scalar (ref :62)
@@ -137,15 +139,25 @@ class MicroBatcher:
 
     def submit(self, img_u8, want_rec: bool = False) -> Future:
         fut: Future = Future()
-        self.queue.put((img_u8, want_rec, fut))
+        with self._submit_lock:
+            if self._stop:
+                # the worker is (being) shut down; nothing will drain the
+                # queue again — fail fast instead of hanging the client for
+                # its full result() timeout
+                fut.set_exception(RuntimeError("server shutting down"))
+                return fut
+            self.queue.put((img_u8, want_rec, fut))
         return fut
 
     def close(self):
-        self._stop = True
+        with self._submit_lock:
+            self._stop = True
         self.thread.join(timeout=2)
         # fail anything still queued (or left in flight past the join
         # timeout) so clients error immediately instead of blocking until
-        # their own result() timeout
+        # their own result() timeout. submit() can no longer enqueue: it
+        # fails fast under _submit_lock once _stop is set, so this drain is
+        # the last touch the queue ever gets.
         while True:
             try:
                 _img, _want_rec, fut = self.queue.get_nowait()
@@ -174,9 +186,10 @@ class MicroBatcher:
                     break
             n = len(items)
             bucket = next(b for b in self.BUCKETS if b >= n)
-            self.batches_dispatched += 1
-            self.items_scored += n
-            self.bucket_counts[bucket] = self.bucket_counts.get(bucket, 0) + 1
+            with self._stats_lock:
+                self.batches_dispatched += 1
+                self.items_scored += n
+                self.bucket_counts[bucket] = self.bucket_counts.get(bucket, 0) + 1
             # EVERYTHING per-batch lives inside the try: a bad image shape in
             # batch assembly must fail these futures, not kill the batcher
             # thread (which would leave every later request hanging for its
@@ -194,7 +207,8 @@ class MicroBatcher:
                 for i, (_img, wr, fut) in enumerate(items):
                     fut.set_result((float(eps[i]), rec[i] if rec is not None else None))
             except Exception as e:
-                self.batch_errors += 1
+                with self._stats_lock:
+                    self.batch_errors += 1
                 for _img, _wr, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
@@ -255,23 +269,47 @@ class ServerMetrics:
                 "p95": round(float(np.percentile(lat, 95)), 2),
                 "p99": round(float(np.percentile(lat, 99)), 2),
             }
+        # read the batcher counters under its lock: the worker thread inserts
+        # new bucket_counts keys mid-iteration otherwise (RuntimeError), and
+        # items/batches must pair from the same instant for mean_batch_fill
+        with batcher._stats_lock:
+            dispatched = batcher.batches_dispatched
+            scored = batcher.items_scored
+            errors = batcher.batch_errors
+            buckets = dict(batcher.bucket_counts)
         out["batcher"] = {
-            "batches_dispatched": batcher.batches_dispatched,
-            "items_scored": batcher.items_scored,
-            "batch_errors": batcher.batch_errors,
-            "bucket_counts": dict(batcher.bucket_counts),
-            "mean_batch_fill": round(
-                batcher.items_scored / batcher.batches_dispatched, 3)
-            if batcher.batches_dispatched else None,
+            "batches_dispatched": dispatched,
+            "items_scored": scored,
+            "batch_errors": errors,
+            "bucket_counts": buckets,
+            "mean_batch_fill": round(scored / dispatched, 3)
+            if dispatched else None,
             "queue_depth": batcher.queue.qsize(),
             "quantized": batcher.quantized,
         }
         return out
 
 
+def _validate_stats(stats: dict) -> None:
+    """Reject malformed --stats payloads at boot, not per-request: a missing
+    'meu' key used to raise KeyError inside the handler thread (client got a
+    dropped connection, metrics recorded a success), and sigma == 0 silently
+    disabled z-scoring via the falsy guard."""
+    for key in ("meu", "sigma"):
+        if not isinstance(stats.get(key), (int, float)):
+            raise ValueError(
+                f"stats JSON must contain numeric '{key}' "
+                f"(got {stats.get(key)!r}); expected the offline pass-1 "
+                "format {'meu': ..., 'sigma': ...}")
+    if stats["sigma"] == 0:
+        raise ValueError("stats sigma must be nonzero (z = (eps - meu) / sigma)")
+
+
 def make_handler(batcher: MicroBatcher, stats, threshold: float,
                  metrics: ServerMetrics | None = None):
     metrics = metrics or ServerMetrics()
+    if stats is not None:
+        _validate_stats(stats)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -338,7 +376,7 @@ def make_handler(batcher: MicroBatcher, stats, threshold: float,
             # is reserved for the 400/500 failure payloads, so clients can
             # detect failures by its presence as well as by HTTP status.
             out = {"reconstruction_error": eps}
-            if stats is not None and stats.get("sigma"):
+            if stats is not None:  # validated at make_handler time
                 z = (eps - stats["meu"]) / stats["sigma"]
                 out["z"] = z
                 out["anomalous"] = bool(z > threshold)
@@ -374,7 +412,7 @@ def build_server(model_dir: str, port: int = 8000, stats_path: str | None = None
     if stats_path:
         with open(stats_path) as f:
             stats = json.load(f)
-    batcher = MicroBatcher(model, config, stats=stats, max_batch=max_batch,
+    batcher = MicroBatcher(model, config, max_batch=max_batch,
                            max_wait_ms=max_wait_ms, quantize=quantize,
                            qparams=qparams)
     if warmup:

@@ -690,3 +690,42 @@ def test_no_anomaly_settings_scores_without_state_machine(setup):
         r = single.process_frame(rng.randint(0, 255, (16, 16, 3), np.uint8))
     assert single.current_threshold() is None
     assert not r.anomalous
+
+
+def test_recording_adversarial_duplicate_names(setup, tmp_path):
+    """The uniquifier must re-check renamed candidates: ['gate','gate_1','gate']
+    used to produce a second 'gate_1' and crash os.makedirs."""
+    import os
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, settings = setup
+    multi = MultiCameraEngine(model, config, n_streams=3,
+                              anomaly_settings=dict(settings))
+    rec = str(tmp_path / "rec2")
+    os.makedirs(rec)
+    inst = multi.begin_recording(rec, names=["gate", "gate_1", "gate"])
+    assert multi._stream_names == ["gate", "gate_1", "gate_2"]
+    for n in multi._stream_names:
+        assert os.path.isdir(os.path.join(inst, n, "frames"))
+
+
+def test_warmup_pin_survives_all_dropped_tick(setup):
+    """An all-dropped first tick (cameras still connecting) must NOT confirm
+    the provisional warmup shape pin: the first tick that actually delivers a
+    frame re-pins to the delivered resolution (in-jit device resize semantics)
+    instead of host-resizing every later frame to the stale warmup shape."""
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    model, config, settings = setup
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=dict(settings))
+    multi.warmup(frame_shape=(32, 32, 3))
+    assert multi._warm_pin and multi._ref_shape == (32, 32, 3)
+
+    multi.process_frames([None, None], now=0.0)  # cameras still connecting
+    assert multi._warm_pin, "all-dropped tick must keep the pin provisional"
+
+    frame = np.full((16, 16, 3), 128, np.uint8)
+    multi.process_frames([frame, None], now=1.0)
+    assert not multi._warm_pin
+    assert multi._ref_shape == (16, 16, 3)  # re-pinned to the delivered shape

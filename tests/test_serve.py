@@ -151,6 +151,7 @@ def test_close_fails_queued_futures():
     batcher = serve.MicroBatcher.__new__(serve.MicroBatcher)
     batcher.queue = _q.Queue()
     batcher._stop = False
+    batcher._submit_lock = threading.Lock()
 
     class _DoneThread:
         def join(self, timeout=None):
@@ -255,3 +256,44 @@ def test_metrics_endpoint(server):
     with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
         m2 = json.loads(r.read())
     assert m2["failures"].get("/score", 0) >= 1
+
+
+def test_submit_after_close_fails_fast():
+    """A submit() racing close() must fail immediately — the worker is dead
+    and nothing would ever drain the queue again (the client used to hang
+    for its full result() timeout)."""
+    import queue as _q
+
+    import serve
+
+    batcher = serve.MicroBatcher.__new__(serve.MicroBatcher)
+    batcher.queue = _q.Queue()
+    batcher._stop = False
+    batcher._submit_lock = threading.Lock()
+
+    class _DoneThread:
+        def join(self, timeout=None):
+            pass
+
+    batcher.thread = _DoneThread()
+    batcher.close()
+    fut = batcher.submit(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=1)
+    assert batcher.queue.empty()  # nothing leaked into the dead queue
+
+
+def test_stats_validation():
+    """Malformed --stats payloads are rejected at boot (make_handler), not
+    per-request: a missing 'meu' used to KeyError inside the handler thread
+    and sigma==0 silently disabled z-scoring."""
+    import serve
+
+    serve._validate_stats({"meu": 100.0, "sigma": 10.0})  # canonical payload
+    serve._validate_stats({"meu": 0, "sigma": -1.5})      # numeric, nonzero
+    for bad in ({"sigma": 2.0},                 # meu missing
+                {"meu": 1.0},                   # sigma missing
+                {"meu": 1.0, "sigma": 0},       # zero sigma
+                {"meu": "1.0", "sigma": 2.0}):  # non-numeric
+        with pytest.raises(ValueError):
+            serve._validate_stats(bad)

@@ -1087,3 +1087,28 @@ def test_multicam_warmup_lowers_the_replay_variant(tmp_path):
         [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(2)],
         now=0.0)
     assert len(out) == 2
+
+
+def test_record_frame_artifacts_single_channel(tmp_path):
+    """1-channel models (image_size [..,..,1]) stream (H,W,1) frames and
+    reconstructions; the 5 recording PNG streams must write grayscale
+    instead of crashing PIL ('Cannot handle this data type: (1, 1, 1), |u1'),
+    including the host-resize path for off-model-size frames."""
+    import os
+
+    from PIL import Image
+
+    from trustedai_cl_vae_ad_tpu.stream.engine import record_frame_artifacts
+
+    inst = str(tmp_path / "inst")
+    for sub in ("frames", "err", "heatmap", "overlay", "rec"):
+        os.makedirs(os.path.join(inst, sub))
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, (12, 10, 1), np.uint8)  # != model size: resize
+    norm = rng.randint(0, 255, (8, 6), np.uint8)
+    rec = rng.randint(0, 255, (8, 6, 1), np.uint8)
+    record_frame_artifacts(inst, "f0.png", frame, norm, rec, height=8, width=6)
+    for sub, mode in (("frames", "L"), ("err", "L"), ("heatmap", "RGB"),
+                      ("overlay", "RGB"), ("rec", "L")):
+        img = Image.open(os.path.join(inst, sub, "f0.png"))
+        assert img.mode == mode, (sub, img.mode)

@@ -40,23 +40,9 @@ def build_train_step(
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
     osh = rep if opt_state_shardings is None else opt_state_shardings
-
-    def train_step(params, opt_state, x, rng):
-        def loss_fn(p):
-            loss_dict, x_hat = core.compute_loss(p, x, training=True, return_inf=True, rng=rng)
-            return loss_dict["loss"], (loss_dict, x_hat)
-
-        grads, (loss_dict, x_hat) = jax.grad(loss_fn, has_aux=True)(params)
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt_state, loss_dict, x_hat
-
-    return optioned_jit(
-        train_step,
-        in_shardings=(rep, osh, bsh, rep),
-        out_shardings=(rep, osh, rep, bsh),
-        donate_argnums=(0, 1),
-    )
+    return _jit_train_step(core, optimizer, params_shardings=rep,
+                           opt_state_shardings=osh, batch_shardings=bsh,
+                           replicated=rep)
 
 
 def build_train_step_sharded(
@@ -78,6 +64,16 @@ def build_train_step_sharded(
     """
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
+    return _jit_train_step(core, optimizer, params_shardings=params_shardings,
+                           opt_state_shardings=opt_state_shardings,
+                           batch_shardings=bsh, replicated=rep)
+
+
+def _jit_train_step(core, optimizer, *, params_shardings, opt_state_shardings,
+                    batch_shardings, replicated):
+    """Shared step body for both parallel layouts: the math must never
+    diverge between the replicated-params and TP-sharded builders — only the
+    in/out placements differ."""
 
     def train_step(params, opt_state, x, rng):
         def loss_fn(p):
@@ -91,8 +87,10 @@ def build_train_step_sharded(
 
     return optioned_jit(
         train_step,
-        in_shardings=(params_shardings, opt_state_shardings, bsh, rep),
-        out_shardings=(params_shardings, opt_state_shardings, rep, bsh),
+        in_shardings=(params_shardings, opt_state_shardings, batch_shardings,
+                      replicated),
+        out_shardings=(params_shardings, opt_state_shardings, replicated,
+                       batch_shardings),
         donate_argnums=(0, 1),
     )
 

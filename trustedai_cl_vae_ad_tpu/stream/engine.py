@@ -754,10 +754,16 @@ def record_frame_artifacts(instance_dir: str, basename: str,
     if base_img.shape[:2] != (height, width):
         from PIL import Image as _Image
 
+        # PIL can't build an image from (H,W,1); squeeze, resize, restore the
+        # channel axis so the overlay blend below still broadcasts
+        single = base_img.ndim == 3 and base_img.shape[-1] == 1
         base_img = np.asarray(
-            _Image.fromarray(base_img).resize((width, height), _Image.BILINEAR),
+            _Image.fromarray(base_img[..., 0] if single else base_img)
+            .resize((width, height), _Image.BILINEAR),
             np.uint8,
         )
+        if single:
+            base_img = base_img[..., None]
     overlay = overlay_heatmap(norm_err_u8, base_img)
     save_rgb(frame_u8, os.path.join(instance_dir, "frames", basename))
     save_rgb(norm_err_u8, os.path.join(instance_dir, "err", basename))

@@ -47,14 +47,23 @@ class StreamStatus:
     anomalous: bool
     _norm_dev: object = None
     _rec_dev: object = None
+    # memoized host copies: each np.asarray(dev) is a device->host round trip
+    # (same rationale as engine.FrameResult._norm_np/_rec_np) — a GUI reading
+    # the same map twice per tick must not pay 2x HxW transfers per stream
+    _norm_np: object = None
+    _rec_np: object = None
 
     @property
     def norm_err_u8(self) -> np.ndarray:
-        return np.asarray(self._norm_dev)
+        if self._norm_np is None:
+            self._norm_np = np.asarray(self._norm_dev)
+        return self._norm_np
 
     @property
     def reconstruction_u8(self) -> np.ndarray:
-        return np.asarray(self._rec_dev)
+        if self._rec_np is None:
+            self._rec_np = np.asarray(self._rec_dev)
+        return self._rec_np
 
 
 class MultiCameraEngine:
@@ -535,15 +544,18 @@ class MultiCameraEngine:
             assert len(names) == self.n_streams
         raw = list(names) if names else [f"cam{i}" for i in range(self.n_streams)]
         # cam_config names are user input and may collide — uniquify so two
-        # 'gate' cameras don't interleave into one subtree
-        seen: dict = {}
+        # 'gate' cameras don't interleave into one subtree. The renamed
+        # candidate is re-checked too: ['gate','gate_1','gate'] must yield
+        # gate_2, not a second gate_1.
+        seen: set = set()
         self._stream_names = []
         for n in raw:
-            if n in seen:
-                seen[n] += 1
-                n = f"{n}_{seen[n]}"
-            seen.setdefault(n, 0)
-            self._stream_names.append(n)
+            cand, k = n, 0
+            while cand in seen:
+                k += 1
+                cand = f"{n}_{k}"
+            seen.add(cand)
+            self._stream_names.append(cand)
         self.record_dir = record_dir
         ts = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
         self.record_instance_dir = os.path.join(record_dir, f"data_{ts}")
@@ -637,16 +649,19 @@ class MultiCameraEngine:
             self._ref_shape = tuple(shapes[0]) if shapes else (
                 self.height, self.width, self.channels)
         elif self._warm_pin:
-            # warmup's pin is provisional: the first real tick wins, so a
-            # wrong --warmup shape wastes the pre-compile instead of
-            # silently changing numerics (host-resizing every stream)
+            # warmup's pin is provisional: the first real tick WITH frames
+            # wins, so a wrong --warmup shape wastes the pre-compile instead
+            # of silently changing numerics (host-resizing every stream).
+            # An all-dropped tick (cameras still connecting) must NOT confirm
+            # the pin — keep it provisional until a frame actually arrives.
             shapes = [f.shape for f in frames if f is not None]
-            if shapes and tuple(shapes[0]) != self._ref_shape:
-                print(f"warmup shape {self._ref_shape} != delivered frame "
-                      f"{shapes[0]}: recompiling (pass --warmup HxW matching "
-                      "the cameras)")
-                self._ref_shape = tuple(shapes[0])
-            self._warm_pin = False
+            if shapes:
+                if tuple(shapes[0]) != self._ref_shape:
+                    print(f"warmup shape {self._ref_shape} != delivered frame "
+                          f"{shapes[0]}: recompiling (pass --warmup HxW "
+                          "matching the cameras)")
+                    self._ref_shape = tuple(shapes[0])
+                self._warm_pin = False
         ref_shape = self._ref_shape
         batch = np.zeros((self.n_streams, *ref_shape), np.uint8)
         for i, f in enumerate(frames):

@@ -98,9 +98,15 @@ def histogram(
 
 
 def save_rgb(arr_u8: np.ndarray, path: str) -> None:
-    """PNG write of an RGB (H,W,3) or grayscale (H,W) uint8 array."""
+    """PNG write of an RGB (H,W,3) or grayscale (H,W)/(H,W,1) uint8 array.
+
+    Single-channel models (image_size [..,..,1]) produce (H,W,1) frames and
+    reconstructions; PIL cannot build an image from that shape directly, so
+    a trailing 1-channel axis is squeezed to grayscale."""
     from PIL import Image
 
+    if arr_u8.ndim == 3 and arr_u8.shape[-1] == 1:
+        arr_u8 = arr_u8[..., 0]
     mode = "L" if arr_u8.ndim == 2 else "RGB"
     Image.fromarray(arr_u8, mode=mode).save(path)
 
