@@ -260,3 +260,18 @@ def test_optimizer_restore_io_error_propagates():
         out = _restore_optimizer_with_fallback(
             MismatchCk(), "/x/optimizer", {"count": 0})
     assert out is None
+
+
+def test_structure_mismatch_excludes_corruption():
+    """Corrupt-payload errors ('checksum mismatch', 'CRC-32C mismatch') must
+    NOT classify as structure mismatches — papering over them with a fresh
+    optimizer would silently zero Adam moments on a compatible checkpoint."""
+    from trustedai_cl_vae_ad_tpu.train.checkpoint import _is_structure_mismatch
+
+    assert _is_structure_mismatch(
+        ValueError("Tree structures do not match: treedef: Source: MISSING"))
+    assert _is_structure_mismatch(
+        ValueError("user-provided restore item ... does not match the current"))
+    assert not _is_structure_mismatch(ValueError("checksum mismatch on shard 3"))
+    assert not _is_structure_mismatch(OSError("CRC-32C mismatch reading array"))
+    assert not _is_structure_mismatch(OSError("read failed: connection reset"))

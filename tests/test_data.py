@@ -561,3 +561,55 @@ def test_device_cache_concurrent_iteration_single_fill():
     assert len(ep2) == 2 and stream._cache is None
     list(it1)  # first iterator finishes -> its fill commits
     assert stream._cache is not None and len(stream._cache) == 2
+
+
+def test_save_dataset_rescales_normalized_floats(tmp_path):
+    """save_dataset on [0,1] float batches (the loaders' device-stream
+    contract) must rescale to 0-255, not collapse every pixel to {0,1}."""
+    from trustedai_cl_vae_ad_tpu.data.saved_dataset import SavedDataset, save_dataset
+
+    rng = np.random.RandomState(0)
+    f01 = rng.rand(4, 8, 8, 3).astype(np.float32)       # normalized floats
+    f255 = (f01 * 255.0).astype(np.float32)             # 0-255 floats
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    save_dataset(d1, [f01])
+    save_dataset(d2, [f255])
+    got1 = np.concatenate([b["image"] for b in SavedDataset(d1, batch_size=4)])
+    got2 = np.concatenate([b["image"] for b in SavedDataset(d2, batch_size=4)])
+    np.testing.assert_array_equal(got1, got2)
+    assert got1.max() > 1  # not a black dataset
+
+
+def test_cached_dataset_len_is_lazy():
+    """len() on a sized-source CachedDataset must not materialize (decode)
+    the dataset just to count batches."""
+    from trustedai_cl_vae_ad_tpu.data.pipeline import CachedDataset
+
+    pulls = []
+
+    def factory():
+        def gen():
+            for i in range(3):
+                pulls.append(i)
+                yield i
+        return gen()
+
+    class Sized:
+        def __len__(self):
+            return 3
+
+    ds = CachedDataset(factory, sized_source=Sized())
+    assert len(ds) == 3
+    assert pulls == []  # counting did not decode anything
+    assert list(ds) == [0, 1, 2]
+
+
+def test_raite_loader_requires_dataset_path():
+    """dataset: raite without dataset_path must raise a ValueError naming the
+    key, not TypeError from os.path.exists(None)."""
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+
+    config = {"data": {"dataset": "raite", "image_size": [16, 16, 3]},
+              "training": {"batch_size": 4}}
+    with pytest.raises(ValueError, match="dataset_path"):
+        load_data(config)

@@ -71,7 +71,12 @@ def validate_logdir(log_dir: str) -> dict:
     # -- expected leaf shapes from the config (no device arrays: eval_shape)
     import jax
 
-    params_shape = jax.eval_shape(core.init, jax.random.PRNGKey(0))
+    # the key must stay ABSTRACT: jax.random.PRNGKey(0) creates a real device
+    # array, initializing the accelerator backend — on a single-client TPU
+    # tunnel that makes the metadata-only doctor a second TPU client (breaks
+    # or hangs next to a live training/serving process)
+    key_shape = jax.eval_shape(jax.random.PRNGKey, 0)
+    params_shape = jax.eval_shape(core.init, key_shape)
     expected = {
         sub: {path: leaf for path, leaf in _flat(params_shape[sub])}
         for sub in ("encoder", "decoder")

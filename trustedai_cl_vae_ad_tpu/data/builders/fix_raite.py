@@ -17,7 +17,7 @@ import csv
 import os
 import re
 from collections import defaultdict
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from trustedai_cl_vae_ad_tpu.data.builders.raite_json import build_config_from_directory
 
@@ -50,7 +50,11 @@ def split_by_match(png_files: List[str]) -> Dict[Tuple[str, str], List[str]]:
     return match_dict
 
 
-def _bgr2rgb_move(camera_name: str, match_name: str, img_filepath: str, output_dir: str) -> str:
+def _bgr2rgb_move(camera_name: str, match_name: str, img_filepath: str,
+                  output_dir: str) -> Optional[str]:
+    """Returns the written path, or None when the source is unreadable —
+    returning the destination for a frame that was never written would record
+    it as migrated in original_map.csv while the file doesn't exist."""
     import cv2
 
     basename = os.path.basename(img_filepath)
@@ -59,7 +63,8 @@ def _bgr2rgb_move(camera_name: str, match_name: str, img_filepath: str, output_d
         return output_path
     img = cv2.imread(img_filepath)
     if img is None:
-        return output_path
+        print(f"WARNING: unreadable frame skipped: {img_filepath}")
+        return None
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     cv2.imwrite(output_path, img)
     return output_path
@@ -100,7 +105,11 @@ def output_match_annotations(old_match_dict: dict, new_match_dict: dict, output_
             if not new_list:
                 continue
             for orig_path, new_path in zip(orig_list, new_list):
-                writer.writerow([orig_path, new_path])
+                # None = unreadable source that was skipped (warned during
+                # the copy pass); keep it out of the map instead of writing
+                # a row that points at a file that doesn't exist
+                if new_path is not None:
+                    writer.writerow([orig_path, new_path])
 
 
 def fix_raite_event_data(root_dir: str, output_dir: str, num_workers: int = 8) -> None:

@@ -182,6 +182,12 @@ def load_data(config: dict) -> dict:
         return DeviceStream(source, img_size, depth=depth)
 
     if dataset_name == "raite":
+        if dataset_path is None:
+            # name the missing key: os.path.exists(None) would raise an
+            # unrelated TypeError instead
+            raise ValueError(
+                "data.dataset: raite requires data.dataset_path "
+                "(the RAITE dataset root containing the split label dirs)")
         assert os.path.exists(dataset_path)
         assert os.path.isdir(dataset_path)
         print(f"Loading RAITE Dataset from: {dataset_path}")
@@ -199,7 +205,13 @@ def load_data(config: dict) -> dict:
         test_path = _resolve_json(val_split)
 
         rdb = RaiteDataset(train_path, test_path, batchsize=batch_size)
-        rdb.cache()  # decoded uint8 batches cached in RAM (tf.data .cache())
+        # Host RAM cache of decoded uint8 batches (tf.data .cache() parity).
+        # Skipped by default when the HBM device cache is on: epochs 2+ read
+        # only from device memory, so the host copy would pin a dataset-sized
+        # allocation nothing reads again. data.host_cache overrides (e.g. a
+        # labels-heavy analysis pass that re-iterates the host source).
+        if bool(data_config.get("host_cache", cache_budget is None)):
+            rdb.cache()
 
         train_stream = _stream(rdb.train_data)
         val_stream = _stream(rdb.test_data)

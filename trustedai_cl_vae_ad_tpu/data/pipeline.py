@@ -131,10 +131,16 @@ def batched(
 
 
 class CachedDataset:
-    """Materialize-once, iterate-many dataset of batches (tf.data .cache())."""
+    """Materialize-once, iterate-many dataset of batches (tf.data .cache()).
 
-    def __init__(self, factory: Callable[[], Iterable]):
+    ``sized_source``: an object whose ``__len__`` answers the batch count in
+    O(1) (e.g. raite._Stream computes it from the path list). Without it,
+    ``len()`` before the first full iteration would decode the ENTIRE dataset
+    synchronously just to count batches."""
+
+    def __init__(self, factory: Callable[[], Iterable], sized_source=None):
         self._factory = factory
+        self._sized_source = sized_source
         self._cache: Optional[List] = None
         self._lock = threading.Lock()
 
@@ -152,8 +158,11 @@ class CachedDataset:
             self._cache = items
 
     def __len__(self):
-        if self._cache is None:
-            self._cache = list(self._factory())
+        if self._cache is not None:
+            return len(self._cache)
+        if self._sized_source is not None and hasattr(self._sized_source, "__len__"):
+            return len(self._sized_source)
+        self._cache = list(self._factory())
         return len(self._cache)
 
 

@@ -79,9 +79,14 @@ class RaiteDataset:
         )
 
     def cache(self) -> None:
-        """Materialize decoded batches in RAM on first pass (tf.data .cache())."""
-        self.train_data = CachedDataset(lambda s=self.train_data: iter(s))
-        self.test_data = CachedDataset(lambda s=self.test_data: iter(s))
+        """Materialize decoded batches in RAM on first pass (tf.data .cache()).
+
+        The sized source keeps ``len()`` O(1): counting batches must not
+        force a synchronous full-dataset decode before training starts."""
+        self.train_data = CachedDataset(
+            lambda s=self.train_data: iter(s), sized_source=self.train_data)
+        self.test_data = CachedDataset(
+            lambda s=self.test_data: iter(s), sized_source=self.test_data)
 
 
 def benchmark_epochs(dataset, num_epochs: int = 2) -> float:

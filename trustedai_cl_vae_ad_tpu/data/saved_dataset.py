@@ -58,6 +58,14 @@ def save_dataset(
             img = np.asarray(batch)
             paths = [""] * len(img)
         if img.dtype != np.uint8:
+            # Normalized [0,1] float batches — the loaders' device-stream
+            # contract — would collapse to {0,1} under a bare round; rescale
+            # them to the 0-255 storage range first. (Heuristic: an all-dark
+            # 0-255 float image with max <= 1 also rescales, which is the
+            # lossless direction for it anyway.)
+            if (np.issubdtype(img.dtype, np.floating) and img.size
+                    and float(img.min()) >= 0.0 and float(img.max()) <= 1.0):
+                img = img * 255.0
             img = np.clip(np.round(img), 0, 255).astype(np.uint8)
         buf_imgs.append(img)
         buf_paths.extend(str(p) for p in paths)

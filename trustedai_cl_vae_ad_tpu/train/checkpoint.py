@@ -29,15 +29,22 @@ def _is_structure_mismatch(err: Exception) -> bool:
     over with a fresh optimizer). Transient I/O errors or corrupt payloads
     must propagate — silently zeroing 1.3B Adam moments on a *compatible*
     checkpoint because a read flaked would degrade the resumed run."""
-    msg = str(err)
+    msg = str(err).lower()
+    # Bare "mismatch" would also match corrupt-payload errors ("checksum
+    # mismatch", "CRC-32C mismatch" from tensorstore) — exactly the class
+    # that must propagate. Reject those outright, then require the
+    # structure-specific phrasings orbax emits ("Tree structures do not
+    # match: treedef: Source: MISSING", "... does not match the current ...").
+    if "checksum" in msg or "crc" in msg:
+        return False
     return any(
         marker in msg
         for marker in (
-            "Source: MISSING",
-            "Destination: MISSING",
-            "do not match",
-            "mismatch",
+            "source: missing",
+            "destination: missing",
+            "structures do not match",
             "not match the current",
+            "structure mismatch",
         )
     )
 
@@ -98,8 +105,13 @@ def _restore_optimizer_with_fallback(ck, opt_path: str, opt_state_like: Any) -> 
                 restored,
                 is_leaf=_is_legacy,
             )
-    except Exception:  # noqa: BLE001 — fall through to the fresh-state warning
-        pass
+    except Exception as retry_err:  # noqa: BLE001 — orbax raises bare ValueError
+        # Only a structure mismatch on the legacy target too means the
+        # checkpoint genuinely doesn't fit either layout -> fresh optimizer.
+        # A transient I/O error during the retry must propagate: the legacy
+        # checkpoint may be perfectly restorable on the next attempt.
+        if not _is_structure_mismatch(retry_err):
+            raise
 
     warnings.warn(
         f"optimizer checkpoint at {opt_path} does not match the current "

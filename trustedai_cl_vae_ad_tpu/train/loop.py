@@ -150,10 +150,18 @@ def train_model(
         # stop counts that epoch as NOT completed (resume re-runs it) and
         # saves the last epoch BOUNDARY's beta (beta only changes at epoch
         # end, so the model never trained on a newer value).
-        model.save_model(logdir)
-        save_train_state(logdir, progress[0], step, progress[1])
-        if owns_writer:
-            writer.close()
+        # the sidecar is written only AFTER a successful weight save (they
+        # must stay mutually consistent: a sidecar recording progress the
+        # saved weights never trained would make --resume skip epochs), but
+        # the metrics writer closes regardless — a checkpoint save that
+        # times out (e.g. saving FROM a TPU through a flaky tunnel) must not
+        # also drop every buffered metric since the last flush
+        try:
+            model.save_model(logdir)
+            save_train_state(logdir, progress[0], step, progress[1])
+        finally:
+            if owns_writer:
+                writer.close()
     return model
 
 
