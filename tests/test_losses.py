@@ -273,6 +273,56 @@ def test_chunked_loss_uint8_input(small_config):
         )
 
 
+def test_unchunked_loss_uint8_matches_normalized_float(small_config):
+    """The UNCHUNKED loss must honor the same uint8 contract as the chunked
+    path: a raw uint8 batch equals its f32/255 twin on every family and every
+    metric key (review round 4 — the ragged tail batch of a loss_chunks run
+    used to fall through to compute_loss with raw 0-255 pixels)."""
+    import jax
+    from trustedai_cl_vae_ad_tpu.models import (
+        KLGaussianCVAE,
+        KurtosisGlobalCVAE,
+        KurtosisSingleCVAE,
+    )
+
+    rng = np.random.RandomState(13)
+    x_u8 = rng.randint(0, 256, (4, 64, 64, 3)).astype(np.uint8)
+    x_f32 = x_u8.astype(np.float32) / 255.0
+    key = jax.random.PRNGKey(7)
+
+    for cls in (KurtosisGlobalCVAE, KurtosisSingleCVAE, KLGaussianCVAE):
+        core = cls(dict(small_config))
+        params = core.init(jax.random.PRNGKey(3))
+        ref = core.compute_loss(params, x_f32, training=True, rng=key)
+        got = core.compute_loss(params, x_u8, training=True, rng=key)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-6, atol=1e-7,
+                err_msg=f"{cls.__name__}:{k}",
+            )
+
+
+def test_train_step_uint8_ragged_tail_normalizes(small_config):
+    """loss_chunks set + a tail batch NOT divisible by chunks: the wrapper's
+    fallback path must still train on [0,1] pixels, not raw 0-255 (the mse
+    of a sane model on normalized data is < 1, vs O(10^4) on raw pixels)."""
+    import copy
+
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE
+    from trustedai_cl_vae_ad_tpu.models.wrapper import VAEModel
+
+    cfg = copy.deepcopy(dict(small_config))
+    cfg.setdefault("training", {})["loss_chunks"] = 2
+    model = VAEModel(KurtosisGlobalCVAE(cfg))
+    model.compile()
+    rng = np.random.RandomState(5)
+    tail = rng.randint(0, 256, (3, 64, 64, 3)).astype(np.uint8)  # 3 % 2 != 0
+    loss, _ = model.train_step_and_run(tail)
+    assert float(loss["mse"]) < 1.0, (
+        f"ragged uint8 tail trained on unnormalized pixels: mse={float(loss['mse'])}"
+    )
+
+
 def test_chunked_loss_rejects_ragged_batch(small_config):
     import jax
     from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE

@@ -28,11 +28,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _tree_mtime(root: str) -> float:
-    return max((os.path.getmtime(os.path.join(r, f))
-                for r, _d, fs in os.walk(root) for f in fs), default=0.0)
-
-
 def validate_logdir(log_dir: str) -> dict:
     """Return {"errors": [...], "warnings": [...], "info": {...}}.
 
@@ -156,16 +151,14 @@ def validate_logdir(log_dir: str) -> dict:
                         "but restarts the epoch/beta schedule")
 
     # -- quantized/ int8 serving sidecar: staleness vs float weights.
-    # Preferred evidence is CONTENT-based (survives cp -p / rsync -a / tar,
-    # which preserve mtimes): the provenance file save_quantized_checkpoint
-    # writes (the float checkpoint's orbax commit stamps at quantization
-    # time), else the commit stamps themselves (quantized must be committed
-    # AFTER the float weights it came from). Filesystem mtimes are the last
-    # resort and only warrant a "may be stale".
+    # Shared verdict (ops/quant.quantized_staleness): content-based evidence
+    # first (provenance stamp, orbax commit timestamps — survives cp -p /
+    # rsync -a / tar, which preserve mtimes), filesystem mtimes as the
+    # no-evidence last resort with soft "MAY be stale" wording. The int8
+    # boot path (load_int8_serving_model) runs the same check.
     from trustedai_cl_vae_ad_tpu.ops.quant import (
-        PROVENANCE_FILE,
         QUANTIZED_SUBDIR,
-        float_checkpoint_stamp,
+        quantized_staleness,
     )
 
     qdir = os.path.join(log_dir, QUANTIZED_SUBDIR)
@@ -173,52 +166,9 @@ def validate_logdir(log_dir: str) -> dict:
         info["quantized"] = True
         stale_msg = ("— --quantize boots/serves pre-retrain weights; re-run "
                      "tools/quantize_checkpoint.py")
-        float_stamp = float_checkpoint_stamp(log_dir)
-        prov_path = os.path.join(qdir, PROVENANCE_FILE)
-        prov = None
-        if os.path.exists(prov_path):
-            try:
-                with open(prov_path) as f:
-                    prov = json.load(f).get("float_checkpoint")
-            except (OSError, ValueError):
-                prov = None
-        # an all-None stamp (orbax metadata files absent at quantization
-        # time) carries no content evidence — comparing it against an
-        # equally-blank current stamp would certify a stale sidecar as
-        # fresh; fall through to commit stamps / mtimes instead
-        if isinstance(prov, dict) and not any(v is not None for v in prov.values()):
-            prov = None
-        if prov is not None:
-            if prov != float_stamp:
-                warnings.append(
-                    "quantized/ was built from a DIFFERENT float checkpoint "
-                    f"(provenance mismatch) {stale_msg}")
-        else:
-            q_meta = os.path.join(qdir, "_CHECKPOINT_METADATA")
-            q_commit = None
-            try:
-                with open(q_meta) as f:
-                    q_commit = json.load(f).get("commit_timestamp_nsecs")
-            except (OSError, ValueError):
-                pass
-            float_commits = [v for v in float_stamp.values() if v is not None]
-            if q_commit is not None and float_commits:
-                if max(float_commits) > q_commit:
-                    warnings.append(
-                        "quantized/ was committed BEFORE the float "
-                        f"checkpoint {stale_msg}")
-            else:
-                # no content evidence at all: mtimes (can lie under
-                # mtime-preserving copies or clock skew — soft wording)
-                float_mtime = max((_tree_mtime(os.path.join(log_dir, s))
-                                   for s in ("encoder", "decoder")
-                                   if os.path.isdir(os.path.join(log_dir, s))),
-                                  default=0.0)
-                if float_mtime > _tree_mtime(qdir):
-                    warnings.append(
-                        "quantized/ MAY be stale (older filesystem mtime than "
-                        "the float checkpoint; no content provenance found) "
-                        f"{stale_msg}")
+        verdict = quantized_staleness(log_dir)
+        if verdict is not None:
+            warnings.append(f"{verdict[1]} {stale_msg}")
     else:
         info["quantized"] = False
 

@@ -43,6 +43,20 @@ Array = jax.Array
 _glorot = nn.initializers.glorot_uniform()
 
 
+def normalize_image_input(x: Array) -> Array:
+    """uint8 frames are raw 0-255 pixels: normalize on device (the ingest
+    contract — data/ingest.py, reference data_loader.py:10-14). Float inputs
+    are already normalized and widen to float32 for the loss statistics.
+
+    Applied at every loss/encode entry so a uint8 batch means the same thing
+    on every path (chunked, unchunked, data-parallel, direct API) — under jit
+    the u8->f32->/255 chain fuses into the first consumer, so keeping batches
+    uint8 up to this point is also the 4x-smaller-transfer fast path."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x.astype(jnp.float32)
+
+
 def _conv1_s2d(x: Array, kernel: Array, bias: Array) -> Array:
     """Space-to-depth evaluation of the encoder's first stride-2 3x3 SAME conv
     (abstract_cvae.py:22-29): 2x2 input pixels pack into channels (3 -> 12 of
@@ -431,6 +445,8 @@ class AbstractCVAE:
         training. (As in the reference, the standard loss path never sets
         training=True here.)
         """
+        if x.dtype == jnp.uint8:
+            x = normalize_image_input(x)
         fuzz_x = x
         if training:
             if rng is None:

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE
+from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE, normalize_image_input
 
 
 class KLGaussianCVAE(AbstractCVAE):
@@ -35,6 +35,13 @@ class KLGaussianCVAE(AbstractCVAE):
         self.w_kl_divergence = float(loss_config["w_kl_divergence"])
 
     @staticmethod
+    def _kl_rows(mean, logvar):
+        """Per-row analytic KL(N(mean, exp(logvar)) || N(0, 1)) — shared by
+        the unweighted (batch mean) and weighted (CL replay) paths so the
+        formula can never drift between them."""
+        return -0.5 * jnp.sum(1.0 + logvar - mean**2 - jnp.exp(logvar), axis=1)
+
+    @staticmethod
     def kl_divergence_gaussian(mean, logvar):
         """Analytic KL(N(mean, exp(logvar)) || N(0, 1)), mean over the batch.
 
@@ -43,9 +50,7 @@ class KLGaussianCVAE(AbstractCVAE):
         optimized here, so it must be a true divergence (non-negative, zero
         iff the posterior is standard normal).
         """
-        return -0.5 * jnp.mean(
-            jnp.sum(1.0 + logvar - mean**2 - jnp.exp(logvar), axis=1)
-        )
+        return jnp.mean(KLGaussianCVAE._kl_rows(mean, logvar))
 
     def compute_loss(self, params, x, training=False, return_inf=False, rng=None,
                      weights=None):
@@ -54,6 +59,7 @@ class KLGaussianCVAE(AbstractCVAE):
         ``weights`` (B,) optionally masks rows out of every batch statistic
         (CL replay padding, see KurtosisGlobalCVAE.compute_loss).
         """
+        x = normalize_image_input(x)
         x_hat_prob, z, mean, logvar = self.call_detailed(params, x, training, rng)
 
         if weights is None:
@@ -77,10 +83,7 @@ class KLGaussianCVAE(AbstractCVAE):
             mse, x_std_loss = st["mse"], st["x_std_loss"]
             r_min, r_max = st["r_min"], st["r_max"]
 
-            per_row_kl = -0.5 * jnp.sum(
-                1.0 + logvar - mean**2 - jnp.exp(logvar), axis=1
-            )
-            kl_div = jnp.sum(st["w"] * per_row_kl) / st["wsum"]
+            kl_div = jnp.sum(st["w"] * self._kl_rows(mean, logvar)) / st["wsum"]
             z_l1_reg = weighted_z_l1(z, st["w"], st["wsum"])
 
         loss = self.w_mse * mse + self.w_kl_divergence * kl_div

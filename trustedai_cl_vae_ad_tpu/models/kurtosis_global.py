@@ -20,14 +20,16 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE
+from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE, normalize_image_input
 from trustedai_cl_vae_ad_tpu.ops.moments import global_moments, global_moments_weighted
 
 
-def divide_no_nan(num, den):
-    """tf.math.divide_no_nan: 0 where den == 0, with NaN-free gradients."""
-    den_safe = jnp.where(den == 0, 1.0, den)
-    return jnp.where(den == 0, jnp.zeros_like(num), num / den_safe)
+def _abs_kl_terms(z_mean, z_logvar):
+    """Per-element terms of the reference's quirky "abs-KL" diagnostic
+    (kurtosis_global_cvae.py:36-38): logvar is SQUARED, not the textbook
+    form. Shared by the unweighted and weighted (CL replay) paths so a
+    parity fix can never drift between them."""
+    return jnp.abs(1.0 + z_logvar**2 - z_mean**2 - jnp.exp(z_logvar**2))
 
 
 class KurtosisGlobalCVAE(AbstractCVAE):
@@ -44,7 +46,7 @@ class KurtosisGlobalCVAE(AbstractCVAE):
 
     def kl_divergence_gaussian(self, z_mean, z_logvar):
         """kurtosis_global_cvae.py:36-38 (note the squared logvar)."""
-        return 0.5 * jnp.sum(jnp.abs(1.0 + z_logvar**2 - z_mean**2 - jnp.exp(z_logvar**2)))
+        return 0.5 * jnp.sum(_abs_kl_terms(z_mean, z_logvar))
 
     def log_normal_pdf(self, sample, mean, logvar, raxis=1):
         """kurtosis_global_cvae.py:27-29 (legacy ELBO helper)."""
@@ -62,6 +64,7 @@ class KurtosisGlobalCVAE(AbstractCVAE):
         the unweighted path (tests/test_losses.py). Used by the CL step to pad
         the replay buffer to a fixed capacity without retracing per size.
         """
+        x = normalize_image_input(x)
         x_hat_prob, z, mean, logvar = self.call_detailed(params, x, training, rng)
 
         if weights is None:
@@ -101,9 +104,7 @@ class KurtosisGlobalCVAE(AbstractCVAE):
             z_std = jnp.sqrt(z_var)
 
             wl = w[:, None]
-            kl_div_gaus = 0.5 * jnp.sum(
-                wl * jnp.abs(1.0 + logvar**2 - mean**2 - jnp.exp(logvar**2))
-            )
+            kl_div_gaus = 0.5 * jnp.sum(wl * _abs_kl_terms(mean, logvar))
             z_l1_reg = weighted_z_l1(z, w, wsum)
 
         mean_loss = z_mean**2  # computed, not optimized (metric only)

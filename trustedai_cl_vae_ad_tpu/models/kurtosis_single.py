@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE
+from trustedai_cl_vae_ad_tpu.models.cvae import AbstractCVAE, normalize_image_input
 from trustedai_cl_vae_ad_tpu.ops.moments import perdim_moments, perdim_moments_weighted
 
 
@@ -35,6 +35,7 @@ class KurtosisSingleCVAE(AbstractCVAE):
         ``weights`` (B,) optionally masks rows out of every batch statistic
         (see KurtosisGlobalCVAE.compute_loss); all-ones == unweighted.
         """
+        x = normalize_image_input(x)
         x_hat_prob, z, _, _ = self.call_detailed(params, x, training, rng)
 
         if weights is None:

@@ -197,6 +197,69 @@ def float_checkpoint_stamp(log_dir: str) -> dict:
     return stamp
 
 
+def quantized_staleness(log_dir: str):
+    """Did ``<log_dir>/quantized`` come from the CURRENT float checkpoint?
+
+    Returns ``None`` (no evidence of staleness) or ``(code, message)``.
+    Evidence is content-based first — the provenance stamp
+    save_quantized_checkpoint writes, then orbax commit timestamps — because
+    filesystem mtimes lie under mtime-preserving copies (cp -p, rsync -a,
+    tar) and clock skew; mtimes are the last resort with soft wording.
+    Shared by tools/validate_logdir.py and load_int8_serving_model so the
+    two staleness checks can never diverge."""
+    import json
+    import os
+
+    qdir = os.path.join(log_dir, QUANTIZED_SUBDIR)
+    float_stamp = float_checkpoint_stamp(log_dir)
+    prov = None
+    prov_path = os.path.join(qdir, PROVENANCE_FILE)
+    if os.path.exists(prov_path):
+        try:
+            with open(prov_path) as f:
+                prov = json.load(f).get("float_checkpoint")
+        except (OSError, ValueError):
+            prov = None
+    # an all-None stamp (orbax metadata files absent at quantization time)
+    # carries no content evidence — comparing it against an equally-blank
+    # current stamp would certify a stale sidecar as fresh; fall through to
+    # commit stamps / mtimes instead
+    if isinstance(prov, dict) and not any(v is not None for v in prov.values()):
+        prov = None
+    if prov is not None:
+        if prov != float_stamp:
+            return ("provenance_mismatch",
+                    "quantized/ was built from a DIFFERENT float checkpoint "
+                    "(provenance mismatch)")
+        return None
+    q_commit = None
+    try:
+        with open(os.path.join(qdir, "_CHECKPOINT_METADATA")) as f:
+            q_commit = json.load(f).get("commit_timestamp_nsecs")
+    except (OSError, ValueError):
+        pass
+    float_commits = [v for v in float_stamp.values() if v is not None]
+    if q_commit is not None and float_commits:
+        if max(float_commits) > q_commit:
+            return ("commit_older",
+                    "quantized/ was committed BEFORE the float checkpoint")
+        return None
+    # no content evidence at all: mtimes (can lie — soft wording)
+    def _tree_mtime(root):
+        return max((os.path.getmtime(os.path.join(r, f))
+                    for r, _d, fs in os.walk(root) for f in fs), default=0.0)
+
+    float_mtime = max((_tree_mtime(os.path.join(log_dir, s))
+                       for s in ("encoder", "decoder")
+                       if os.path.isdir(os.path.join(log_dir, s))),
+                      default=0.0)
+    if float_mtime > _tree_mtime(qdir):
+        return ("mtime_older",
+                "quantized/ MAY be stale (older filesystem mtime than the "
+                "float checkpoint; no content provenance found)")
+    return None
+
+
 def save_quantized_checkpoint(log_dir: str, qparams: dict) -> str:
     """Persist a quantized param tree under ``<log_dir>/quantized``.
 
@@ -292,22 +355,15 @@ def load_int8_serving_model(model_dir: str):
     print(f"int8 boot: loaded quantized checkpoint from "
           f"{os.path.join(model_dir, QUANTIZED_SUBDIR)}")
     # staleness check: a retrain that didn't re-run
-    # tools/quantize_checkpoint.py would silently serve old weights
+    # tools/quantize_checkpoint.py would silently serve old weights.
+    # Content-based (provenance stamp / orbax commit timestamps) with mtimes
+    # only as the no-evidence fallback — mtime-preserving copies (cp -p,
+    # rsync -a, tar) defeat a pure-mtime check.
     try:
-        qdir = os.path.join(model_dir, QUANTIZED_SUBDIR)
-        float_mtime = max(
-            (os.path.getmtime(os.path.join(r, f))
-             for sub in ("encoder", "decoder")
-             if os.path.isdir(os.path.join(model_dir, sub))
-             for r, _d, fs in os.walk(os.path.join(model_dir, sub))
-             for f in fs), default=0.0)
-        quant_mtime = max(
-            (os.path.getmtime(os.path.join(r, f))
-             for r, _d, fs in os.walk(qdir) for f in fs), default=0.0)
-        if float_mtime > quant_mtime:
-            print("WARNING: the float checkpoint is NEWER than "
-                  f"{qdir} — serving pre-retrain weights; re-run "
-                  "tools/quantize_checkpoint.py to refresh")
+        verdict = quantized_staleness(model_dir)
+        if verdict is not None:
+            print(f"WARNING: {verdict[1]} — serving may use pre-retrain "
+                  "weights; re-run tools/quantize_checkpoint.py to refresh")
     except OSError:
         pass
     return QuantizedServingModel(core, qparams), config
