@@ -282,6 +282,47 @@ def test_quantized_checkpoint_roundtrip(model_and_input, tmp_path):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_quantized_staleness_verdicts(model_and_input, tmp_path):
+    """quantized_staleness (shared by the int8 boot and the logdir doctor):
+    fresh provenance -> None; a retrained float checkpoint -> content-based
+    provenance_mismatch even when mtimes are equalized (the cp -p / rsync -a
+    case a pure-mtime check misses)."""
+    import json
+    import os
+
+    core, params, _ = model_and_input
+    qp = quant.quantize_params(core, params, min_elems=0)
+    d = str(tmp_path / "logdir")
+    os.makedirs(os.path.join(d, "encoder"))
+    os.makedirs(os.path.join(d, "decoder"))
+    for sub, ts in (("encoder", 100), ("decoder", 100)):
+        with open(os.path.join(d, sub, "_CHECKPOINT_METADATA"), "w") as f:
+            json.dump({"commit_timestamp_nsecs": ts}, f)
+    quant.save_quantized_checkpoint(d, qp)
+    assert quant.quantized_staleness(d) is None
+
+    # "retrain": the float commit stamps change; freeze every mtime to the
+    # same instant so only content evidence can catch it
+    for sub in ("encoder", "decoder"):
+        with open(os.path.join(d, sub, "_CHECKPOINT_METADATA"), "w") as f:
+            json.dump({"commit_timestamp_nsecs": 999}, f)
+    for r, _dirs, fs in os.walk(d):
+        for f in fs:
+            os.utime(os.path.join(r, f), (1000.0, 1000.0))
+    verdict = quant.quantized_staleness(d)
+    assert verdict is not None and verdict[0] == "provenance_mismatch"
+
+    # no provenance, no commit stamps anywhere: mtimes are the last resort
+    os.remove(os.path.join(d, "quantized", quant.PROVENANCE_FILE))
+    for sub in ("encoder", "decoder"):
+        os.remove(os.path.join(d, sub, "_CHECKPOINT_METADATA"))
+    with open(os.path.join(d, "encoder", "weights.bin"), "w") as f:
+        f.write("x")
+    os.utime(os.path.join(d, "encoder", "weights.bin"), (2000.0, 2000.0))
+    verdict = quant.quantized_staleness(d)
+    assert verdict is not None and verdict[0] == "mtime_older"
+
+
 def test_serving_forward_accepts_pre_quantized(model_and_input):
     """serving_forward(qparams=...) must not touch the float params at all
     (the int8 boot passes params=None)."""
