@@ -82,8 +82,14 @@ def write_video(data: dict, output_path: str, frame_rate: int, codec: str = "mp4
             path = stream.get(dt)
             ax.clear()
             if path:
-                frame = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
-                ax.imshow(frame)
+                bgr = cv2.imread(path)
+                if bgr is None:
+                    # a recorder killed mid-write leaves truncated PNGs with
+                    # valid timestamp names — skip the panel like a missing
+                    # path instead of aborting the whole render
+                    print(f"WARNING: unreadable frame skipped: {path}")
+                else:
+                    ax.imshow(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
             ax.set_title(title)
             ax.axis("off")
 

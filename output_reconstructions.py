@@ -47,6 +47,13 @@ def process_train_val_reconstructions(log_dir: str, model, config: dict, data: d
         return x_hat, err_map, scalar_err
 
     def process_split(split_data, split: str) -> dict:
+        """Two streamed passes, host memory O(batch) (the heatmap normalizer
+        is the SPLIT-GLOBAL error min/max, reference :73-77, so no single
+        pass can write heatmaps as it goes). Pass 1 writes originals +
+        reconstructions and spills each error map to a float16 .npy sidecar;
+        pass 2 normalizes them against the global min/max into error/heatmap
+        PNGs and deletes the sidecars. Keeping the maps (and originals) in
+        RAM instead is O(dataset): ~800 GB of f32 at 100k 1080p frames."""
         orig_dir = os.path.join(log_dir, f"imgs/originals/{split}")
         rec_dir = os.path.join(log_dir, f"imgs/reconstructions/{split}")
         heat_dir = os.path.join(log_dir, f"imgs/heatmap/{split}")
@@ -55,41 +62,56 @@ def process_train_val_reconstructions(log_dir: str, model, config: dict, data: d
             os.makedirs(d, exist_ok=True)
 
         rec_err = {}
-        err_maps = {}
-        origs = {}
         img_num = 0
+        emin, emax = np.inf, -np.inf
         with cf.ThreadPoolExecutor(max_workers=8) as pool:
             futs = []
             for batch in split_data:
                 x = jnp.asarray(batch["image"] if isinstance(batch, dict) else batch, jnp.float32)
                 x_hat, err_map, scalar_err = fwd_err(model.params, x)
                 x_np, xh_np, em_np, se_np = map(np.asarray, (x, x_hat, err_map, scalar_err))
+                emin = min(emin, float(em_np.min()))
+                emax = max(emax, float(em_np.max()))
                 for i in range(len(x_np)):
                     orig_u8 = np.clip(np.round(255.0 * x_np[i]), 0, 255).astype(np.uint8)
                     rec_u8 = np.clip(np.round(255.0 * xh_np[i]), 0, 255).astype(np.uint8)
                     futs.append(pool.submit(_save_png, os.path.join(orig_dir, f"{img_num}.png"), orig_u8))
                     futs.append(pool.submit(_save_png, os.path.join(rec_dir, f"{img_num}.png"), rec_u8))
+                    np.save(os.path.join(err_dir, f"{img_num}.npy"),
+                            em_np[i].astype(np.float16))
                     rec_err[img_num] = float(se_np[i])
-                    err_maps[img_num] = em_np[i]
-                    origs[img_num] = orig_u8
                     img_num += 1
+                if len(futs) > 512:  # bound in-flight PNG encodes
+                    for f in futs:
+                        f.result()
+                    futs = []
             for f in futs:
                 f.result()
 
-        # Heatmaps normalized by split-global min/max (reference :73-77)
-        if err_maps:
-            emin = min(float(m.min()) for m in err_maps.values())
-            emax = max(float(m.max()) for m in err_maps.values())
+        # Pass 2: heatmaps normalized by split-global min/max (reference :73-77)
+        if img_num:
             scale = (emax - emin) if emax > emin else 1.0
+            from PIL import Image
+
+            from trustedai_cl_vae_ad_tpu.viz.plots import overlay_heatmap
+
             with cf.ThreadPoolExecutor(max_workers=8) as pool:
                 futs = []
-                from trustedai_cl_vae_ad_tpu.viz.plots import overlay_heatmap
-
-                for k, m in err_maps.items():
+                for k in range(img_num):
+                    npy = os.path.join(err_dir, f"{k}.npy")
+                    m = np.load(npy).astype(np.float32)
+                    os.remove(npy)
                     err_u8 = np.clip(np.round(255.0 * (m - emin) / scale), 0, 255).astype(np.uint8)
                     futs.append(pool.submit(_save_png, os.path.join(err_dir, f"{k}.png"), err_u8))
-                    overlay = overlay_heatmap(err_u8, origs[k])
+                    orig_u8 = np.asarray(Image.open(os.path.join(orig_dir, f"{k}.png")))
+                    if orig_u8.ndim == 2:
+                        orig_u8 = orig_u8[..., None]
+                    overlay = overlay_heatmap(err_u8, orig_u8)
                     futs.append(pool.submit(_save_png, os.path.join(heat_dir, f"{k}.png"), overlay))
+                    if len(futs) > 512:
+                        for f in futs:
+                            f.result()
+                        futs = []
                 for f in futs:
                     f.result()
         return rec_err

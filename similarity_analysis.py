@@ -54,10 +54,10 @@ def similarity_analysis(model, config: dict, data: dict, sim_dir: str) -> None:
     if "train_full" in data:
         # single-pass {'image','filepath'} stream (loader 'train_full'):
         # zipping data['train'] with data['train_labels'] would run TWO full
-        # decode passes over the split concurrently
+        # decode passes over the split concurrently — the raite loader always
+        # provides train_full alongside train_labels (data/loader.py), so no
+        # zip fallback exists here
         pairs = ((b["image"], b["filepath"]) for b in data["train_full"])
-    elif "train_labels" in data:
-        pairs = zip(data["train"], data["train_labels"])
     else:
         def _pairs():
             # batches without a 'filepath' key (e.g. the tfds catalog branch)

@@ -1,5 +1,7 @@
 """Offline anomaly pipeline + CDF threshold object tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -210,6 +212,49 @@ def test_bst_prob_duplicates_and_custom_match():
 
     with _pytest.raises(ValueError):
         BSTProb([], [])
+
+
+def test_bst_prob_one_ulp_apart_terminates():
+    """np.mean of values one ULP apart can round ONTO the larger value
+    (round-to-even), sending the whole subset left forever — the degenerate
+    split must collapse to a leaf instead of hanging reset()."""
+    from trustedai_cl_vae_ad_tpu.anomaly.cdf import BSTProb
+
+    a, b = 1.0 + 2.0**-52, 1.0 + 2.0**-51
+    assert np.mean([a, b]) == b  # the pathological rounding this guards
+    bst = BSTProb([a, b], [0.1, 0.9])
+    assert bst[0.0] == 0.1
+    assert isinstance(bst[2.0], float)
+
+
+def test_dump_frame_single_channel(tmp_path):
+    """(H, W, 1) rec/orig frames (single-channel models) must write all 5
+    artifact PNGs — a hard-coded PIL mode=\"RGB\" crashed here."""
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import _artifact_dirs, _dump_frame
+
+    dirs = _artifact_dirs(str(tmp_path))
+    rng = np.random.RandomState(0)
+    x = rng.rand(8, 8, 1).astype(np.float32)
+    rec = rng.rand(8, 8, 1).astype(np.float32)
+    norm_err = rng.rand(8, 8).astype(np.float32)
+    orig_path = _dump_frame(dirs, 0, x, rec, norm_err)
+    assert os.path.exists(orig_path)
+    for name, d in dirs.items():
+        assert os.listdir(d), f"missing artifact in {name}/"
+
+
+def test_capped_auto_bins_heavy_tail():
+    """'auto' bins on heavy-tailed z-scores (range ~1e9, bulk IQR ~1) must
+    stay bounded instead of asking numpy for billions of bins."""
+    from trustedai_cl_vae_ad_tpu.viz.plots import _capped_auto_bins
+
+    rng = np.random.RandomState(0)
+    z = np.concatenate([rng.normal(size=2000), [1e9]])
+    assert _capped_auto_bins(z) == 4096
+    # well-behaved data keeps the numpy estimate (well under the cap)
+    assert 10 <= _capped_auto_bins(rng.normal(size=2000)) < 200
+    assert _capped_auto_bins(np.array([1.0])) == 10
+    assert _capped_auto_bins(np.array([np.nan, np.inf])) == 10
 
 
 def test_sharded_scoring_matches_single_device(tiny_model):

@@ -203,3 +203,22 @@ def test_jpeg_dims_past_64kb_metadata(native_mod, tmp_path):
     assert rc == 0 and (w.value, h.value) == (32, 24)
     out = native_mod.decode_png(str(p))
     assert out is not None and out.shape == (24, 32, 3)
+
+
+def test_stale_so_detection(native_mod):
+    """_stale(): the built .so must be considered stale when a source file is
+    newer than it — otherwise edits to frame_loader.cpp silently never take
+    effect (the library is only rebuilt when the .so is missing)."""
+    from trustedai_cl_vae_ad_tpu.data import native
+
+    so, cpp = native._SO_PATH, os.path.join(native._NATIVE_DIR, "frame_loader.cpp")
+    if not (os.path.exists(so) and os.path.exists(cpp)):
+        pytest.skip("built .so or source not present")
+    so_m, cpp_m = os.path.getmtime(so), os.path.getmtime(cpp)
+    try:
+        os.utime(cpp, (so_m + 10, so_m + 10))
+        assert native._stale()
+        os.utime(cpp, (so_m - 10, so_m - 10))
+        assert not native._stale()
+    finally:
+        os.utime(cpp, (cpp_m, cpp_m))

@@ -72,6 +72,15 @@ class BSTProb:
                 leaf[idx] = True
                 continue
             goes_left = np.asarray(self.match_fun(vals, key[idx]))
+            if goes_left.all() or not goes_left.any():
+                # degenerate split: np.mean rounded onto the subset's extreme
+                # value (values one ULP apart, e.g. [1+2**-52, 1+2**-51]), so
+                # every element lands on one side — recursing would re-queue
+                # the identical subset forever. Collapse to a leaf exactly
+                # like the all-equal case.
+                prob[idx] = float(ps[0])
+                leaf[idx] = True
+                continue
             for is_left, sub_v, sub_p in (
                 (True, vals[goes_left], ps[goes_left]),
                 (False, vals[~goes_left], ps[~goes_left]),

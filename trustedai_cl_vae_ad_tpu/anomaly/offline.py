@@ -205,21 +205,25 @@ def _artifact_dirs(output_path: str) -> dict:
 def _dump_frame(dirs: dict, i: int, x: np.ndarray, rec: np.ndarray,
                 norm_err: np.ndarray) -> str:
     """Write the 5 per-frame artifact PNGs (reference :159-188); returns the
-    original's path (the anomaly_list.csv key)."""
-    from PIL import Image
+    original's path (the anomaly_list.csv key).
+
+    Routed through viz.plots.save_rgb / overlay_heatmap: single-channel
+    models produce (H, W, 1) rec/orig frames, which a hard-coded PIL
+    mode="RGB" rejects (and the heatmap/overlay blend broadcasts fine)."""
+    from trustedai_cl_vae_ad_tpu.viz.plots import overlay_heatmap, save_rgb
 
     err_u8 = np.clip(np.round(255.0 * norm_err), 0, 255).astype(np.uint8)
     heatmap = _jet_heatmap(err_u8)
     rec_u8 = np.clip(np.round(255.0 * rec), 0, 255).astype(np.uint8)
     orig_u8 = np.clip(np.round(255.0 * x), 0, 255).astype(np.uint8)
-    overlay = (0.5 * heatmap + 0.5 * rec_u8).astype(np.uint8)
+    overlay = overlay_heatmap(err_u8, rec_u8)
     basename = f"{i:06d}.png"
-    Image.fromarray(err_u8, mode="L").save(os.path.join(dirs["err"], basename))
-    Image.fromarray(heatmap, mode="RGB").save(os.path.join(dirs["heatmap"], basename))
-    Image.fromarray(overlay, mode="RGB").save(os.path.join(dirs["overlay"], basename))
-    Image.fromarray(rec_u8, mode="RGB").save(os.path.join(dirs["rec"], basename))
+    save_rgb(err_u8, os.path.join(dirs["err"], basename))
+    save_rgb(heatmap, os.path.join(dirs["heatmap"], basename))
+    save_rgb(overlay, os.path.join(dirs["overlay"], basename))
+    save_rgb(rec_u8, os.path.join(dirs["rec"], basename))
     orig_path = os.path.join(dirs["orig"], basename)
-    Image.fromarray(orig_u8, mode="RGB").save(orig_path)
+    save_rgb(orig_u8, orig_path)
     return orig_path
 
 

@@ -45,12 +45,27 @@ def build_native(quiet: bool = False) -> bool:
         return False
 
 
+def _stale() -> bool:
+    """Is the built .so older than its sources? (The .so is gitignored and
+    built in-tree; without this check an edit to frame_loader.cpp would
+    silently keep running the previous binary.)"""
+    try:
+        so_mtime = os.path.getmtime(_SO_PATH)
+        return any(
+            os.path.getmtime(os.path.join(_NATIVE_DIR, src)) > so_mtime
+            for src in ("frame_loader.cpp", "Makefile")
+            if os.path.exists(os.path.join(_NATIVE_DIR, src))
+        )
+    except OSError:
+        return False
+
+
 def _load(auto_build: bool = True):
     global _lib, _pool
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH):
-        if not (auto_build and build_native(quiet=True)):
+    if not os.path.exists(_SO_PATH) or _stale():
+        if not (auto_build and build_native(quiet=True)) and not os.path.exists(_SO_PATH):
             return None
     try:
         lib = ctypes.CDLL(_SO_PATH)

@@ -59,6 +59,27 @@ def image_grid(images: Sequence[np.ndarray], path: str, title: str, cols: int = 
     plt.close(fig)
 
 
+def _capped_auto_bins(flat: np.ndarray, cap: int = 4096):
+    """numpy's "auto" bin count (max of Freedman-Diaconis and Sturges),
+    computed WITHOUT materializing the edges and capped at ``cap``. Passing
+    the string straight to np.histogram allocates the edge array first: on
+    heavy-tailed data (z-scores with near-degenerate sigma reach ~1e9 while
+    the bulk IQR stays ~1) FD demands billions of bins and the allocation
+    raises MemoryError at the final reporting step of a finished run."""
+    finite = flat[np.isfinite(flat)]
+    n = finite.size
+    if n < 2:
+        return 10
+    lo, hi = float(finite.min()), float(finite.max())
+    if hi <= lo:
+        return 10
+    sturges = int(np.ceil(np.log2(n))) + 1
+    q75, q25 = np.percentile(finite, [75, 25])
+    fd_width = 2.0 * float(q75 - q25) / n ** (1.0 / 3.0)
+    fd = int(np.ceil((hi - lo) / fd_width)) if fd_width > 0 else sturges
+    return max(1, min(cap, max(fd, sturges)))
+
+
 def histogram(
     path: str,
     series: Mapping[str, np.ndarray],
@@ -71,13 +92,20 @@ def histogram(
     vline: Optional[float] = None,
     xlim: Optional[tuple] = None,
 ) -> None:
-    """Overlaid histogram figure (train.py:183-193 / do_anomaly:142-156 style)."""
+    """Overlaid histogram figure (train.py:183-193 / do_anomaly:142-156 style).
+
+    ``bins="auto"`` is capped at 4096: numpy's Freedman-Diaconis estimator
+    requests ~range/IQR bins, which on heavy-tailed data (z-scores with a
+    near-degenerate sigma can reach 1e9 while the bulk IQR stays ~1) demands
+    billions of bins and aborts with MemoryError at the final reporting step
+    of an otherwise-finished run."""
     plt = _plt()
     fig, ax = plt.subplots(1, 1)
     alpha = 0.65 if len(series) > 1 else 1.0
     for label, values in series.items():
-        ax.hist(np.asarray(values).reshape(-1), bins=bins, label=label,
-                alpha=alpha, density=density)
+        flat = np.asarray(values).reshape(-1)
+        b = _capped_auto_bins(flat) if bins == "auto" else bins
+        ax.hist(flat, bins=b, label=label, alpha=alpha, density=density)
     if vline is not None:
         ax.axvline(vline, color="red", alpha=0.85)
     if xlim is not None:
