@@ -323,6 +323,21 @@ def test_train_step_uint8_ragged_tail_normalizes(small_config):
     )
 
 
+def test_predict_uint8_matches_normalized_float(small_config):
+    """VAEModel.predict honors the uint8 contract (raw 0-255 pixels
+    normalize on device) — it used to pre-cast to f32 and feed raw 0-255
+    floats through the 'already normalized' path (review round 4)."""
+    from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE
+    from trustedai_cl_vae_ad_tpu.models.wrapper import VAEModel
+
+    model = VAEModel(KurtosisGlobalCVAE(dict(small_config)))
+    rng = np.random.RandomState(11)
+    x_u8 = rng.randint(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    got = model.predict(x_u8)
+    ref = model.predict(x_u8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
 def test_chunked_loss_rejects_ragged_batch(small_config):
     import jax
     from trustedai_cl_vae_ad_tpu.models import KurtosisGlobalCVAE

@@ -63,6 +63,23 @@ def test_unquantized_transcription_matches_call(encoder_dense):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+def test_call_quantized_uint8_matches_normalized_float(model_and_input):
+    """call_quantized honors the uint8 input contract (raw 0-255 pixels
+    normalize on device, like core.call) — it used to cast uint8 straight to
+    the compute dtype, feeding raw 0-255 values (review round 4)."""
+    core, params, x = model_and_input
+    x_u8 = np.asarray(
+        np.clip(np.round(np.asarray(x) * 255.0), 0, 255), dtype=np.uint8
+    )
+    qp = quant.quantize_params(core, params, min_elems=1 << 62)
+    got = quant.call_quantized(core, qp, jnp.asarray(x_u8))
+    ref = quant.call_quantized(core, qp, jnp.asarray(x_u8, jnp.float32) / 255.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    # and parity with the float core.call on the same uint8 batch
+    ref_core = core.call(params, jnp.asarray(x_u8), training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_core), atol=1e-6)
+
+
 def test_chunked_int8_contraction_matches_single_dot():
     """The int32-headroom chunked accumulation (K > _I32_SAFE_K) equals the
     single-dot path (patched threshold forces chunking on a small K)."""

@@ -413,4 +413,7 @@ class VAEModel:
 
     # -- numpy conveniences for the tool scripts -----------------------------------
     def predict(self, x) -> np.ndarray:
-        return np.asarray(self.call(jnp.asarray(x, jnp.float32)))
+        # same input contract as call(): uint8 means raw 0-255 pixels and
+        # normalizes on device — a pre-cast to f32 here would silently feed
+        # 0-255 floats through the "already normalized" path
+        return np.asarray(self.call(x))

@@ -375,11 +375,18 @@ def call_quantized(core, qparams: dict, x: Array, mode: str = "w8a8") -> Array:
 
     Transcribes Encoder/Decoder (models/cvae.py:46-139) with the Dense
     layers swapped for their quantized evaluation; with an unquantized tree
-    (min_elems=inf) it reproduces core.call exactly (tests/test_quant.py).
+    (min_elems=inf) it reproduces core.call exactly (tests/test_quant.py) —
+    including the uint8 input contract (raw 0-255 pixels normalize on
+    device, models/cvae.normalize_image_input), so a caller may hand either
+    path the same batch.
     """
+    from trustedai_cl_vae_ad_tpu.models.cvae import normalize_image_input
+
     dtype = core.dtype
     enc = qparams["encoder"]
 
+    if x.dtype == jnp.uint8:
+        x = normalize_image_input(x)
     h = x.astype(dtype)
     for i, _ in enumerate(core.conv_filters):
         p = enc[f"Conv_{i}"]
