@@ -56,6 +56,22 @@ def test_evaluate_artifacts(loop_setup):
         assert os.path.exists(p) and os.path.getsize(p) > 0, name
 
 
+def test_evaluate_uint8_batches_normalize(loop_setup):
+    """evaluate() honors the uint8 contract on a user-supplied batch source
+    (raw 0-255 pixels normalize before the forward and the figures): the
+    reconstructions/histograms must match the f32/255 twin's (review r4)."""
+    from trustedai_cl_vae_ad_tpu.train.loop import evaluate
+
+    config, model, data = loop_setup
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, (8, 16, 16, 3)).astype(np.uint8)
+    evaluate(config, model, {"train": [u8], "val": None}, n=4)
+    rec_u8 = open(os.path.join(config["logdir"], "reconstruction.png"), "rb").read()
+    evaluate(config, model, {"train": [u8.astype(np.float32) / 255.0], "val": None}, n=4)
+    rec_f32 = open(os.path.join(config["logdir"], "reconstruction.png"), "rb").read()
+    assert rec_u8 == rec_f32
+
+
 def test_autosave_flow(tmp_path):
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
     from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine

@@ -182,6 +182,11 @@ def evaluate(config: dict, model: VAEModel, data: dict, n: int = 10) -> None:
         print("evaluate: no validation data")
         return
     x_i = np.concatenate(xs, axis=0)[:n]
+    if x_i.dtype == np.uint8:
+        # the uint8 contract (raw 0-255 pixels) — load_data streams arrive
+        # f32-normalized, but train_model/evaluate accept any batch source,
+        # and the figures below assume [0, 1] pixel values
+        x_i = x_i.astype(np.float32) / 255.0
 
     y = np.asarray(model.call(jnp.asarray(x_i, jnp.float32)))
     mean, _ = model.encode(jnp.asarray(x_i, jnp.float32))
