@@ -83,7 +83,8 @@ def latent_histograms_to_png(model, config, output_path):
     def encode_split(split):
         zs = []
         for img in iter_images(split):
-            zs.append(np.asarray(model.call_detailed(jnp.asarray(img, jnp.float32))[1]))
+            # no f32 pre-cast: call_detailed handles the uint8 contract itself
+            zs.append(np.asarray(model.call_detailed(jnp.asarray(img))[1]))
         return np.concatenate(zs) if zs else np.zeros((0, 1))
 
     z_train = encode_split(data["train"])

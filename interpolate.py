@@ -40,6 +40,9 @@ def example_interpolate(config: dict, model, output_path: str, k_sample_points: 
     N = min(N, len(x) // 2)
     assert N > 0, "need at least 2 images to interpolate"
     x = x[: 2 * N]
+    if x.dtype == np.uint8:
+        # uint8 contract: raw 0-255 pixels (x is also rendered below)
+        x = x.astype(np.float32) / 255.0
 
     _, z, _, _ = model.call_detailed(jnp.asarray(x, jnp.float32))
     z = np.asarray(z)

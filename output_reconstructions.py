@@ -67,7 +67,10 @@ def process_train_val_reconstructions(log_dir: str, model, config: dict, data: d
         with cf.ThreadPoolExecutor(max_workers=8) as pool:
             futs = []
             for batch in split_data:
-                x = jnp.asarray(batch["image"] if isinstance(batch, dict) else batch, jnp.float32)
+                x = jnp.asarray(batch["image"] if isinstance(batch, dict) else batch)
+                # uint8 contract: raw 0-255 pixels (x also feeds the error
+                # maps and the 255*x original dumps below)
+                x = x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x.astype(jnp.float32)
                 x_hat, err_map, scalar_err = fwd_err(model.params, x)
                 x_np, xh_np, em_np, se_np = map(np.asarray, (x, x_hat, err_map, scalar_err))
                 emin = min(emin, float(em_np.min()))

@@ -47,6 +47,10 @@ def plot_j_diagram(model, imgs: np.ndarray, output_filename: str, N: int = 11):
     matplotlib.use("agg")
     import matplotlib.pyplot as plt
 
+    imgs = np.asarray(imgs)
+    if imgs.dtype == np.uint8:
+        # uint8 contract: raw 0-255 pixels (imgs are also rendered below)
+        imgs = imgs.astype(np.float32) / 255.0
     _, z, _, _ = model.call_detailed(jnp.asarray(imgs, jnp.float32))
     z = np.asarray(z)
     z0 = z[0]

@@ -69,7 +69,9 @@ def encode_all(model, split):
 
     zs = []
     for img in iter_images(split):
-        zs.append(np.asarray(model.call_detailed(jnp.asarray(img, jnp.float32))[1]))
+        # no f32 pre-cast: call_detailed handles the uint8 contract itself
+        # (raw 0-255 pixels normalize on device; floats pass through)
+        zs.append(np.asarray(model.call_detailed(jnp.asarray(img))[1]))
     return np.concatenate(zs, axis=0)
 
 

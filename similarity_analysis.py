@@ -74,7 +74,8 @@ def similarity_analysis(model, config: dict, data: dict, sim_dir: str) -> None:
 
         pairs = _pairs()
     for batch_img, batch_filepath in pairs:
-        _, z, _, _ = model.call_detailed(jnp.asarray(batch_img, jnp.float32))
+        # no f32 pre-cast: call_detailed handles the uint8 contract itself
+        _, z, _, _ = model.call_detailed(jnp.asarray(batch_img))
         z_samples.append(np.asarray(z))
         filepaths.extend(str(p) for p in batch_filepath)
     z_samples = np.concatenate(z_samples, axis=0)

@@ -44,6 +44,28 @@ def test_two_pass_scoring(tiny_model):
     )
 
 
+def test_two_pass_scoring_uint8_matches_normalized_float(tiny_model):
+    """The scoring passes honor the uint8 contract (raw 0-255 pixels): a
+    uint8 batch source produces the same mu/sigma/z as its f32/255 twin —
+    it used to cast uint8 straight to f32 and diff raw 0-255 pixels against
+    [0,1] reconstructions (review r4)."""
+    from trustedai_cl_vae_ad_tpu.anomaly.offline import evaluate_anomalies, get_data_scale
+
+    model, config = tiny_model
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 256, (8, 16, 16, 3)).astype(np.uint8)
+    d_u8 = {"train": [u8], "val": [u8]}
+    d_f32 = {"train": [u8.astype(np.float32) / 255.0],
+             "val": [u8.astype(np.float32) / 255.0]}
+    s_u8 = get_data_scale(model, config, d_u8)
+    s_f32 = get_data_scale(model, config, d_f32)
+    for k in ("meu", "sigma", "min", "max"):
+        np.testing.assert_allclose(s_u8[k], s_f32[k], rtol=1e-5, err_msg=k)
+    r_u8 = evaluate_anomalies(model, config, d_u8, s_f32, 3.0, keep_maps=False)
+    r_f32 = evaluate_anomalies(model, config, d_f32, s_f32, 3.0, keep_maps=False)
+    np.testing.assert_allclose(r_u8["z_scores"], r_f32["z_scores"], atol=1e-4)
+
+
 def test_two_pass_scoring_quantized(tiny_model):
     """--quantize runs both passes on the int8-dense forward; decisions and
     the z-score distribution track the float pipeline (ops/quant.py)."""

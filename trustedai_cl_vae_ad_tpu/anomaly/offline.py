@@ -73,8 +73,13 @@ def _score_fns(model, mesh=None, quantize=False, score_params=None):
         def place(x):
             # loader batches may already be device-resident f32 (DeviceStream);
             # jnp.asarray is then a no-op — do NOT round-trip through numpy
-            # (a device->host fetch + re-upload per batch)
-            return jnp.asarray(x, jnp.float32), int(x.shape[0])
+            # (a device->host fetch + re-upload per batch). uint8 means raw
+            # 0-255 pixels (package-wide contract): both score passes diff x
+            # against the [0,1] reconstruction, so normalize here.
+            x = jnp.asarray(x)
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+            return x.astype(jnp.float32), int(x.shape[0])
 
         return jax.jit(batch_err), jax.jit(batch_eval), place, score_params
 
@@ -95,12 +100,13 @@ def _score_fns(model, mesh=None, quantize=False, score_params=None):
     # NOTE: shard_batch pads ragged batches by repeating the last frame; the
     # two-pass pipeline pairs results BY INDEX, so padding rows must be
     # dropped again after the fetch.
-    return (
-        err_j,
-        eval_j,
-        lambda x: (shard_batch(np.asarray(x, np.float32), mesh), x.shape[0]),
-        score_params,
-    )
+    def place_sharded(x):
+        x = np.asarray(x)
+        if x.dtype == np.uint8:  # same uint8 contract as the single-device place
+            x = x.astype(np.float32) / 255.0
+        return shard_batch(x.astype(np.float32, copy=False), mesh), x.shape[0]
+
+    return (err_j, eval_j, place_sharded, score_params)
 
 
 def get_data_scale(model, config: dict, data: dict, mesh=None, quantize=False,
