@@ -40,6 +40,89 @@ def test_rgba_and_gray(native_mod, tmp_path):
     np.testing.assert_array_equal(got, np.stack([gray] * 3, axis=-1))
 
 
+def test_palette_and_gray_alpha(native_mod, tmp_path):
+    """Color types 3 (palette) and 4 (gray+alpha) — the two PLTE/LA branches
+    of the C++ expander (frame_loader.cpp color_type switch) that the
+    RGB/RGBA/gray tests never reach."""
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 255, (21, 17, 3), np.uint8)
+    pal_img = Image.fromarray(rgb).convert("P", palette=Image.ADAPTIVE, colors=64)
+    p1 = tmp_path / "pal.png"
+    pal_img.save(p1)
+    got = native_mod.decode_png(str(p1))
+    np.testing.assert_array_equal(got, np.asarray(pal_img.convert("RGB")))
+
+    la = rng.randint(0, 255, (21, 17, 2), np.uint8)
+    p2 = tmp_path / "la.png"
+    Image.fromarray(la, "LA").save(p2)
+    got = native_mod.decode_png(str(p2))
+    np.testing.assert_array_equal(got, np.stack([la[..., 0]] * 3, axis=-1))
+
+
+def test_all_scanline_filters_roundtrip(native_mod, tmp_path):
+    """Force every PNG scanline filter (0-4) through the unfilter loop: PIL's
+    adaptive encoder rarely emits Average/Paeth on noise images, so re-encode
+    a gradient image (filters 2-4 win there) AND hand-build a zlib stream with
+    one fixed filter per row."""
+    import struct
+    import zlib
+
+    # gradient: PIL's heuristic picks Up/Average/Paeth on smooth content
+    y, x = np.mgrid[0:40, 0:40]
+    img = np.stack([(y * 3) % 256, (x * 5) % 256, ((x + y) * 2) % 256],
+                   axis=-1).astype(np.uint8)
+    p = tmp_path / "grad.png"
+    Image.fromarray(img).save(p)
+    np.testing.assert_array_equal(native_mod.decode_png(str(p)), img)
+
+    # explicit per-row filters 0..4 over known RGB content
+    h, w = 5, 7
+    rows = (np.arange(h * w * 3, dtype=np.uint32) * 37 % 256).astype(np.uint8)
+    ref = rows.reshape(h, w, 3)
+
+    def _paeth(a, b, c):
+        pp = int(a) + int(b) - int(c)
+        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(w * 3, np.uint8)
+    for r in range(h):
+        line = ref[r].reshape(-1)
+        f = r % 5
+        raw.append(f)
+        enc = np.zeros(w * 3, np.uint8)
+        for i in range(w * 3):
+            left = int(line[i - 3]) if i >= 3 else 0
+            up = int(prev[i])
+            ul = int(prev[i - 3]) if i >= 3 else 0
+            if f == 0:
+                enc[i] = line[i]
+            elif f == 1:
+                enc[i] = (int(line[i]) - left) % 256
+            elif f == 2:
+                enc[i] = (int(line[i]) - up) % 256
+            elif f == 3:
+                enc[i] = (int(line[i]) - (left + up) // 2) % 256
+            else:
+                enc[i] = (int(line[i]) - _paeth(left, up, ul)) % 256
+        raw.extend(enc.tobytes())
+        prev = line
+    def _chunk(ctype, body):
+        c = ctype + body
+        return struct.pack(">I", len(body)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + _chunk(b"IEND", b""))
+    p2 = tmp_path / "filters.png"
+    p2.write_bytes(png)
+    np.testing.assert_array_equal(native_mod.decode_png(str(p2)), ref)
+    np.testing.assert_array_equal(np.asarray(Image.open(p2).convert("RGB")), ref)
+
+
 def test_batch_decode(native_mod, tmp_path):
     rng = np.random.RandomState(2)
     paths = []
