@@ -56,6 +56,69 @@ def test_evaluate_artifacts(loop_setup):
         assert os.path.exists(p) and os.path.getsize(p) > 0, name
 
 
+def test_sigterm_saves_checkpoint(tmp_path):
+    """SIGTERM (TPU preemption / container stop / `timeout`) kills Python
+    without running finally blocks; train_model converts it to the
+    KeyboardInterrupt save path, so a preempted run still checkpoints weights
+    and the schedule sidecar (review r4)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    logdir = tmp_path / "run"
+    code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import os
+from trustedai_cl_vae_ad_tpu.data.loader import load_data
+from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+from trustedai_cl_vae_ad_tpu.train.loop import train_model
+
+config = {{
+    "data": {{"dataset": "synthetic", "image_size": [16, 16, 3],
+              "n_train": 64, "n_val": 8}},
+    "loss": {{"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+              "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0}},
+    "model": {{"type": "KurtosisSingle", "decoder_dense_filters": 4,
+               "latent_dimensions": 8, "layers": [4]}},
+    "training": {{"batch_size": 8, "beta": 1.0, "learning_rate": 1e-3,
+                  "max_epochs": 100000}},
+    "logdir": {str(logdir)!r},
+}}
+os.makedirs(config["logdir"])
+model = load_model_from_config(config)
+train_model(config, model, load_data(config), parallel=False, log_every=1)
+print("SAVED_AND_EXITED")
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        # wait until training has demonstrably started (metrics flushed per
+        # step with log_every=1), then deliver the supervisor stop signal
+        metrics = os.path.join(str(logdir), "metrics.jsonl")
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.exists(metrics) and os.path.getsize(metrics) > 0:
+                break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.2)
+        assert proc.poll() is None, f"trainer exited early:\n{proc.stdout.read()}"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert "SAVED_AND_EXITED" in out, f"no clean save on SIGTERM:\n{out}"
+    assert os.path.isdir(os.path.join(str(logdir), "encoder"))
+    assert os.path.isdir(os.path.join(str(logdir), "decoder"))
+    assert os.path.exists(os.path.join(str(logdir), "train_state.json"))
+
+
 def test_evaluate_uint8_batches_normalize(loop_setup):
     """evaluate() honors the uint8 contract on a user-supplied batch source
     (raw 0-255 pixels normalize before the forward and the figures): the

@@ -113,6 +113,25 @@ def train_model(
         model.place_on_mesh(mesh)
 
     step = int(initial_step)
+    # SIGTERM (TPU preemption, container eviction, `timeout`) kills Python
+    # WITHOUT running finally blocks, so the save-on-interrupt path below
+    # would never fire on the most common production stop signal. Convert it
+    # to KeyboardInterrupt for the duration of training (same pattern as
+    # serve.py's clean shutdown); restored on exit. Signal handlers can only
+    # be installed from the main thread — elsewhere (e.g. a test harness
+    # thread) training proceeds without the conversion.
+    import signal
+    import threading
+
+    _prev_term = None
+    _installed_term = False
+    if threading.current_thread() is threading.main_thread():
+        def _term(_sig, _frm):
+            raise KeyboardInterrupt
+
+        _prev_term = signal.getsignal(signal.SIGTERM)
+        signal.signal(signal.SIGTERM, _term)
+        _installed_term = True
     # (epochs_completed, beta-at-that-boundary) updated in ONE tuple
     # assignment after each anneal: an interrupt can land between
     # on_epoch_end (which mutates model.beta) and the bookkeeping, and saving
@@ -160,6 +179,11 @@ def train_model(
             model.save_model(logdir)
             save_train_state(logdir, progress[0], step, progress[1])
         finally:
+            if _installed_term:
+                # restore whatever handler the caller had (SIG_DFL if the
+                # previous one came from C and is unrepresentable)
+                signal.signal(signal.SIGTERM, _prev_term
+                              if _prev_term is not None else signal.SIG_DFL)
             if owns_writer:
                 writer.close()
     return model
