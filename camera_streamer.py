@@ -365,6 +365,18 @@ def run_all_cameras(args):
 def main():
     args = get_args()
 
+    # SIGTERM (supervisor/container stop) kills Python without running the
+    # run loops' finally blocks — losing terminate_recording's labels.json +
+    # model snapshot and any CL weights trained since the last autosave.
+    # Convert it to KeyboardInterrupt so the existing clean-shutdown path
+    # runs (same pattern as serve.py and train/loop.py).
+    import signal
+
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
+
     from trustedai_cl_vae_ad_tpu.stream.capture import make_source
     from trustedai_cl_vae_ad_tpu.stream.engine import (
         combine_datasets,

@@ -115,6 +115,66 @@ def test_qt_shells_gate_cleanly():
     assert "camera_streamer.py" in result.stderr  # points at the headless CLI
 
 
+def test_camera_streamer_sigterm_finalizes_recording(tmp_path):
+    """SIGTERM (supervisor stop) on the streaming CLI runs the clean-shutdown
+    path: recording closes with labels.json + a model snapshot instead of a
+    dangling instance dir (review r4 — finally blocks don't run on SIGTERM)."""
+    import signal
+    import time
+
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    config = {
+        "data": {"dataset": "synthetic", "image_size": [8, 8, 3], "n_train": 8, "n_val": 4},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 2,
+                  "latent_dimensions": 4, "layers": [2]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3, "max_epochs": 1},
+    }
+    d = tmp_path / "model"
+    d.mkdir()
+    save_config(config, str(d / "config.yml"))
+    model = load_model_from_config(config)
+    model.save_model(str(d), include_optimizer=False)
+    rec = tmp_path / "recdir"
+    rec.mkdir()
+
+    env = dict(os.environ, TCVAE_PLATFORM="cpu", PYTHONPATH=REPO_ROOT)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO_ROOT, "camera_streamer.py"),
+         "--source", "synthetic", "-m", str(d), "-r", str(rec)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=REPO_ROOT,
+    )
+    try:
+        # wait until frames are flowing (the recorder writes its first PNG)
+        deadline = time.time() + 180
+        instance = None
+        while time.time() < deadline:
+            dirs = sorted(os.listdir(rec))
+            if dirs:
+                frames = os.path.join(rec, dirs[0], "frames")
+                if os.path.isdir(frames) and os.listdir(frames):
+                    instance = os.path.join(rec, dirs[0])
+                    break
+            if proc.poll() is not None:
+                break
+            time.sleep(0.2)
+        assert proc.poll() is None, f"streamer exited early:\n{proc.stdout.read()}"
+        assert instance is not None, "recording never started"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, out[-600:]
+    assert os.path.exists(os.path.join(instance, "labels.json")), out[-600:]
+    assert os.path.isdir(os.path.join(instance, "model"))
+
+
 def test_profiler_trace_smoke(tmp_path):
     import jax
     import jax.numpy as jnp
