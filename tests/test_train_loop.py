@@ -56,6 +56,45 @@ def test_evaluate_artifacts(loop_setup):
         assert os.path.exists(p) and os.path.getsize(p) > 0, name
 
 
+def test_periodic_checkpointing(tmp_path, monkeypatch):
+    """training.checkpoint_every_epochs writes a full resume point (weights +
+    sidecar) at each period boundary, so SIGKILL/OOM (which runs no Python
+    cleanup) loses at most one period of work; the final epoch's save is the
+    normal end-of-run save, not a duplicate."""
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.train import loop as loop_mod
+
+    config = {
+        "data": {"dataset": "synthetic", "image_size": [16, 16, 3], "n_train": 16, "n_val": 8},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4, "w_mse": 1.0,
+                 "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 8, "beta": 1.0, "learning_rate": 1e-3,
+                     "max_epochs": 4, "checkpoint_every_epochs": 2},
+        "logdir": str(tmp_path / "run"),
+    }
+    os.makedirs(config["logdir"])
+    model = load_model_from_config(config)
+
+    sidecars = []
+    real_save = loop_mod.save_train_state
+
+    def spy(logdir, epochs_completed, step, beta):
+        sidecars.append((epochs_completed, step, beta))
+        return real_save(logdir, epochs_completed, step, beta)
+
+    monkeypatch.setattr(loop_mod, "save_train_state", spy)
+    loop_mod.train_model(config, model, load_data(config), parallel=False)
+    # one periodic save at epoch 2 + the end-of-run save at epoch 4
+    assert [s[0] for s in sidecars] == [2, 4], sidecars
+    np.testing.assert_allclose(sidecars[0][2], 0.98**2, rtol=1e-6)
+    # the weights landed with the periodic sidecar (resume point is complete)
+    assert os.path.isdir(os.path.join(config["logdir"], "encoder"))
+    assert os.path.isdir(os.path.join(config["logdir"], "optimizer"))
+
+
 def test_sigterm_saves_checkpoint(tmp_path):
     """SIGTERM (TPU preemption / container stop / `timeout`) kills Python
     without running finally blocks; train_model converts it to the

@@ -140,6 +140,13 @@ def train_model(
     # Saving this snapshot keeps (count, beta) mutually consistent: either
     # the pre-anneal pair (epoch re-runs, anneals once) or the post pair.
     progress = (int(initial_epoch), float(model.beta))
+    # training.checkpoint_every_epochs (default 0 = off): periodic mid-run
+    # checkpoints. The interrupt/exception save below covers SIGTERM and
+    # Python-visible failures, but SIGKILL (OOM killer, lost node, hard
+    # preemption) runs nothing — a long run would lose everything. Each
+    # periodic save writes the same logdir checkpoint + sidecar a final save
+    # would, so --resume works from the last completed period.
+    ckpt_every = int((config.get("training") or {}).get("checkpoint_every_epochs", 0) or 0)
     try:
         for epoch in range(int(initial_epoch), epochs):
             for batch in _iter_images(data["train"]):
@@ -160,6 +167,12 @@ def train_model(
             beta_annealing.on_epoch_end(model)
             progress = (epoch + 1, float(model.beta))
             writer.log(step, {"beta": model.beta, "epoch": epoch}, prefix="train/")
+            if ckpt_every and (epoch + 1) % ckpt_every == 0 and (epoch + 1) < epochs:
+                # sidecar only after the weights land (mutual consistency, as
+                # in the final save); a failed periodic save aborts the run
+                # through the exception path, which itself retries a save
+                model.save_model(logdir)
+                save_train_state(logdir, progress[0], step, progress[1])
     except KeyboardInterrupt:
         print("Keyboard Interrupt")  # parity: train.py:124-125 saves on Ctrl-C
     finally:
