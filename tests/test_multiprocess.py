@@ -80,3 +80,66 @@ def test_two_process_matches_single_process():
     ref_checksum = float(np.sum(np.abs(np.asarray(jax.tree_util.tree_leaves(params)[0]))))
     np.testing.assert_allclose(l0, ref_loss, rtol=1e-6)
     np.testing.assert_allclose(c0, ref_checksum, rtol=1e-6)
+
+
+def test_train_cli_two_process(tmp_path):
+    """The REAL train.py CLI over 2 gloo processes (--coordinator flags):
+    both exit 0, process 0 stamps ONE logdir that process 1 receives via
+    broadcast_str, the gathered checkpoint (params + optimizer) and the
+    schedule sidecar land, and the checkpoint restores in a single process."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        "loss: {w_mse: 1., kurtosis: 1.8, w_kurtosis: 1.0e-4, w_skew: 0.0, "
+        "w_kl_divergence: 0.0, w_z_l1_reg: 0.0}\n"
+        "data: {dataset: synthetic, n_train: 16, n_val: 8, image_size: [16, 16, 3]}\n"
+        "training: {beta: 1.0e-6, learning_rate: 1.0e-4, batch_size: 8, max_epochs: 2}\n"
+        "model: {type: KurtosisGlobal, latent_dimensions: 8, layers: [4], "
+        "decoder_dense_filters: 4}\n"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env.update(TCVAE_PLATFORM="cpu", TCVAE_CPU_DEVICES="4",
+               TCVAE_CPU_COLLECTIVES="gloo", PYTHONPATH=repo)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(repo, "train.py"), str(cfg),
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(tmp_path), env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    # both processes agree on the one stamped logdir
+    logdirs = set()
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("Log dir: "):
+                logdirs.add(line.split("Log dir: ")[1].strip())
+    assert len(logdirs) == 1, logdirs
+    logdir = logdirs.pop()
+    # full resume point from the gathered save
+    for sub in ("encoder", "decoder", "optimizer"):
+        assert os.path.isdir(os.path.join(logdir, sub)), sub
+    state = json.load(open(os.path.join(logdir, "train_state.json")))
+    assert state["epochs_completed"] == 2
+    np.testing.assert_allclose(state["beta"], 1e-6 * 0.98**2, rtol=1e-6)
+    # exactly one process wrote metrics
+    lines = [json.loads(l) for l in open(os.path.join(logdir, "metrics.jsonl"))]
+    assert any("train/loss" in l for l in lines)
+    # the multi-host checkpoint restores in THIS (single) process
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+
+    model, _cfg = load_model_from_directory(logdir, restore_optimizer=True)
+    assert model.opt_state is not None
+    loss = model.test_step(
+        np.random.RandomState(0).rand(4, 16, 16, 3).astype(np.float32))
+    assert np.isfinite(float(loss["loss"]))

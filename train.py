@@ -27,13 +27,35 @@ def get_args():
         help="Resume from a previous log dir (weights AND Adam moments — a "
              "capability the reference lacks: it re-inits the optimizer on load)",
     )
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="Multi-host training: initialize jax.distributed from the "
+             "cluster environment (auto-detected on Cloud TPU pods); the "
+             "'data' mesh axis then spans hosts and each process feeds its "
+             "own local batches",
+    )
+    parser.add_argument("--coordinator", type=str, default=None, metavar="HOST:PORT",
+                        help="Multi-host coordinator address (implies --distributed; "
+                             "requires --num-processes and --process-id)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     return parser.parse_args()
 
 
 def main():
     args = get_args()
 
-    print(f"JAX backend: {jax.default_backend()}, devices: {jax.device_count()}")
+    if args.distributed or args.coordinator is not None:
+        # must run before ANYTHING initializes the XLA backend (even the
+        # backend print below)
+        from trustedai_cl_vae_ad_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+
+    print(f"JAX backend: {jax.default_backend()}, devices: {jax.device_count()} "
+          f"(process {jax.process_index()}/{jax.process_count()})")
 
     from trustedai_cl_vae_ad_tpu.config import load_config, stamp_logdir, validate_config
     from trustedai_cl_vae_ad_tpu.data.loader import load_data
@@ -41,7 +63,17 @@ def main():
     from trustedai_cl_vae_ad_tpu.train.loop import evaluate, train_model
 
     config = validate_config(load_config(args.config_filename))
-    stamp_logdir(config)
+    if jax.process_count() > 1:
+        # one timestamped logdir for the whole job: process 0 stamps it (and
+        # writes the config copy), everyone else receives the path — per-
+        # process stamping would scatter the run over near-identical dirs
+        from trustedai_cl_vae_ad_tpu.parallel.mesh import broadcast_str
+
+        if jax.process_index() == 0:
+            stamp_logdir(config)
+        config["logdir"] = broadcast_str(config.get("logdir", ""))
+    else:
+        stamp_logdir(config)
     print(f"Log dir: {config['logdir']}")
 
     # training.compiler_options ("k=v,k=v") ships per-compile XLA options to
@@ -87,6 +119,15 @@ def main():
         return
     model = train_model(config, model, data, parallel=not args.no_parallel,
                         initial_epoch=initial_epoch, initial_step=initial_step)
+    if jax.process_count() > 1:
+        # the eval figures run single-device jits, which can't consume the
+        # non-addressable multi-host params; the checkpoint is saved — run
+        # the latent/recon tooling against the logdir afterwards
+        if jax.process_index() == 0:
+            print("multi-host run: skipping in-process eval artifacts "
+                  "(run output_reconstructions.py / the latent tools on "
+                  f"{config['logdir']})")
+        return
     evaluate(config, model, data)
 
 

@@ -64,6 +64,18 @@ if _ndev:
     except Exception:
         pass
 
+# TCVAE_CPU_COLLECTIVES=gloo|mpi: cross-process collective backend for
+# multi-host runs on the CPU backend (train.py --distributed off-TPU, the
+# 2-process tests). Must land before jax.distributed.initialize.
+_ccoll = _os.environ.get("TCVAE_CPU_COLLECTIVES")
+if _ccoll:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_cpu_collectives_implementation", _ccoll)
+    except Exception:
+        pass
+
 from trustedai_cl_vae_ad_tpu.config import load_config, save_config  # noqa: F401
 from trustedai_cl_vae_ad_tpu.registry import (  # noqa: F401
     import_vae_based_on_type,

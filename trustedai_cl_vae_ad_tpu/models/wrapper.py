@@ -136,9 +136,21 @@ class VAEModel:
         self.mesh = mesh
         self._zero1 = zero1 and mesh is not None
         if mesh is not None:
-            from trustedai_cl_vae_ad_tpu.parallel.mesh import replicate
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import (
+                replicate,
+                replicated_from_local,
+                replicated_sharding,
+            )
 
-            self.params = replicate(self.params, mesh)
+            multiproc = jax.process_count() > 1
+            if multiproc:
+                # a DCN-spanning mesh holds non-addressable devices:
+                # device_put can't place there — assemble the global
+                # replicated tree from (identical) per-host values instead
+                self.params = replicated_from_local(
+                    jax.device_get(self.params), mesh)
+            else:
+                self.params = replicate(self.params, mesh)
             if self._zero1:
                 # allocate the moments DIRECTLY in their sharded layout:
                 # an eager init would materialize the full replicated state
@@ -150,6 +162,12 @@ class VAEModel:
                 osh = zero1_shardings(abstract, mesh)
                 self.opt_state = jax.jit(
                     self.optimizer.init, out_shardings=osh
+                )(self.params)
+            elif multiproc:
+                # eager init would compute on non-addressable global arrays;
+                # jit with replicated outputs is the multi-controller path
+                self.opt_state = jax.jit(
+                    self.optimizer.init, out_shardings=replicated_sharding(mesh)
                 )(self.params)
             else:
                 self.opt_state = replicate(self.optimizer.init(self.params), mesh)
@@ -165,18 +183,34 @@ class VAEModel:
 
         Honors ``training.zero1``: restored moments land in their sharded
         layout instead of silently replicating the full state per chip."""
-        from trustedai_cl_vae_ad_tpu.parallel.mesh import replicate
+        from trustedai_cl_vae_ad_tpu.parallel.mesh import (
+            replicate,
+            replicated_from_local,
+        )
 
         self.mesh = mesh
         self._zero1 = bool(self.config.get("training", {}).get("zero1", False))
-        self.params = replicate(self.params, mesh)
-        if self.opt_state is not None:
-            if self._zero1:
-                from trustedai_cl_vae_ad_tpu.parallel.zero import place_zero1
+        multiproc = jax.process_count() > 1
+        if multiproc and self._zero1:
+            raise NotImplementedError(
+                "resuming a checkpoint onto a multi-process mesh with "
+                "training.zero1 is not supported yet (the sharded moment "
+                "placement needs a collective scatter); run zero1 multi-host "
+                "from a fresh compile(), or resume with zero1 off")
+        if multiproc:
+            self.params = replicated_from_local(jax.device_get(self.params), mesh)
+            if self.opt_state is not None:
+                self.opt_state = replicated_from_local(
+                    jax.device_get(self.opt_state), mesh)
+        else:
+            self.params = replicate(self.params, mesh)
+            if self.opt_state is not None:
+                if self._zero1:
+                    from trustedai_cl_vae_ad_tpu.parallel.zero import place_zero1
 
-                self.opt_state = place_zero1(self.opt_state, mesh)
-            else:
-                self.opt_state = replicate(self.opt_state, mesh)
+                    self.opt_state = place_zero1(self.opt_state, mesh)
+                else:
+                    self.opt_state = replicate(self.opt_state, mesh)
         if self.optimizer is not None:
             self._build_train_jits()
 
@@ -235,6 +269,21 @@ class VAEModel:
                 osh = zero1_shardings(self.opt_state, self.mesh)
             self._train_step_j = build_train_step(core, optimizer, self.mesh,
                                                   opt_state_shardings=osh)
+            if jax.process_count() > 1:
+                # multi-host eval: the plain _loss_j jit can't consume
+                # non-addressable global params — build a sharded eval loss
+                # (rng-free: eval-mode reparameterize uses zero eps)
+                from trustedai_cl_vae_ad_tpu.parallel.mesh import (
+                    batch_sharding,
+                    replicated_sharding,
+                )
+
+                rep = replicated_sharding(self.mesh)
+                bsh = batch_sharding(self.mesh)
+                self._eval_loss_sharded_j = jax.jit(
+                    lambda p, x: core.compute_loss(p, x, training=False),
+                    in_shardings=(rep, bsh), out_shardings=rep,
+                )
             return
 
         # training.loss_chunks > 1 evaluates the image-space loss reductions
@@ -332,6 +381,15 @@ class VAEModel:
         return loss
 
     def test_step(self, x):
+        if self.mesh is not None and jax.process_count() > 1:
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import global_batch_from_local
+
+            xh = np.asarray(x)
+            xg = global_batch_from_local(
+                xh if xh.dtype == np.uint8 else xh.astype(np.float32, copy=False),
+                self.mesh,
+            )
+            return self._eval_loss_sharded_j(self.params, xg)
         return self.compute_loss(x, training=False)
 
     def train_step_and_run(self, x):
@@ -341,10 +399,21 @@ class VAEModel:
             from trustedai_cl_vae_ad_tpu.parallel.mesh import (
                 DATA_AXIS,
                 batch_sharding,
+                global_batch_from_local,
                 shard_batch,
             )
 
-            if isinstance(x, jax.Array) and x.shape[0] % self.mesh.shape[DATA_AXIS] == 0:
+            if jax.process_count() > 1:
+                # multi-host: the caller's batch is this HOST's shard of the
+                # global batch (per-host ingest); every process contributes
+                # its rows. No ragged padding here — per-host batches must
+                # divide the local device count.
+                xh = np.asarray(x)
+                x = global_batch_from_local(
+                    xh if xh.dtype == np.uint8 else xh.astype(np.float32, copy=False),
+                    self.mesh,
+                )
+            elif isinstance(x, jax.Array) and x.shape[0] % self.mesh.shape[DATA_AXIS] == 0:
                 # already device-resident (ingest pipeline): reshard
                 # device-to-device — no host round-trip per batch. uint8
                 # stays uint8 (4x less ICI/HBM traffic); the loss normalizes
@@ -375,11 +444,29 @@ class VAEModel:
     def save_model(self, log_dir: str, include_optimizer: bool = True) -> None:
         from trustedai_cl_vae_ad_tpu.train.checkpoint import save_checkpoint
 
-        save_checkpoint(
-            log_dir,
-            self.params,
-            opt_state=self.opt_state if include_optimizer else None,
-        )
+        params, opt_state = self.params, self.opt_state if include_optimizer else None
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host: fetch each host's (identical) replica to host
+            # memory, then let orbax's own multihost protocol coordinate the
+            # write — EVERY process must call save (orbax runs cross-process
+            # barriers internally; a primary-only call deadlocks the job).
+            # The checkpoint is byte-identical to a single-host save. ZeRO-1
+            # moments are data-sharded (no full local replica): skipped with
+            # a warning until a gather path exists — params always save.
+            def _local(tree):
+                return jax.tree_util.tree_map(
+                    lambda a: np.asarray(a.addressable_data(0))
+                    if isinstance(a, jax.Array) else a, tree)
+
+            if opt_state is not None and getattr(self, "_zero1", False):
+                print("WARNING: multi-host save with training.zero1 — the "
+                      "data-sharded Adam moments are not gathered; saving "
+                      "params only (resume starts a fresh optimizer)")
+                opt_state = None
+            params = _local(params)
+            if opt_state is not None:
+                opt_state = _local(opt_state)
+        save_checkpoint(log_dir, params, opt_state=opt_state)
 
     def load_model(self, model_path: str, restore_optimizer: Optional[bool] = None) -> None:
         """Restore weights (+ optimizer state if present) from a log dir.

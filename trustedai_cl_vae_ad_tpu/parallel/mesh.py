@@ -128,6 +128,27 @@ def replicated_from_local(tree, mesh: Mesh):
     )
 
 
+def broadcast_str(s: str, max_len: int = 512) -> str:
+    """Broadcast a (short) string from process 0 to every process.
+
+    Used for run-scoped paths that must be identical job-wide (the stamped
+    logdir). Identity on a single process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len + 1, np.uint8)
+    b = s.encode("utf-8")
+    assert len(b) <= max_len, f"broadcast_str: {len(b)} > {max_len} bytes"
+    buf[0] = 1  # sentinel so an all-zero payload still decodes as ""
+    buf[1 : 1 + len(b)] = np.frombuffer(b, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    payload = bytes(out[1:])
+    return payload.rstrip(b"\x00").decode("utf-8")
+
+
 _pad_warned = False
 
 

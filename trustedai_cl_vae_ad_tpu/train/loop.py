@@ -47,6 +47,16 @@ class BetaAnnealing:
 TRAIN_STATE_FILE = "train_state.json"
 
 
+class _NullWriter:
+    """Metrics sink for non-primary multi-host processes."""
+
+    def log(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 def save_train_state(logdir: str, epochs_completed: int, step: int, beta: float) -> None:
     import json
 
@@ -96,12 +106,18 @@ def train_model(
     epochs = int(max_epochs if max_epochs is not None else config["training"]["max_epochs"])
     if beta_annealing is None:
         beta_annealing = BetaAnnealing()
+    # multi-host: every process trains (collective steps), but exactly one
+    # writes metrics + the schedule sidecar (interleaved JSONL writers would
+    # corrupt the file); save_model itself gathers to process 0
+    primary = jax.process_index() == 0
     owns_writer = writer is None
     if writer is None:
-        writer = MetricsWriter(logdir)
+        writer = MetricsWriter(logdir) if primary else _NullWriter()
 
     mesh = None
-    if parallel and len(jax.local_devices()) > 1:
+    if parallel and (len(jax.local_devices()) > 1 or jax.process_count() > 1):
+        # multi-host: even one local device per host needs the global mesh —
+        # without it each process would train an independent model
         from trustedai_cl_vae_ad_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh()
@@ -172,7 +188,8 @@ def train_model(
                 # in the final save); a failed periodic save aborts the run
                 # through the exception path, which itself retries a save
                 model.save_model(logdir)
-                save_train_state(logdir, progress[0], step, progress[1])
+                if primary:
+                    save_train_state(logdir, progress[0], step, progress[1])
     except KeyboardInterrupt:
         print("Keyboard Interrupt")  # parity: train.py:124-125 saves on Ctrl-C
     finally:
@@ -190,7 +207,8 @@ def train_model(
         # also drop every buffered metric since the last flush
         try:
             model.save_model(logdir)
-            save_train_state(logdir, progress[0], step, progress[1])
+            if primary:
+                save_train_state(logdir, progress[0], step, progress[1])
         finally:
             if _installed_term:
                 # restore whatever handler the caller had (SIG_DFL if the
