@@ -191,17 +191,19 @@ class VAEModel:
         self.mesh = mesh
         self._zero1 = bool(self.config.get("training", {}).get("zero1", False))
         multiproc = jax.process_count() > 1
-        if multiproc and self._zero1:
-            raise NotImplementedError(
-                "resuming a checkpoint onto a multi-process mesh with "
-                "training.zero1 is not supported yet (the sharded moment "
-                "placement needs a collective scatter); run zero1 multi-host "
-                "from a fresh compile(), or resume with zero1 off")
         if multiproc:
             self.params = replicated_from_local(jax.device_get(self.params), mesh)
             if self.opt_state is not None:
-                self.opt_state = replicated_from_local(
+                state_rep = replicated_from_local(
                     jax.device_get(self.opt_state), mesh)
+                if self._zero1:
+                    # re-shard the replicated restore into the zero1 layout
+                    # (a jit reshard — GSPMD emits the slice per process)
+                    from trustedai_cl_vae_ad_tpu.parallel.zero import zero1_shardings
+
+                    osh = zero1_shardings(state_rep, mesh)
+                    state_rep = jax.jit(lambda t: t, out_shardings=osh)(state_rep)
+                self.opt_state = state_rep
         else:
             self.params = replicate(self.params, mesh)
             if self.opt_state is not None:
@@ -450,19 +452,26 @@ class VAEModel:
             # memory, then let orbax's own multihost protocol coordinate the
             # write — EVERY process must call save (orbax runs cross-process
             # barriers internally; a primary-only call deadlocks the job).
-            # The checkpoint is byte-identical to a single-host save. ZeRO-1
-            # moments are data-sharded (no full local replica): skipped with
-            # a warning until a gather path exists — params always save.
-            def _local(tree):
-                return jax.tree_util.tree_map(
-                    lambda a: np.asarray(a.addressable_data(0))
-                    if isinstance(a, jax.Array) else a, tree)
+            # The checkpoint is byte-identical to a single-host save.
+            # ZeRO-1-sharded moment leaves have no full local replica: a
+            # per-leaf resharding jit all-gathers them first (a transient
+            # leaf-sized replication per chip during the save — bounded by
+            # gathering one leaf at a time). Every process must walk the
+            # same leaf sequence: tree_map order is deterministic.
+            from trustedai_cl_vae_ad_tpu.parallel.mesh import replicated_sharding
 
-            if opt_state is not None and getattr(self, "_zero1", False):
-                print("WARNING: multi-host save with training.zero1 — the "
-                      "data-sharded Adam moments are not gathered; saving "
-                      "params only (resume starts a fresh optimizer)")
-                opt_state = None
+            rep = replicated_sharding(self.mesh)
+
+            def _fetch(a):
+                if not isinstance(a, jax.Array):
+                    return a
+                if not a.is_fully_replicated:
+                    a = jax.jit(lambda x: x, out_shardings=rep)(a)
+                return np.asarray(a.addressable_data(0))
+
+            def _local(tree):
+                return jax.tree_util.tree_map(_fetch, tree)
+
             params = _local(params)
             if opt_state is not None:
                 opt_state = _local(opt_state)
