@@ -16,6 +16,10 @@ import json
 import os
 import time
 
+# SIGTERM/SIGINT stop request, set by main()'s handler and consumed by the
+# run loops at tick boundaries (never mid-dispatch — donation safety).
+STOP_REQUESTED = {"n": 0}
+
 
 def get_args():
     parser = argparse.ArgumentParser()
@@ -310,6 +314,8 @@ def run_all_cameras(args):
     n = 0
     try:
         while args.max_frames is None or n < args.max_frames:
+            if STOP_REQUESTED["n"]:  # deferred SIGTERM/SIGINT (see main)
+                raise KeyboardInterrupt
             t0 = time.perf_counter()
             frames = []
             alive = False
@@ -368,14 +374,23 @@ def main():
     # SIGTERM (supervisor/container stop) kills Python without running the
     # run loops' finally blocks — losing terminate_recording's labels.json +
     # model snapshot and any CL weights trained since the last autosave.
-    # Convert it to KeyboardInterrupt so the existing clean-shutdown path
-    # runs (same pattern as serve.py and train/loop.py).
+    # The handler only RECORDS the stop; the run loops raise
+    # KeyboardInterrupt at the next tick boundary. Raising directly (and
+    # stock Ctrl-C delivery, so SIGINT is converted too) can land inside a
+    # donating dispatch — the frame step donates the ring/scorer state and
+    # the CL step donates (params, opt_state); an exception there leaves
+    # deleted device buffers and the shutdown save itself then crashes
+    # ("Array has been deleted"). A second signal escalates to an immediate
+    # raise (the tick in flight is lost, deliberately).
     import signal
 
-    def _term(_sig, _frm):
-        raise KeyboardInterrupt
+    def _request_stop(_sig, _frm):
+        STOP_REQUESTED["n"] += 1
+        if STOP_REQUESTED["n"] >= 2:
+            raise KeyboardInterrupt
 
-    signal.signal(signal.SIGTERM, _term)
+    signal.signal(signal.SIGTERM, _request_stop)
+    signal.signal(signal.SIGINT, _request_stop)
 
     from trustedai_cl_vae_ad_tpu.stream.capture import make_source
     from trustedai_cl_vae_ad_tpu.stream.engine import (
@@ -461,6 +476,8 @@ def main():
     latencies = []
     try:
         for frame in source:
+            if STOP_REQUESTED["n"]:  # deferred SIGTERM/SIGINT (see main)
+                raise KeyboardInterrupt
             t0 = time.perf_counter()
             result = engine.process_frame(frame, tag=n)
             if result is not None:

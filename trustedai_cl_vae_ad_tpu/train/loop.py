@@ -129,25 +129,36 @@ def train_model(
         model.place_on_mesh(mesh)
 
     step = int(initial_step)
-    # SIGTERM (TPU preemption, container eviction, `timeout`) kills Python
-    # WITHOUT running finally blocks, so the save-on-interrupt path below
-    # would never fire on the most common production stop signal. Convert it
-    # to KeyboardInterrupt for the duration of training (same pattern as
-    # serve.py's clean shutdown); restored on exit. Signal handlers can only
-    # be installed from the main thread — elsewhere (e.g. a test harness
-    # thread) training proceeds without the conversion.
+    # Interrupt-safe stop handling. Two requirements meet here:
+    # (a) SIGTERM (TPU preemption, container eviction, `timeout`) kills
+    #     Python WITHOUT running finally blocks, so the save-on-interrupt
+    #     path below would never fire on the most common production stop
+    #     signal;
+    # (b) the train step DONATES (params, opt_state): an exception raised
+    #     mid-dispatch leaves the model referencing deleted device buffers,
+    #     and the rescue save then dies with "Array has been deleted" —
+    #     so neither SIGTERM nor Ctrl-C may raise inside the step.
+    # The handler therefore only RECORDS the stop request; the epoch loop
+    # raises KeyboardInterrupt at the next batch boundary, where the state
+    # is whole. A second signal escalates to an immediate raise (the step
+    # in flight is then lost, deliberately). Handlers can only be installed
+    # from the main thread — elsewhere (e.g. a test harness thread)
+    # training proceeds with stock delivery.
     import signal
     import threading
 
-    _prev_term = None
-    _installed_term = False
-    if threading.current_thread() is threading.main_thread():
-        def _term(_sig, _frm):
+    _stop = {"n": 0}
+
+    def _request_stop(_sig, _frm):
+        _stop["n"] += 1
+        if _stop["n"] >= 2:
             raise KeyboardInterrupt
 
-        _prev_term = signal.getsignal(signal.SIGTERM)
-        signal.signal(signal.SIGTERM, _term)
-        _installed_term = True
+    _prev_handlers = []
+    if threading.current_thread() is threading.main_thread():
+        for _s in (signal.SIGTERM, signal.SIGINT):
+            _prev_handlers.append((_s, signal.getsignal(_s)))
+            signal.signal(_s, _request_stop)
     # (epochs_completed, beta-at-that-boundary) updated in ONE tuple
     # assignment after each anneal: an interrupt can land between
     # on_epoch_end (which mutates model.beta) and the bookkeeping, and saving
@@ -170,11 +181,15 @@ def train_model(
                 if step % log_every == 0:
                     writer.log(step, jax.device_get(loss), prefix="train/")
                 step += 1
+                if _stop["n"]:  # deferred SIGTERM/SIGINT: state is whole here
+                    raise KeyboardInterrupt
             # Validation pass
             if data.get("val") is not None:
                 val_losses = []
                 for batch in _iter_images(data["val"]):
                     val_losses.append(jax.device_get(model.test_step(batch)))
+                    if _stop["n"]:
+                        raise KeyboardInterrupt
                 if val_losses:
                     mean_val = {
                         k: float(np.mean([d[k] for d in val_losses])) for k in val_losses[0]
@@ -190,6 +205,8 @@ def train_model(
                 model.save_model(logdir)
                 if primary:
                     save_train_state(logdir, progress[0], step, progress[1])
+            if _stop["n"]:  # signal landed during val/anneal/periodic save
+                raise KeyboardInterrupt
     except KeyboardInterrupt:
         print("Keyboard Interrupt")  # parity: train.py:124-125 saves on Ctrl-C
     finally:
@@ -210,11 +227,10 @@ def train_model(
             if primary:
                 save_train_state(logdir, progress[0], step, progress[1])
         finally:
-            if _installed_term:
+            for _s, _h in _prev_handlers:
                 # restore whatever handler the caller had (SIG_DFL if the
                 # previous one came from C and is unrepresentable)
-                signal.signal(signal.SIGTERM, _prev_term
-                              if _prev_term is not None else signal.SIG_DFL)
+                signal.signal(_s, _h if _h is not None else signal.SIG_DFL)
             if owns_writer:
                 writer.close()
     return model
