@@ -175,6 +175,27 @@ def test_camera_streamer_sigterm_finalizes_recording(tmp_path):
     assert os.path.isdir(os.path.join(instance, "model"))
 
 
+def test_defer_signals_blocks_until_exit():
+    """defer_signals (the donation-safety mask around every donating
+    dispatch): a signal delivered inside the block is deferred to the
+    context exit — never mid-donation."""
+    import signal
+
+    from trustedai_cl_vae_ad_tpu.utils.profiling import defer_signals
+
+    hits = []
+    prev = signal.signal(signal.SIGTERM, lambda s, f: hits.append(s))
+    try:
+        with defer_signals():
+            os.kill(os.getpid(), signal.SIGTERM)
+            # handling is deferred: the user handler must NOT have run yet
+            assert hits == []
+        # mask restored on exit: the pending signal fires here
+        assert hits == [signal.SIGTERM]
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
 def test_profiler_trace_smoke(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -437,9 +437,16 @@ class VAEModel:
             # every path now agrees uint8 means raw 0-255 pixels)
             x = _as_image_input(x)
         rng = self._next_rng()
-        self.params, self.opt_state, loss, x_hat = self._train_step_j(
-            self.params, self.opt_state, x, rng
-        )
+        from trustedai_cl_vae_ad_tpu.utils.profiling import defer_signals
+
+        # the step donates (params, opt_state): a KeyboardInterrupt delivered
+        # between donation and this re-assignment would leave the model
+        # holding deleted buffers (and the rescue save crashing) — defer
+        # signal delivery past the assignment
+        with defer_signals():
+            self.params, self.opt_state, loss, x_hat = self._train_step_j(
+                self.params, self.opt_state, x, rng
+            )
         return loss, x_hat
 
     # -- checkpointing (ABI: log dir with encoder/ decoder/ config.yml) ------------

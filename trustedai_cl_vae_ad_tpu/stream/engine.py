@@ -406,12 +406,17 @@ class StreamingEngine:
         idx = self.ring_idx = (self.ring_idx + 1) % self.RING_SIZE
         self.ring_filled = min(self.ring_filled + 1, self.RING_SIZE)
 
-        (self.ring, maps, scalars, norm_u8, rec_u8, score_count) = self._infer_score_j(
-            self._serve_params, self.ring, idx, jnp.asarray(frame_u8),
-            self.score_state.maps, self.score_state.scalars, alpha,
-            jnp.bool_(self.ring_filled == 1),
-        )
-        self.score_state = StreamScoreState(maps, scalars)
+        from trustedai_cl_vae_ad_tpu.utils.profiling import defer_signals
+
+        # the dispatch donates the ring + scorer state: defer signal delivery
+        # past the re-assignment so an interrupt never strands deleted buffers
+        with defer_signals():
+            (self.ring, maps, scalars, norm_u8, rec_u8, score_count) = self._infer_score_j(
+                self._serve_params, self.ring, idx, jnp.asarray(frame_u8),
+                self.score_state.maps, self.score_state.scalars, alpha,
+                jnp.bool_(self.ring_filled == 1),
+            )
+            self.score_state = StreamScoreState(maps, scalars)
         record_frame = frame_u8
         if self.pipelined:
             # keep the raw frame (and its tag) with its in-flight result so
@@ -514,9 +519,13 @@ class StreamingEngine:
             stacked = self.ring
             weights = jnp.ones(self.RING_SIZE, jnp.float32)
         rng = self.model._next_rng()
-        (self.model.params, self.model.opt_state, loss, _x_hat) = self._cl_step_j(
-            self.model.params, self.model.opt_state, stacked, weights, rng
-        )
+        from trustedai_cl_vae_ad_tpu.utils.profiling import defer_signals
+
+        # donating step: see VAEModel.train_step_and_run
+        with defer_signals():
+            (self.model.params, self.model.opt_state, loss, _x_hat) = self._cl_step_j(
+                self.model.params, self.model.opt_state, stacked, weights, rng
+            )
         self.cl_epochs += 1
         self._refresh_serve_params()  # serving copy tracks the trained params
         # one pipelined fetch for the whole dict — per-scalar float() costs a

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from trustedai_cl_vae_ad_tpu.ops import stream_score
+from trustedai_cl_vae_ad_tpu.utils.profiling import defer_signals as _defer_signals
 
 
 @dataclass
@@ -454,15 +455,17 @@ class MultiCameraEngine:
             replay_w[: self.replay_n] = 1.0
             weights = jnp.asarray(
                 np.concatenate([self._cl_valid.reshape(-1), replay_w]))
-            (self.model.params, self.model.opt_state, loss) = self._cl_step_replay_j(
-                self.model.params, self.model.opt_state, self._cl_ring,
-                self.replay_buffer, weights, rng
-            )
+            with _defer_signals():  # donating step: see VAEModel.train_step_and_run
+                (self.model.params, self.model.opt_state, loss) = self._cl_step_replay_j(
+                    self.model.params, self.model.opt_state, self._cl_ring,
+                    self.replay_buffer, weights, rng
+                )
         else:
             weights = jnp.asarray(self._cl_valid.reshape(-1))
-            (self.model.params, self.model.opt_state, loss) = self._cl_step_j(
-                self.model.params, self.model.opt_state, self._cl_ring, weights, rng
-            )
+            with _defer_signals():
+                (self.model.params, self.model.opt_state, loss) = self._cl_step_j(
+                    self.model.params, self.model.opt_state, self._cl_ring, weights, rng
+                )
         self.cl_epochs += 1
         self._refresh_serve_params()  # serving copy tracks the trained params
         # one pipelined fetch for the whole dict — per-scalar float() costs a
@@ -670,17 +673,21 @@ class MultiCameraEngine:
                     f = self._host_resize(i, f, ref_shape)
                 batch[i] = f
 
-        (self.maps, self.scalars, norm_u8, rec_u8, score_count, x_dev) = self._step_j(
-            self._serve_params, jnp.asarray(batch), self.maps, self.scalars,
-            jnp.float32(self.stream_error_ma), jnp.asarray(valid),
-        )
+        # the tick donates the scorer maps/scalars (and the CL-ring store
+        # donates the ring): defer signal delivery past each re-assignment
+        with _defer_signals():
+            (self.maps, self.scalars, norm_u8, rec_u8, score_count, x_dev) = self._step_j(
+                self._serve_params, jnp.asarray(batch), self.maps, self.scalars,
+                jnp.float32(self.stream_error_ma), jnp.asarray(valid),
+            )
 
         if self.enable_cont_learning:
             self._ensure_cl()
             slot = self._cl_tick % self.cl_ring_ticks
-            self._cl_ring = self._store_tick_j(
-                self._cl_ring, x_dev, jnp.int32(slot)
-            )
+            with _defer_signals():
+                self._cl_ring = self._store_tick_j(
+                    self._cl_ring, x_dev, jnp.int32(slot)
+                )
             self._cl_valid[slot] = valid.astype(np.float32)
             self._cl_tick += 1
             if (now - self._last_cl_t) * 1000.0 > self.continuous_learning_period_ms:

@@ -23,6 +23,47 @@ import numpy as np
 
 
 @contextlib.contextmanager
+def defer_signals(sigs=None):
+    """Defer SIGINT/SIGTERM handling to the end of the block.
+
+    Used around every donating-dispatch + state-assignment window
+    (VAEModel.train_step_and_run, the streaming engines' frame/CL steps): the
+    step DONATES its input buffers, so a KeyboardInterrupt delivered between
+    donation and the state re-assignment leaves the caller referencing
+    deleted device arrays — the rescue save then dies with "Array has been
+    deleted". Temporarily swaps in a handler that only records the signal,
+    then restores the original handler on exit and re-raises any recorded
+    signals there, where the state is whole. Handler swap (not
+    pthread_sigmask) because the OS may deliver the signal to ANY unblocked
+    thread — masking only the main thread still lets the Python-level
+    handler fire mid-block. Python runs signal handlers in the main thread
+    only, and signal.signal is main-thread-only, so this is a no-op
+    elsewhere. A few µs per step against multi-ms steps.
+    """
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        yield
+        return
+    if sigs is None:
+        sigs = (signal.SIGINT, signal.SIGTERM)
+    pending: list[int] = []
+    previous = {}
+    for s in sigs:
+        previous[s] = signal.signal(s, lambda signum, frame: pending.append(signum))
+    try:
+        yield
+    finally:
+        for s, handler in previous.items():
+            signal.signal(s, handler)
+        # re-deliver through the restored dispositions, once per distinct
+        # signal (SIG_DFL terminates here — correct deferral semantics)
+        for signum in dict.fromkeys(pending):
+            signal.raise_signal(signum)
+
+
+@contextlib.contextmanager
 def trace(logdir: str):
     """jax.profiler trace context; view with TensorBoard's profile plugin."""
     jax.profiler.start_trace(logdir)
