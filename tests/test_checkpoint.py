@@ -275,3 +275,72 @@ def test_structure_mismatch_excludes_corruption():
     assert not _is_structure_mismatch(ValueError("checksum mismatch on shard 3"))
     assert not _is_structure_mismatch(OSError("CRC-32C mismatch reading array"))
     assert not _is_structure_mismatch(OSError("read failed: connection reset"))
+
+
+def test_async_saver_roundtrip_with_donated_buffers(tmp_path):
+    """AsyncSaver: the disk write is backgrounded, but the device->host copy
+    happens inside save() — deleting the device buffers the moment save()
+    returns (exactly what the donating train step does on the next batch)
+    must not corrupt the checkpoint. Commit callbacks run at wait(), never
+    before, and only once."""
+    import jax.numpy as jnp
+
+    from trustedai_cl_vae_ad_tpu.train.checkpoint import (
+        AsyncSaver, restore_checkpoint)
+
+    params = {
+        "encoder": {"w": jnp.arange(4096, dtype=jnp.float32).reshape(64, 64)},
+        "decoder": {"w": jnp.full((32, 32), 7.0, jnp.bfloat16)},
+    }
+    expected_enc = np.asarray(params["encoder"]["w"])
+    expected_dec = np.asarray(params["decoder"]["w"], dtype=np.float32)
+
+    saver = AsyncSaver()
+    commits = []
+    try:
+        saver.save(str(tmp_path), params)
+        saver.add_commit_callback(lambda: commits.append("round1"))
+        # simulate donation: the caller's device buffers die immediately
+        params["encoder"]["w"].delete()
+        params["decoder"]["w"].delete()
+        assert commits == []  # sidecar must not land before the weights
+        saver.wait()
+        assert commits == ["round1"]
+        saver.wait()
+        assert commits == ["round1"]  # callbacks fire exactly once
+    finally:
+        saver.close()
+
+    like = {"encoder": {"w": np.zeros((64, 64), np.float32)},
+            "decoder": {"w": np.zeros((32, 32), jnp.bfloat16)}}
+    restored, _ = restore_checkpoint(str(tmp_path), like)
+    np.testing.assert_array_equal(np.asarray(restored["encoder"]["w"]), expected_enc)
+    np.testing.assert_array_equal(
+        np.asarray(restored["decoder"]["w"], dtype=np.float32), expected_dec)
+
+
+def test_async_saver_second_save_waits_out_the_first(tmp_path):
+    """A second save() round drains the first (orbax forbids overlapping
+    saves per checkpointer) and commits its callbacks before starting."""
+    import jax.numpy as jnp
+
+    from trustedai_cl_vae_ad_tpu.train.checkpoint import (
+        AsyncSaver, restore_checkpoint)
+
+    saver = AsyncSaver()
+    order = []
+    try:
+        p1 = {"encoder": {"w": jnp.zeros((8, 8))}, "decoder": {"w": jnp.zeros((8, 8))}}
+        saver.save(str(tmp_path), p1)
+        saver.add_commit_callback(lambda: order.append("commit1"))
+        p2 = {"encoder": {"w": jnp.ones((8, 8))}, "decoder": {"w": jnp.ones((8, 8))}}
+        saver.save(str(tmp_path), p2)  # must commit round 1 first
+        assert order == ["commit1"]
+        saver.add_commit_callback(lambda: order.append("commit2"))
+    finally:
+        saver.close()
+    assert order == ["commit1", "commit2"]
+    like = {"encoder": {"w": np.zeros((8, 8), np.float32)},
+            "decoder": {"w": np.zeros((8, 8), np.float32)}}
+    restored, _ = restore_checkpoint(str(tmp_path), like)
+    np.testing.assert_array_equal(np.asarray(restored["encoder"]["w"]), 1.0)

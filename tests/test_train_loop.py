@@ -352,3 +352,135 @@ def test_interrupt_during_anneal_saves_consistent_pair(tmp_path):
     # resumed re-run anneals exactly once
     assert state["epochs_completed"] == 0
     assert state["beta"] == pytest.approx(beta0)
+
+
+def test_lr_schedule_fn_reference_semantics():
+    """The reference's (dead) schedule, train.py:33-37: base lr for the first
+    10 epochs, then x exp(-0.1) per epoch — Keras calls schedule(epoch, lr)
+    at epoch START, so epoch 10 is the first decayed one."""
+    import math
+
+    from trustedai_cl_vae_ad_tpu.train.loop import lr_schedule_fn
+
+    config = {"training": {"learning_rate": 1e-3, "max_epochs": 20,
+                           "lr_schedule": "reference"}}
+    sched = lr_schedule_fn(config)
+    for e in range(10):
+        assert sched(e) == pytest.approx(1e-3)
+    assert sched(10) == pytest.approx(1e-3 * math.exp(-0.1))
+    assert sched(15) == pytest.approx(1e-3 * math.exp(-0.6))
+
+    # constant default: knob absent -> None (reference runtime behavior)
+    assert lr_schedule_fn({"training": {"learning_rate": 1e-3}}) is None
+
+    # cosine: base at 0, min_fraction*base at decay_epochs
+    config["training"]["lr_schedule"] = {
+        "type": "cosine", "decay_epochs": 8, "min_fraction": 0.1}
+    cos = lr_schedule_fn(config)
+    assert cos(0) == pytest.approx(1e-3)
+    assert cos(4) == pytest.approx(1e-3 * (0.1 + 0.9 * 0.5))
+    assert cos(8) == pytest.approx(1e-4)
+    assert cos(12) == pytest.approx(1e-4)  # clamped past decay_epochs
+
+    with pytest.raises(ValueError):
+        lr_schedule_fn({"training": {"learning_rate": 1e-3,
+                                     "lr_schedule": "sawtooth"}})
+    with pytest.raises(ValueError):
+        lr_schedule_fn({"training": {"learning_rate": 1e-3,
+                                     "lr_schedule": {"decay": 0.1}}})
+
+
+def test_lr_schedule_applied_per_epoch_and_on_resume(loop_setup):
+    """train_model dials lr(epoch) at each epoch start through the injected
+    hyperparam (no recompile), logs it, and a resumed run recomputes the
+    schedule value for initial_epoch (lr is pure in epoch — no sidecar)."""
+    import math
+
+    from trustedai_cl_vae_ad_tpu.train.loop import train_model
+
+    config, model, data = loop_setup
+    config["training"]["lr_schedule"] = {
+        "type": "exponential", "hold_epochs": 1, "decay": 0.5}
+    base = config["training"]["learning_rate"]
+
+    applied = []
+    real_dial = model.set_learning_rate
+    model.set_learning_rate = lambda lr: (applied.append(lr), real_dial(lr))
+
+    train_model(config, model, data, parallel=False)  # 2 epochs
+    assert applied == [pytest.approx(base),
+                       pytest.approx(base * math.exp(-0.5))]
+    # the live optimizer carries the last epoch's value
+    assert model.learning_rate == pytest.approx(base * math.exp(-0.5))
+    # per-epoch lr lands in the metrics stream
+    lines = [json.loads(l) for l in open(os.path.join(config["logdir"], "metrics.jsonl"))]
+    lrs = [l["train/learning_rate"] for l in lines if "train/learning_rate" in l]
+    assert lrs == [pytest.approx(base), pytest.approx(base * math.exp(-0.5))]
+
+    # resume at epoch 2 of 3: the first dial is sched(2), not the base lr
+    applied.clear()
+    config2 = dict(config, logdir=config["logdir"] + "_resumed")
+    config2["training"] = dict(config["training"], max_epochs=3)
+    os.makedirs(config2["logdir"])
+    train_model(config2, model, data, parallel=False, initial_epoch=2)
+    assert applied == [pytest.approx(base * math.exp(-1.0))]
+
+
+def test_async_periodic_checkpointing(tmp_path, monkeypatch):
+    """training.async_checkpoint backgrounds the periodic disk writes: the
+    loop routes saves through an AsyncSaver, the sidecar still lands only
+    after the weights commit (same values as the sync path), and the final
+    checkpoint is restorable with continued-training equivalence to a
+    normally-saved run."""
+    from trustedai_cl_vae_ad_tpu.data.loader import load_data
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.train import checkpoint as ckpt_mod
+    from trustedai_cl_vae_ad_tpu.train import loop as loop_mod
+
+    config = {
+        "data": {"dataset": "synthetic", "image_size": [16, 16, 3], "n_train": 16, "n_val": 8},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4, "w_mse": 1.0,
+                 "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 8, "beta": 1.0, "learning_rate": 1e-3,
+                     "max_epochs": 4, "checkpoint_every_epochs": 2,
+                     "async_checkpoint": True},
+        "logdir": str(tmp_path / "run"),
+    }
+    os.makedirs(config["logdir"])
+    model = load_model_from_config(config)
+
+    async_saves, sidecars = [], []
+    real_async_save = ckpt_mod.AsyncSaver.save
+    real_sidecar = loop_mod.save_train_state
+
+    def spy_save(self, log_dir, params, opt_state=None):
+        async_saves.append(log_dir)
+        return real_async_save(self, log_dir, params, opt_state=opt_state)
+
+    def spy_sidecar(logdir, epochs_completed, step, beta):
+        sidecars.append((epochs_completed, step, beta))
+        return real_sidecar(logdir, epochs_completed, step, beta)
+
+    monkeypatch.setattr(ckpt_mod.AsyncSaver, "save", spy_save)
+    monkeypatch.setattr(loop_mod, "save_train_state", spy_sidecar)
+    loop_mod.train_model(config, model, load_data(config), parallel=False)
+
+    # the epoch-2 periodic save went through the async path; the final save
+    # is the normal synchronous end-of-run save
+    assert async_saves == [config["logdir"]]
+    # same sidecar record sequence as the sync path (test_periodic_checkpointing):
+    # the async commit callback wrote epoch 2's state before the final write
+    assert [s[0] for s in sidecars] == [2, 4]
+    assert sidecars[0][2] == pytest.approx(0.98**2, rel=1e-6)
+
+    # restorable end state: resume loads weights + optimizer and trains
+    resumed = load_model_from_config(config)
+    resumed.compile()
+    resumed.load_model(config["logdir"], restore_optimizer=True)
+    state = loop_mod.load_train_state(config["logdir"])
+    assert state["epochs_completed"] == 4
+    x = np.random.default_rng(0).random((8, 16, 16, 3), np.float32)
+    loss = resumed.train_step(x)
+    assert np.isfinite(float(loss["loss"]))

@@ -450,7 +450,13 @@ class VAEModel:
         return loss, x_hat
 
     # -- checkpointing (ABI: log dir with encoder/ decoder/ config.yml) ------------
-    def save_model(self, log_dir: str, include_optimizer: bool = True) -> None:
+    def save_model(self, log_dir: str, include_optimizer: bool = True,
+                   saver=None) -> None:
+        """Checkpoint to ``log_dir``. With ``saver`` (an AsyncSaver) the disk
+        write happens on a background thread — training may continue (and
+        donate these buffers: the D2H copy is in the blocking portion) as
+        soon as this returns. Multi-host saves stay on the synchronous path
+        (orbax's cross-process barrier protocol is validated there)."""
         from trustedai_cl_vae_ad_tpu.train.checkpoint import save_checkpoint
 
         params, opt_state = self.params, self.opt_state if include_optimizer else None
@@ -482,6 +488,9 @@ class VAEModel:
             params = _local(params)
             if opt_state is not None:
                 opt_state = _local(opt_state)
+        if saver is not None and jax.process_count() == 1:
+            saver.save(log_dir, params, opt_state=opt_state)
+            return
         save_checkpoint(log_dir, params, opt_state=opt_state)
 
     def load_model(self, model_path: str, restore_optimizer: Optional[bool] = None) -> None:

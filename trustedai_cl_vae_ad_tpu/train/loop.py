@@ -36,6 +36,56 @@ class BetaAnnealing:
         model.beta = model.beta * self.rate
 
 
+def lr_schedule_fn(config: dict):
+    """``training.lr_schedule`` -> ``lr(epoch)`` callable, or None (constant).
+
+    The reference DEFINES a per-epoch learning-rate schedule (train.py:33-37:
+    hold the base lr for 10 epochs, then multiply by exp(-0.1) each epoch)
+    but never registers it with the callback list (train.py:116-120) — dead
+    code. Here it ships as a working opt-in knob, the same pattern as the
+    post-``exit()`` anomaly dumps. The returned schedule is a pure function
+    of (base lr, epoch index), so ``--resume`` recomputes the correct value
+    for the resumed epoch with no extra sidecar state, and each epoch's value
+    lands through the injected-hyperparam dial (no recompilation —
+    models/wrapper.py set_learning_rate, the mechanism the CL stream uses).
+
+    Accepted specs (``training.lr_schedule``):
+      - ``"reference"`` / ``"exponential"``: the reference's schedule;
+        optional dict form tunes ``hold_epochs`` (default 10) and ``decay``
+        (default 0.1): lr(e) = base * exp(-decay * max(0, e - hold + 1)).
+      - ``{"type": "cosine", "decay_epochs": N, "min_fraction": f}``: cosine
+        from base to f*base over N epochs (default N = max_epochs, f = 0).
+    """
+    import math
+
+    spec = (config.get("training") or {}).get("lr_schedule")
+    if not spec:
+        return None
+    base = float(config["training"]["learning_rate"])
+    if isinstance(spec, str):
+        spec = {"type": spec}
+    if not isinstance(spec, dict) or "type" not in spec:
+        raise ValueError(
+            "training.lr_schedule must be a schedule name or a dict with a "
+            f"'type' key, got: {spec!r}")
+    kind = str(spec["type"]).lower()
+    if kind in ("reference", "exponential"):
+        hold = int(spec.get("hold_epochs", 10))
+        decay = float(spec.get("decay", 0.1))
+        return lambda e: base * math.exp(-decay * max(0, int(e) - hold + 1))
+    if kind == "cosine":
+        total = int(spec.get("decay_epochs",
+                             config["training"]["max_epochs"]))
+        lo = float(spec.get("min_fraction", 0.0))
+
+        def _cosine(e: int) -> float:
+            t = min(max(int(e), 0), total) / max(total, 1)
+            return base * (lo + (1.0 - lo) * 0.5 * (1.0 + math.cos(math.pi * t)))
+
+        return _cosine
+    raise ValueError(f"unknown training.lr_schedule type: {kind!r}")
+
+
 # -- training-progress sidecar ------------------------------------------------
 #
 # The reference's checkpoint holds only weights; a resumed run restarts the
@@ -174,8 +224,29 @@ def train_model(
     # periodic save writes the same logdir checkpoint + sidecar a final save
     # would, so --resume works from the last completed period.
     ckpt_every = int((config.get("training") or {}).get("checkpoint_every_epochs", 0) or 0)
+    # training.async_checkpoint (opt-in): periodic saves return after the
+    # device->host copy and write to disk on a background thread — the loop
+    # keeps training (donating the saved buffers is safe: the copy is in the
+    # blocking portion). The sidecar write becomes a commit callback so it
+    # still lands only AFTER the weights do. Multi-host runs stay on the
+    # synchronous path (orbax's cross-process barriers are validated there).
+    async_saver = None
+    if (config.get("training") or {}).get("async_checkpoint"):
+        if jax.process_count() > 1:
+            print("WARNING: training.async_checkpoint ignored on multi-host "
+                  "runs (synchronous orbax barrier protocol used instead)")
+        else:
+            from trustedai_cl_vae_ad_tpu.train.checkpoint import AsyncSaver
+
+            async_saver = AsyncSaver()
+    # training.lr_schedule (opt-in; the reference's schedule is defined but
+    # never wired — train.py:33-37 vs :116-120). lr(epoch) is pure, so a
+    # resumed run re-dials the correct value for initial_epoch automatically.
+    lr_sched = lr_schedule_fn(config)
     try:
         for epoch in range(int(initial_epoch), epochs):
+            if lr_sched is not None:
+                model.set_learning_rate(lr_sched(epoch))
             for batch in _iter_images(data["train"]):
                 loss = model.train_step(batch)
                 if step % log_every == 0:
@@ -197,14 +268,25 @@ def train_model(
                     writer.log(step, mean_val, prefix="val/")
             beta_annealing.on_epoch_end(model)
             progress = (epoch + 1, float(model.beta))
-            writer.log(step, {"beta": model.beta, "epoch": epoch}, prefix="train/")
+            epoch_log = {"beta": model.beta, "epoch": epoch}
+            if lr_sched is not None:
+                epoch_log["learning_rate"] = model.learning_rate
+            writer.log(step, epoch_log, prefix="train/")
             if ckpt_every and (epoch + 1) % ckpt_every == 0 and (epoch + 1) < epochs:
                 # sidecar only after the weights land (mutual consistency, as
                 # in the final save); a failed periodic save aborts the run
                 # through the exception path, which itself retries a save
-                model.save_model(logdir)
-                if primary:
-                    save_train_state(logdir, progress[0], step, progress[1])
+                if async_saver is not None:
+                    model.save_model(logdir, saver=async_saver)
+                    if primary:
+                        # bind THIS round's values; runs when the round commits
+                        async_saver.add_commit_callback(
+                            lambda e=progress[0], s=step, b=progress[1]:
+                            save_train_state(logdir, e, s, b))
+                else:
+                    model.save_model(logdir)
+                    if primary:
+                        save_train_state(logdir, progress[0], step, progress[1])
             if _stop["n"]:  # signal landed during val/anneal/periodic save
                 raise KeyboardInterrupt
     except KeyboardInterrupt:
@@ -223,10 +305,20 @@ def train_model(
         # times out (e.g. saving FROM a TPU through a flaky tunnel) must not
         # also drop every buffered metric since the last flush
         try:
+            if async_saver is not None:
+                # drain the in-flight periodic write (and its sidecar commit)
+                # before the final synchronous save touches the same paths —
+                # even if that drain fails, close() below still runs
+                async_saver.wait()
             model.save_model(logdir)
             if primary:
                 save_train_state(logdir, progress[0], step, progress[1])
         finally:
+            if async_saver is not None:
+                try:
+                    async_saver.close()
+                except Exception as e:  # never mask the primary failure
+                    print(f"WARNING: async checkpointer close failed: {e}")
             for _s, _h in _prev_handlers:
                 # restore whatever handler the caller had (SIG_DFL if the
                 # previous one came from C and is unrepresentable)
