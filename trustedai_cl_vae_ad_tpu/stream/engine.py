@@ -127,8 +127,19 @@ class StreamingEngine:
         replay_capacity: int = 256,
         quantize: bool = False,
         qparams=None,
+        async_autosave: bool = False,
     ):
         self.model = model
+        # async_autosave: the periodic cache save otherwise blocks the frame
+        # loop for the full disk write of params + Adam moments (~8 GB at
+        # flagship scale — tens of seconds of dropped frames every period).
+        # With an AsyncSaver the tick resumes after the device->host copy
+        # (donation-safe; train/checkpoint.py) and the write backgrounds.
+        # Only the AUTOSAVE path is async: explicit saves and the recording
+        # snapshot (terminate_recording) keep their on-return durability.
+        # Call drain_autosaves() before process exit (the CLIs do).
+        self.async_autosave = bool(async_autosave)
+        self._async_saver = None
         # int8 big-dense kernels for the inference dispatch (ops/quant.py):
         # the per-frame forward is weight-streaming bound, so halving the
         # dominant kernel bytes cuts frame latency. CL keeps float params;
@@ -714,12 +725,33 @@ class StreamingEngine:
         return labels_filename
 
     # ------------------------------------------------------------ model save
-    def save_model_to_dir(self, model_dir: str) -> Optional[str]:
+    def save_model_to_dir(self, model_dir: str, saver=None) -> Optional[str]:
         """Checkpoint + config.yml with embedded cam_info + replay paths
-        (reference save_model_to_dir :946-988)."""
+        (reference save_model_to_dir :946-988). ``saver`` (an AsyncSaver)
+        backgrounds the weight write — autosave_cycle passes the engine's."""
         return save_model_dir(self.model, self.config, model_dir,
                               cam_info=self.cam_info,
-                              replay_paths=self.replay_buffer_paths)
+                              replay_paths=self.replay_buffer_paths,
+                              saver=saver)
+
+    def _get_async_saver(self):
+        """Engine-owned AsyncSaver when async_autosave is on (lazy — an
+        engine that never autosaves never spawns the writer threads)."""
+        if not self.async_autosave:
+            return None
+        if self._async_saver is None:
+            from trustedai_cl_vae_ad_tpu.train.checkpoint import AsyncSaver
+
+            self._async_saver = AsyncSaver()
+        return self._async_saver
+
+    def drain_autosaves(self) -> None:
+        """Block until any in-flight background autosave lands on disk, then
+        release the writer threads. Call before process exit — an unfinished
+        background write cut off by interpreter teardown is a lost save."""
+        if self._async_saver is not None:
+            self._async_saver.close()
+            self._async_saver = None
 
     def save_model_to_dir_by_date(self, model_dir: str) -> Optional[str]:
         now = datetime.datetime.now()
@@ -819,11 +851,21 @@ def write_coco_labels(instance_dir: str, anomaly_score_map: dict) -> str:
 
 
 def save_model_dir(model, config: dict, model_dir: str, cam_info=None,
-                   replay_paths=None) -> str:
+                   replay_paths=None, saver=None) -> str:
     """Checkpoint + config.yml (+ embedded cam_info, + replay provenance
-    CSV) — the log-dir save both engines share (reference :946-988)."""
+    CSV) — the log-dir save both engines share (reference :946-988).
+    With ``saver`` the weight write backgrounds (the config/CSV sidecars are
+    cheap host writes and stay synchronous)."""
     os.makedirs(model_dir, exist_ok=True)
-    model.save_model(model_dir)
+    # int8-boot model stand-ins (QuantizedServingModel) implement only the
+    # plain save signature — fall back to a synchronous save for them
+    # rather than assuming every model grew the ``saver`` parameter
+    import inspect
+
+    if saver is not None and "saver" in inspect.signature(model.save_model).parameters:
+        model.save_model(model_dir, saver=saver)
+    else:
+        model.save_model(model_dir)
     output_config = deepcopy(config)
     if cam_info:
         output_config["cam_info"] = cam_info
@@ -857,9 +899,14 @@ def autosave_cycle(eng, now: float) -> None:
     if not eng.model_changed_flag:
         return
     # a transient save failure (disk full, permissions) must not kill the
-    # caller's frame loop (reference :1004-1008 prints and carries on)
+    # caller's frame loop (reference :1004-1008 prints and carries on).
+    # With async_autosave the weights background-write after the D2H copy;
+    # a failure of the BACKGROUND write surfaces at the next save/drain (the
+    # dirty-flag retry then covers the weights the failed round captured —
+    # CL marks the model dirty again on its next step anyway).
+    saver = getattr(eng, "_get_async_saver", lambda: None)()
     try:
-        eng.save_model_to_dir(eng.model_cache_dir)
+        eng.save_model_to_dir(eng.model_cache_dir, saver=saver)
     except Exception as e:
         print(f"autosave failed (will retry at the next schedule): {e}")
         return  # model stays dirty; the next schedule retries

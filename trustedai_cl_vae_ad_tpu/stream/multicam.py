@@ -86,8 +86,15 @@ class MultiCameraEngine:
         pipelined: bool = False,
         mesh=None,
         qparams=None,
+        async_autosave: bool = False,
     ):
         assert n_streams >= 1
+        # background the periodic cache save (see StreamingEngine: the tick
+        # resumes after the D2H copy instead of the full disk write); call
+        # drain_autosaves() before exit. Fleet CL dirties every period, so
+        # the stall this removes recurs at the autosave cadence.
+        self.async_autosave = bool(async_autosave)
+        self._async_saver = None
         if mesh is not None:
             # streams shard over the 'data' axis: K cameras per tick split
             # across chips, params replicated — the per-chip capacity story
@@ -612,14 +619,31 @@ class MultiCameraEngine:
         return root
 
     # ----------------------------------------------------------- model save
-    def save_model_to_dir(self, model_dir: str) -> str:
+    def save_model_to_dir(self, model_dir: str, saver=None) -> str:
         """Checkpoint + config.yml + replay provenance — the same log-dir
         ABI every tool loads (StreamingEngine.save_model_to_dir minus
         cam_info, which is a single-stream concept)."""
         from trustedai_cl_vae_ad_tpu.stream.engine import save_model_dir
 
         return save_model_dir(self.model, self.config, model_dir,
-                              replay_paths=self.replay_buffer_paths)
+                              replay_paths=self.replay_buffer_paths,
+                              saver=saver)
+
+    def _get_async_saver(self):
+        if not self.async_autosave:
+            return None
+        if self._async_saver is None:
+            from trustedai_cl_vae_ad_tpu.train.checkpoint import AsyncSaver
+
+            self._async_saver = AsyncSaver()
+        return self._async_saver
+
+    def drain_autosaves(self) -> None:
+        """Block until any in-flight background autosave lands; release the
+        writer threads (see StreamingEngine.drain_autosaves)."""
+        if self._async_saver is not None:
+            self._async_saver.close()
+            self._async_saver = None
 
     def schedule_model_save(self) -> None:
         self.schedule_model_save_flag = True
