@@ -57,6 +57,12 @@ def get_args():
     parser.add_argument("--quantize", action="store_true",
                         help="int8 inference dispatch (ops/quant.py); CL "
                              "re-quantizes the serving copy after each step")
+    parser.add_argument("--autosave-period-s", type=float, default=5 * 60.0,
+                        help="Seconds between scheduled model-cache saves "
+                             "(reference hardcodes 5 min, :251-253)")
+    parser.add_argument("--async-autosave", action="store_true",
+                        help="Background the periodic model-cache writes "
+                             "(see camera_streamer.py --async-autosave)")
     parser.add_argument("--warmup", nargs="?", const="native", default=None,
                         metavar="HxW",
                         help="Pre-compile the frame dispatch before the GUI "
@@ -100,6 +106,8 @@ if HAVE_QT:
             self.cam_info = self.cam_config["camera_list"][self.cam_config_idx]
             self.anomaly_settings = self.cam_config.get("anomaly_settings")
             self.model_cache_dir = args.model_cache_dir
+            self.autosave_period_s = float(getattr(args, "autosave_period_s", 5 * 60.0))
+            self.async_autosave = bool(getattr(args, "async_autosave", False))
             self.quantize = bool(getattr(args, "quantize", False))
             self.warmup = getattr(args, "warmup", None)
             self.engine = None
@@ -234,6 +242,8 @@ if HAVE_QT:
                 model_dir,
                 anomaly_settings=self.anomaly_settings,
                 model_cache_dir=self.model_cache_dir,
+                autosave_period_s=self.autosave_period_s,
+                async_autosave=self.async_autosave,
                 metrics=metrics,
                 quantize=self.quantize,
             )
@@ -265,6 +275,12 @@ if HAVE_QT:
                     pass
                 if hasattr(self, "record_btn"):
                     self.record_btn.setChecked(False)
+            # an in-flight background autosave (--async-autosave) must land
+            # before the engine object is dropped
+            try:
+                old.drain_autosaves()
+            except Exception as e:
+                print(f"autosave drain failed: {e}")
             if getattr(old, "metrics", None) is not None:
                 try:
                     old.metrics.close()
@@ -387,6 +403,8 @@ if HAVE_QT:
                     anomaly_settings=self.anomaly_settings,
                     cam_info=self.cam_info,
                     model_cache_dir=self.model_cache_dir,
+                    autosave_period_s=self.autosave_period_s,
+                    async_autosave=self.async_autosave,
                     metrics=metrics,
                     quantize=self.quantize,
                 )
@@ -561,7 +579,15 @@ def main():
     app = QApplication(sys.argv)
     window = CameraStreamerMainWindow(args)
     window.show()
-    raise SystemExit(app.exec_())
+    code = app.exec_()
+    # drain any in-flight background autosave (--async-autosave) before
+    # interpreter teardown — a cut-off write is a lost save
+    if window.engine is not None:
+        try:
+            window.engine.drain_autosaves()
+        except Exception as e:
+            print(f"autosave drain failed: {e}")
+    raise SystemExit(code)
 
 
 if __name__ == "__main__":
