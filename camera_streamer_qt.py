@@ -62,7 +62,10 @@ def get_args():
                              "(reference hardcodes 5 min, :251-253)")
     parser.add_argument("--async-autosave", action="store_true",
                         help="Background the periodic model-cache writes "
-                             "(see camera_streamer.py --async-autosave)")
+                             "(see camera_streamer.py --async-autosave). "
+                             "Note: switching models or quitting drains any "
+                             "in-flight write first — the UI may stall for "
+                             "a few seconds at those two moments")
     parser.add_argument("--warmup", nargs="?", const="native", default=None,
                         metavar="HxW",
                         help="Pre-compile the frame dispatch before the GUI "

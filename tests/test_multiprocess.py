@@ -145,6 +145,74 @@ def test_train_cli_two_process(tmp_path):
     assert np.isfinite(float(loss["loss"]))
 
 
+def test_train_cli_two_process_contended_host(tmp_path):
+    """Teardown under host load (VERDICT r4 #7): with the host CPU-saturated,
+    the primary's post-train work (metrics flush, checkpoint commit) lags the
+    worker — which previously hit the coordination-service shutdown barrier's
+    fixed timeout and turned a SUCCESSFUL run into nonzero exits. train.py now
+    synchronizes all processes and shuts the service down tolerantly
+    (parallel/mesh.distributed_teardown), so both processes must exit 0 even
+    with competing load."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        "loss: {w_mse: 1., kurtosis: 1.8, w_kurtosis: 1.0e-4, w_skew: 0.0, "
+        "w_kl_divergence: 0.0, w_z_l1_reg: 0.0}\n"
+        "data: {dataset: synthetic, n_train: 16, n_val: 0, image_size: [16, 16, 3]}\n"
+        "training: {beta: 1.0e-6, learning_rate: 1.0e-4, batch_size: 8, max_epochs: 1}\n"
+        "model: {type: KurtosisGlobal, latent_dimensions: 8, layers: [4], "
+        "decoder_dense_filters: 4}\n"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env.update(TCVAE_PLATFORM="cpu", TCVAE_CPU_DEVICES="4",
+               TCVAE_CPU_COLLECTIVES="gloo", PYTHONPATH=repo)
+    # load the (1-core) host DURING training + teardown — this is what made
+    # the in-suite run blow the shutdown barrier before the teardown fix.
+    # The load starts after gloo connection setup (sleep) and runs niced:
+    # saturating the core during the connect phase fails startup instead,
+    # which is a different (environment-only) failure than the one under test
+    burners = [
+        subprocess.Popen(
+            ["sh", "-c",
+             f"sleep 20; exec nice -n 5 {sys.executable} -c "
+             "'\nwhile True: sum(range(10000))'"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for _ in range(2)
+    ]
+    try:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.join(repo, "train.py"), str(cfg),
+                 "--coordinator", f"localhost:{port}",
+                 "--num-processes", "2", "--process-id", str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=str(tmp_path), env=env)
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+    finally:
+        for b in burners:
+            b.kill()
+        for b in burners:
+            b.wait(timeout=30)
+    logdir = None
+    for line in outs[0].splitlines():
+        if line.startswith("Log dir: "):
+            logdir = line.split("Log dir: ")[1].strip()
+    assert logdir and os.path.isdir(os.path.join(logdir, "encoder")), outs[0][-2000:]
+    state = json.load(open(os.path.join(logdir, "train_state.json")))
+    assert state["epochs_completed"] == 1
+
+
 def test_train_cli_two_process_zero1(tmp_path):
     """Multi-host + training.zero1: the Adam moments are data-sharded across
     processes during training, the save's per-leaf resharding jit all-gathers

@@ -77,12 +77,54 @@ def validate_logdir(log_dir: str) -> dict:
         for sub in ("encoder", "decoder")
     }
 
+    # -- checkpoint-round layout (crash-atomic saves): restore reads the
+    # newest COMPLETE round; report which, and flag interrupted saves
+    from trustedai_cl_vae_ad_tpu.train.checkpoint import (
+        ROUNDS_SUBDIR,
+        _complete_rounds,
+        resolve_round_dir,
+    )
+
+    base = resolve_round_dir(log_dir)
+    rounds_path = os.path.join(log_dir, ROUNDS_SUBDIR)
+    rounds = _complete_rounds(rounds_path)
+    if rounds:
+        info["layout"] = "rounds"
+        info["rounds_complete"] = len(rounds)
+        info["round_selected"] = os.path.basename(base)
+        stale_tmp = [n for n in os.listdir(rounds_path) if n.startswith(".tmp-")]
+        if stale_tmp:
+            warnings.append(
+                f"{len(stale_tmp)} interrupted save round(s) in rounds/ "
+                f"(e.g. {stale_tmp[0]}) — a save was killed or failed "
+                "mid-write; harmless (never selected by restore, swept at "
+                "the next save)")
+        cur = os.path.join(log_dir, "current")
+        cur_name = (os.path.basename(os.readlink(cur).rstrip("/"))
+                    if os.path.islink(cur) else None)
+        if cur_name != os.path.basename(base):
+            warnings.append(
+                f"'current' pointer is {cur_name or 'missing'} but the "
+                f"newest complete round is {os.path.basename(base)} — a "
+                "save was interrupted between commit and pointer swap; "
+                "restore uses the pointer's round when valid, else the "
+                "newest complete round")
+        for sub in ("encoder", "decoder", "optimizer"):
+            p = os.path.join(log_dir, sub)
+            if os.path.isdir(p) and not os.path.islink(p):
+                warnings.append(
+                    f"{sub}/ is an in-place directory but rounds/ also "
+                    "exists — restore prefers the newest complete round; "
+                    "the next save upgrades this to a symlink")
+    else:
+        info["layout"] = "legacy"
+
     # -- encoder/ decoder/ orbax checkpoints: present + metadata shape match
     import orbax.checkpoint as ocp
 
     ck = ocp.StandardCheckpointer()
     for sub in ("encoder", "decoder"):
-        path = os.path.abspath(os.path.join(log_dir, sub))
+        path = os.path.abspath(os.path.join(base, sub))
         if not os.path.isdir(path):
             errors.append(f"{sub}/ checkpoint missing")
             continue
@@ -120,7 +162,7 @@ def validate_logdir(log_dir: str) -> dict:
                             f"config-derived tree (e.g. {sorted(extra)[:2]})")
 
     # -- optimizer/ (resume capability)
-    if os.path.isdir(os.path.join(log_dir, "optimizer")):
+    if os.path.isdir(os.path.join(base, "optimizer")):
         info["optimizer_state"] = True
     else:
         info["optimizer_state"] = False

@@ -98,8 +98,10 @@ def main():
 
         from trustedai_cl_vae_ad_tpu.train.loop import load_train_state
 
+        from trustedai_cl_vae_ad_tpu.train.checkpoint import resolve_round_dir
+
         print(f"Resuming from: {args.resume}")
-        if not os.path.exists(os.path.join(args.resume, "optimizer")):
+        if not os.path.exists(os.path.join(resolve_round_dir(args.resume), "optimizer")):
             print("WARNING: no optimizer/ checkpoint in the resume dir — "
                   "weights restored, Adam moments start fresh")
         model.load_model(args.resume, restore_optimizer=True)
@@ -127,6 +129,12 @@ def main():
             print("multi-host run: skipping in-process eval artifacts "
                   "(run output_reconstructions.py / the latent tools on "
                   f"{config['logdir']})")
+        # synchronize + shut the coordination service down HERE, tolerantly:
+        # leaving it to interpreter exit races a slow primary against the
+        # workers' fixed shutdown barrier and fails successful runs
+        from trustedai_cl_vae_ad_tpu.parallel.mesh import distributed_teardown
+
+        distributed_teardown()
         return
     evaluate(config, model, data)
 

@@ -510,9 +510,16 @@ class VAEModel:
         """
         import os as _os
 
-        from trustedai_cl_vae_ad_tpu.train.checkpoint import restore_checkpoint
+        from trustedai_cl_vae_ad_tpu.train.checkpoint import (
+            resolve_round_dir,
+            restore_checkpoint,
+        )
 
-        has_opt_ckpt = _os.path.exists(_os.path.join(model_path, "optimizer"))
+        # resolve the round layout (not the ABI symlink: a logdir whose
+        # commit died before the stable symlinks ever existed still has its
+        # optimizer inside the newest complete round)
+        has_opt_ckpt = _os.path.exists(
+            _os.path.join(resolve_round_dir(model_path), "optimizer"))
         if restore_optimizer is True and self.optimizer is None and has_opt_ckpt:
             self.compile()
         want_opt = restore_optimizer is not False and self.optimizer is not None

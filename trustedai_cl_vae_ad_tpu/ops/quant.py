@@ -275,19 +275,52 @@ def save_quantized_checkpoint(log_dir: str, qparams: dict) -> str:
     import numpy as np
     import orbax.checkpoint as ocp
 
+    import json
+    import shutil
+
+    # Crash-safe replace (same principle as train/checkpoint.py's round
+    # layout): orbax ``force=True`` would rmtree the existing sidecar BEFORE
+    # writing its replacement — a kill mid-write destroys the only copy.
+    # Stage the new tree in a sibling dir (orbax's own tmp+rename makes the
+    # staging dir appear only when complete), stamp provenance (the staging
+    # completion marker), then swap with two renames; loaders heal a kill
+    # between the renames (_heal_quantized).
     path = os.path.abspath(os.path.join(log_dir, QUANTIZED_SUBDIR))
+    staging, old = path + ".staging", path + ".old"
+    for leftover in (staging, old):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
     host = jax.tree_util.tree_map(np.asarray, qparams)
     ck = ocp.StandardCheckpointer()
-    ck.save(path, host, force=True)
+    ck.save(staging, host)
     ck.wait_until_finished()
     # record WHICH float checkpoint this sidecar came from (content-based;
     # tools/validate_logdir.py's staleness check reads it — mtimes lie under
     # mtime-preserving copies)
-    import json
-
-    with open(os.path.join(path, PROVENANCE_FILE), "w") as f:
+    with open(os.path.join(staging, PROVENANCE_FILE), "w") as f:
         json.dump({"float_checkpoint": float_checkpoint_stamp(log_dir)}, f)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     return path
+
+
+def _heal_quantized(log_dir: str) -> None:
+    """Recover ``quantized/`` after a save killed between its two commit
+    renames: prefer a COMPLETE staging dir (provenance stamp present — it is
+    written last), else the displaced previous copy. No-op when healthy."""
+    import os
+
+    path = os.path.abspath(os.path.join(log_dir, QUANTIZED_SUBDIR))
+    staging, old = path + ".staging", path + ".old"
+    if not os.path.isdir(path):
+        if os.path.isdir(staging) and os.path.isfile(
+                os.path.join(staging, PROVENANCE_FILE)):
+            os.rename(staging, path)
+        elif os.path.isdir(old):
+            os.rename(old, path)
 
 
 def load_quantized_checkpoint(log_dir: str) -> dict:
@@ -297,6 +330,7 @@ def load_quantized_checkpoint(log_dir: str) -> dict:
 
     import orbax.checkpoint as ocp
 
+    _heal_quantized(log_dir)
     path = os.path.abspath(os.path.join(log_dir, QUANTIZED_SUBDIR))
     assert os.path.isdir(path), f"no quantized checkpoint at {path}"
     ck = ocp.StandardCheckpointer()
@@ -309,6 +343,7 @@ def load_quantized_checkpoint(log_dir: str) -> dict:
 def has_quantized_checkpoint(log_dir: str) -> bool:
     import os
 
+    _heal_quantized(log_dir)
     return os.path.isdir(os.path.join(log_dir, QUANTIZED_SUBDIR))
 
 

@@ -38,13 +38,21 @@ def initialize_distributed(
     all-reduce hierarchically: ICI within a host's slice, DCN across) while
     'model' stays within a slice. Safe to call once per process.
     """
+    import os
+
     import jax
 
     # NOTE: must run before anything initializes the XLA backend — even
     # jax.process_count()/jax.devices() would spoil it.
-    kwargs = {}
+    # shutdown_timeout_seconds: the coordination-service SHUTDOWN barrier.
+    # The default (300 s) is tight when the primary does post-train work
+    # (metrics flush, artifact writes) on a loaded host while the workers
+    # already sit at the exit barrier — a successful run then dies with
+    # DEADLINE_EXCEEDED at teardown. Raised by default; overridable.
+    kwargs = {"shutdown_timeout_seconds":
+              int(os.environ.get("TCVAE_SHUTDOWN_TIMEOUT_S", "900"))}
     if coordinator_address is not None:
-        kwargs = dict(
+        kwargs.update(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
@@ -126,6 +134,39 @@ def replicated_from_local(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)), tree
     )
+
+
+def distributed_teardown(tag: str = "tcvae_exit") -> None:
+    """Tolerant end-of-job teardown for multi-host runs.
+
+    Two failure shapes turn a SUCCESSFUL run into nonzero exits on every
+    worker (observed in-suite on a contended host, VERDICT r4 #7):
+      * skew — the primary still flushing metrics/artifacts while workers
+        already hit the interpreter-exit shutdown barrier (fixed-timeout
+        DEADLINE_EXCEEDED on the coordination service);
+      * a shutdown-barrier error escaping at teardown after the checkpoint
+        and sidecar are already durable.
+    So: (1) explicitly synchronize ALL processes after the last real work,
+    then (2) shut the coordination service down here (not at interpreter
+    exit), swallowing teardown-only errors — by this point everything the
+    job produced is on disk, and a teardown hiccup must not fail the job.
+    No-op single-process.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+    except Exception as e:  # noqa: BLE001 — teardown must not fail the job
+        print(f"WARNING: exit sync failed ({e}); proceeding to shutdown")
+    try:
+        jax.distributed.shutdown()
+    except Exception as e:  # noqa: BLE001
+        print(f"WARNING: distributed shutdown failed ({e}); outputs are "
+              "durable — exiting cleanly anyway")
 
 
 def broadcast_str(s: str, max_len: int = 512) -> str:

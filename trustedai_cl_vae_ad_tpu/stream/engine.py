@@ -901,15 +901,18 @@ def autosave_cycle(eng, now: float) -> None:
     # a transient save failure (disk full, permissions) must not kill the
     # caller's frame loop (reference :1004-1008 prints and carries on).
     # With async_autosave the weights background-write after the D2H copy;
-    # a failure of the BACKGROUND write surfaces at the next save/drain (the
-    # dirty-flag retry then covers the weights the failed round captured —
-    # CL marks the model dirty again on its next step anyway).
+    # a failure of the BACKGROUND write surfaces at the NEXT save's drain —
+    # re-dirtying here makes the retry unconditional (CL usually re-dirties
+    # anyway, but enable_cont_learning is mutable: with CL toggled off after
+    # the failed round, a clean flag would silently keep the stale cache
+    # until exit).
     saver = getattr(eng, "_get_async_saver", lambda: None)()
     try:
         eng.save_model_to_dir(eng.model_cache_dir, saver=saver)
     except Exception as e:
         print(f"autosave failed (will retry at the next schedule): {e}")
-        return  # model stays dirty; the next schedule retries
+        eng.model_changed_flag = True  # dirty again; the next schedule retries
+        return
     eng.model_changed_flag = False
 
 

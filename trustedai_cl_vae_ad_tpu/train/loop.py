@@ -307,9 +307,15 @@ def train_model(
         try:
             if async_saver is not None:
                 # drain the in-flight periodic write (and its sidecar commit)
-                # before the final synchronous save touches the same paths —
-                # even if that drain fails, close() below still runs
-                async_saver.wait()
+                # before the final synchronous save stages the next round. A
+                # FAILED background write (disk full, transient I/O) must not
+                # skip the final save below — that round never committed, so
+                # a fresh synchronous save still leaves a consistent logdir
+                try:
+                    async_saver.wait()
+                except Exception as e:  # noqa: BLE001 — orbax raises bare errors
+                    print("WARNING: async periodic checkpoint failed "
+                          f"({e}); writing a final synchronous save")
             model.save_model(logdir)
             if primary:
                 save_train_state(logdir, progress[0], step, progress[1])
