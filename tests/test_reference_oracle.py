@@ -48,6 +48,12 @@ CONFIG = {
     "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3,
                  "max_epochs": 1},
 }
+# Both reference-executable families run against the reference's own code:
+# KurtosisGlobal (kurtosis_global_cvae.py:40-110) and KurtosisSingle
+# (kurtosis_single_cvae.py:25-77 — incl. the w_z_l1-weights-z_l2 mismatch at
+# :56-60, the quirkiest behavior to preserve). KLGaussian is exempt: the
+# reference raises NotImplementedError for it (load_model.py:24).
+FAMILIES = ["KurtosisGlobal", "KurtosisSingle"]
 
 
 @pytest.fixture(scope="module")
@@ -94,18 +100,24 @@ def ref():
         sys.dont_write_bytecode = saved_bytecode
 
 
-@pytest.fixture(scope="module")
-def oracle(ref, tmp_path_factory):
-    """Train the reference a few steps, save its logdir, import it here."""
+@pytest.fixture(scope="module", params=FAMILIES)
+def oracle(request, ref, tmp_path_factory):
+    """Train the reference a few steps, save its logdir, import it here.
+    Parametrized over both reference-executable model families."""
+    import copy
+
     import yaml
 
     from trustedai_cl_vae_ad_tpu.registry import load_model_from_directory
 
+    config = copy.deepcopy(CONFIG)
+    config["model"]["type"] = request.param
+
     tf.keras.utils.set_random_seed(0)
-    vae = ref.load_model.load_model_from_config(dict(CONFIG))
+    vae = ref.load_model.load_model_from_config(copy.deepcopy(config))
     # reference train.py:99-101
     vae.compile(optimizer=tf.keras.optimizers.Adam(
-        learning_rate=float(CONFIG["training"]["learning_rate"])))
+        learning_rate=float(config["training"]["learning_rate"])))
 
     rng = np.random.RandomState(7)
     # per-frame brightness spread keeps the error distribution's sigma well
@@ -128,7 +140,7 @@ def oracle(ref, tmp_path_factory):
     # train.py:127-128's SavedModel layout (tf.saved_model.save under keras 3)
     tf.saved_model.save(vae.encoder, str(logdir / "encoder"))
     tf.saved_model.save(vae.decoder, str(logdir / "decoder"))
-    (logdir / "config.yml").write_text(yaml.safe_dump(dict(CONFIG)))
+    (logdir / "config.yml").write_text(yaml.safe_dump(config))
 
     converted = tmp_path_factory.mktemp("oracle_converted")
     argv = sys.argv
