@@ -20,6 +20,34 @@ import time
 # run loops at tick boundaries (never mid-dispatch — donation safety).
 STOP_REQUESTED = {"n": 0}
 
+# Exit code of a --max-rss-mb graceful restart (distinct from error exits so
+# supervisors can treat it as "restart me", not "crashed").
+RSS_EXIT_CODE = 3
+
+
+def _rss_guard_tripped(args, n: int, engine) -> bool:
+    """--max-rss-mb poll (every 25 ticks): on breach, synchronously save any
+    dirty CL state to the model cache and report the trip — the caller then
+    runs its normal graceful-shutdown path and exits RSS_EXIT_CODE. The
+    leaked memory belongs to the tunnel client, not the engine (BENCH_NOTES
+    r7), so a supervisor restart fully reclaims it while the model cache +
+    --warmup + the persistent compile cache make the re-boot cheap."""
+    if not args.max_rss_mb or n % 25 != 0:
+        return False
+    from trustedai_cl_vae_ad_tpu.utils.profiling import rss_mb
+
+    rss = rss_mb()
+    if rss <= args.max_rss_mb:
+        return False
+    print(f"host RSS {rss:.0f} MB exceeded --max-rss-mb {args.max_rss_mb:.0f}: "
+          f"saving state and exiting {RSS_EXIT_CODE} for supervisor restart")
+    if engine.model_cache_dir and getattr(engine, "model_changed_flag", False):
+        try:
+            engine.save_model_to_dir(engine.model_cache_dir)
+        except Exception as e:  # noqa: BLE001 — still exit gracefully
+            print(f"rss-guard save failed: {e}")
+    return True
+
 
 def get_args():
     parser = argparse.ArgumentParser()
@@ -85,6 +113,15 @@ def get_args():
                              "the camera resolution (e.g. 1080x1920) or omit "
                              "the value for the model's native size (exact "
                              "with --host-resize)")
+    parser.add_argument("--max-rss-mb", type=float, default=None,
+                        help="Operational guard for multi-day runs: when host "
+                             "RSS exceeds this many MB, save CL state to the "
+                             "model cache, drain, and exit with code "
+                             f"{RSS_EXIT_CODE} so a supervisor restarts the "
+                             "process (tunneled TPU clients leak host RSS at "
+                             "the frame-upload rate — SERVING.md 'Host "
+                             "memory'; state survives via the cache + "
+                             "--warmup + the persistent compile cache)")
     args = parser.parse_args()
     args.warmup = parse_warmup_spec(args.warmup, parser.error)
     if args.combine_datasets and not args.combine_dest:
@@ -322,10 +359,14 @@ def run_all_cameras(args):
                for s, f in zip(specs, fps_list)]
     stats_file = open(args.stats_jsonl, "w") if args.stats_jsonl else None
     n = 0
+    rss_tripped = False
     try:
         while args.max_frames is None or n < args.max_frames:
             if STOP_REQUESTED["n"]:  # deferred SIGTERM/SIGINT (see main)
                 raise KeyboardInterrupt
+            if _rss_guard_tripped(args, n, engine):
+                rss_tripped = True
+                raise KeyboardInterrupt  # reuse the graceful-shutdown path
             t0 = time.perf_counter()
             frames = []
             alive = False
@@ -383,6 +424,7 @@ def run_all_cameras(args):
         if metrics is not None:
             metrics.close()
     print(f"processed {n} ticks x {len(specs)} streams")
+    return rss_tripped
 
 
 def main():
@@ -423,7 +465,8 @@ def main():
         return
 
     if args.all_cameras:
-        run_all_cameras(args)
+        if run_all_cameras(args):
+            raise SystemExit(RSS_EXIT_CODE)
         return
 
     anomaly_settings = None
@@ -493,10 +536,14 @@ def main():
 
     n = 0
     latencies = []
+    rss_tripped = False
     try:
         for frame in source:
             if STOP_REQUESTED["n"]:  # deferred SIGTERM/SIGINT (see main)
                 raise KeyboardInterrupt
+            if _rss_guard_tripped(args, n, engine):
+                rss_tripped = True
+                raise KeyboardInterrupt  # reuse the graceful-shutdown path
             t0 = time.perf_counter()
             result = engine.process_frame(frame, tag=n)
             if result is not None:
@@ -555,6 +602,8 @@ def main():
         lat = np.array(latencies[2:] if len(latencies) > 4 else latencies)
         print(f"processed {n} frames; latency p50={np.percentile(lat, 50):.2f} ms "
               f"p95={np.percentile(lat, 95):.2f} ms mean={lat.mean():.2f} ms")
+    if rss_tripped:
+        raise SystemExit(RSS_EXIT_CODE)
 
 
 if __name__ == "__main__":

@@ -175,6 +175,41 @@ def test_camera_streamer_sigterm_finalizes_recording(tmp_path):
     assert os.path.isdir(os.path.join(instance, "model"))
 
 
+def test_camera_streamer_max_rss_guard_exits_3_after_saving(tmp_path):
+    """--max-rss-mb (operational guard for the tunnel client's host-RSS leak,
+    SERVING.md): when RSS exceeds the limit the CLI saves dirty CL state to
+    the model cache, runs the normal graceful shutdown, and exits with the
+    distinct restart code 3 so a supervisor restarts the process."""
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+
+    config = {
+        "data": {"dataset": "synthetic", "image_size": [8, 8, 3], "n_train": 8, "n_val": 4},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 2,
+                  "latent_dimensions": 4, "layers": [2]},
+        "training": {"batch_size": 4, "beta": 1e-6, "learning_rate": 1e-3, "max_epochs": 1},
+    }
+    d = tmp_path / "model"
+    d.mkdir()
+    save_config(config, str(d / "config.yml"))
+    model = load_model_from_config(config)
+    model.save_model(str(d), include_optimizer=False)
+    cache = tmp_path / "cache"
+
+    env = dict(os.environ, TCVAE_PLATFORM="cpu", PYTHONPATH=REPO_ROOT)
+    # any real python process is far above 1 MB RSS: trips on the first poll
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "camera_streamer.py"),
+         "--source", "synthetic", "-m", str(d), "--max-frames", "200",
+         "--max-rss-mb", "1", "-c", "--model-cache-dir", str(cache)],
+        capture_output=True, text=True, env=env, cwd=REPO_ROOT, timeout=600,
+    )
+    assert proc.returncode == 3, proc.stdout[-1500:] + proc.stderr[-800:]
+    assert "exceeded --max-rss-mb" in proc.stdout
+
+
 def test_defer_signals_blocks_until_exit():
     """defer_signals (the donation-safety mask around every donating
     dispatch): a signal delivered inside the block is deferred to the

@@ -620,16 +620,49 @@ class StreamingEngine:
     def current_threshold(self) -> Optional[float]:
         """Active anomaly threshold: fixed, or the per-task CDF quantile.
         None when the engine was built without anomaly_settings (scoring
-        runs, but no state machine is configured)."""
+        runs, but no state machine is configured).
+
+        The cdf method's A/B against its own fixed-threshold control
+        (benchmarks/cl_quality.py, QUALITY_r5 -> r6) shaped three defaults:
+
+          * ``cdf_floor`` (default: the configured fixed threshold) — the
+            adaptive threshold is max(floor, extrapolated quantile). The
+            normal-scaled tail extrapolation UNDER-estimates heavy-tailed
+            quiet-task score distributions (measured: threshold 0.46-0.58 on
+            tasks whose rare normal spikes hit 0.3-1.2 — steady false
+            positives the fixed control never fires). The cdf's job is to
+            RAISE the threshold on noisy tasks; the operator's configured
+            threshold stays the sensitivity floor.
+          * ``cdf_warmup_abstain`` (default True) — while the per-task CDF
+            is still warming (fewer than 32 post-skip scores), return +inf
+            instead of falling back to the fixed threshold: right after a
+            task switch the scorer EMAs re-seed and scores transiently rail
+            at the z-cap (measured: 15-18 boundary false alarms per run
+            against scores that are pure re-seeding transients, flagship
+            QUALITY_r5). A declared task switch means the model hasn't
+            adapted yet — abstaining there trades ~(skip+32) frames of
+            blindness for the whole false-alarm storm. Set False to restore
+            the fixed-threshold fallback during warm-up.
+          * ``cdf_window`` (default 256) — the CDF reads only the most
+            recent scores, so a drifting/CL-improving stream's threshold
+            tracks the current score regime instead of the whole task's
+            non-stationary history.
+        """
         if self.anomaly_settings is None:
             return None
         threshold = float(self.anomaly_settings.get("anomaly_score_threshold"))
         method = str(self.anomaly_settings.get("anomaly_score_method", "fixed"))
-        if method.startswith("cdf") and len(self._score_history) >= 32:
+        if method.startswith("cdf"):
+            if len(self._score_history) < 32:
+                if bool(self.anomaly_settings.get("cdf_warmup_abstain", True)):
+                    return float("inf")
+                return threshold
             if self._cdf is None or self._cdf_dirty >= 16:
                 from trustedai_cl_vae_ad_tpu.anomaly.cdf import CDFObject
 
-                self._cdf = CDFObject(np.asarray(self._score_history))
+                window = int(self.anomaly_settings.get("cdf_window", 256))
+                hist = np.asarray(self._score_history)
+                self._cdf = CDFObject(hist[-window:] if window > 0 else hist)
                 self._cdf_dirty = 0
             from trustedai_cl_vae_ad_tpu.anomaly.cdf import threshold_from_cdf
 
@@ -638,7 +671,9 @@ class StreamingEngine:
             # quantile of a ~1k-sample history is the last few anomaly
             # scores themselves (threshold masking) — cdf.threshold_from_cdf
             robust = bool(self.anomaly_settings.get("cdf_robust_tail", True))
-            return threshold_from_cdf(self._cdf, q, robust=robust)
+            adaptive = threshold_from_cdf(self._cdf, q, robust=robust)
+            floor = float(self.anomaly_settings.get("cdf_floor", threshold))
+            return max(adaptive, floor)
         return threshold
 
     def check_anomalous_state(self, now: Optional[float] = None) -> None:

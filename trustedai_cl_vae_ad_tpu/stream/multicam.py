@@ -788,24 +788,37 @@ class MultiCameraEngine:
 
     def current_threshold(self, i: int) -> Optional[float]:
         """Active threshold for stream i: fixed, or its per-stream CDF
-        quantile once enough history exists (engine.current_threshold).
-        None when the engine was built without anomaly_settings (scoring
-        runs, but no state machine is configured)."""
+        quantile once enough history exists. Same policy knobs as the
+        single-stream engine (engine.current_threshold, where the defaults'
+        A/B rationale lives): ``cdf_floor`` (default: the fixed threshold)
+        floors the extrapolated quantile, ``cdf_warmup_abstain`` (default
+        True) returns +inf until the per-task CDF is ready, ``cdf_window``
+        (default 256) reads only the most recent scores. None when the
+        engine was built without anomaly_settings (scoring runs, but no
+        state machine is configured)."""
         if self.anomaly_settings is None:
             return None
         threshold = float(self.anomaly_settings.get("anomaly_score_threshold"))
         method = str(self.anomaly_settings.get("anomaly_score_method", "fixed"))
-        if method.startswith("cdf") and len(self._score_history[i]) >= 32:
+        if method.startswith("cdf"):
+            if len(self._score_history[i]) < 32:
+                if bool(self.anomaly_settings.get("cdf_warmup_abstain", True)):
+                    return float("inf")
+                return threshold
             if self._cdf[i] is None or self._cdf_dirty[i] >= 16:
                 from trustedai_cl_vae_ad_tpu.anomaly.cdf import CDFObject
 
-                self._cdf[i] = CDFObject(np.asarray(self._score_history[i]))
+                window = int(self.anomaly_settings.get("cdf_window", 256))
+                hist = np.asarray(self._score_history[i])
+                self._cdf[i] = CDFObject(hist[-window:] if window > 0 else hist)
                 self._cdf_dirty[i] = 0
             from trustedai_cl_vae_ad_tpu.anomaly.cdf import threshold_from_cdf
 
             q = float(self.anomaly_settings.get("cdf_quantile", 0.995))
             robust = bool(self.anomaly_settings.get("cdf_robust_tail", True))
-            return threshold_from_cdf(self._cdf[i], q, robust=robust)
+            adaptive = threshold_from_cdf(self._cdf[i], q, robust=robust)
+            floor = float(self.anomaly_settings.get("cdf_floor", threshold))
+            return max(adaptive, floor)
         return threshold
 
     def _update_state_machine(self, i: int, score: float, now: float) -> None:

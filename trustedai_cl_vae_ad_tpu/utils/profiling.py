@@ -14,6 +14,7 @@ Qt loop (camera_streamer_qt.py:1111-1139, SURVEY.md section 5.1). Here:
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Optional
 
@@ -122,3 +123,21 @@ class StepTimer:
 def ema_rate(new_value: float, prev: float, weight: float = 0.9) -> float:
     """The reference's process_rate EMA (camera_streamer_qt.py:1130-1131)."""
     return weight * new_value + (1.0 - weight) * prev
+
+
+def rss_mb() -> float:
+    """This process's resident set size in MB (Linux /proc; 0.0 elsewhere).
+
+    Operational guard for long streaming runs: the tunneled TPU client leaks
+    host RSS proportional to host->device upload bytes (~1.6 MB/tick at
+    flagship 1080p — isolated to the client, not the engine: CPU control
+    runs flat; BENCH_NOTES r7, benchmarks/SOAK*.json). The streaming CLIs'
+    ``--max-rss-mb`` polls this to trigger a graceful save-and-exit before
+    the OOM killer fires (SERVING.md "Host memory").
+    """
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+    except (OSError, ValueError, IndexError):
+        return 0.0
