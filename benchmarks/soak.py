@@ -95,6 +95,11 @@ def main():
         "buffer_record_period_s": 0.5,
         "anomalous_state_period_s": 5.0,
         "cdf_warmup_skip": 8,
+        # the r5 default abstains (+inf) during warm-up; this harness's
+        # threshold_finite sanity flag predates that and checks for a
+        # PATHOLOGICAL runaway threshold — opt out so every sampled window
+        # reflects the warm CDF and the flag keeps its original meaning
+        "cdf_warmup_abstain": False,
     }
     engine = MultiCameraEngine(model, config, n_streams=args.streams,
                                anomaly_settings=settings,

@@ -107,13 +107,22 @@ def test_per_stream_cdf_threshold(setup):
     from trustedai_cl_vae_ad_tpu.stream.multicam import MultiCameraEngine
 
     model, config, settings = setup
-    settings = dict(settings, anomaly_score_method="cdf", cdf_quantile=0.9)
+    # cdf_floor=0 observes the raw per-stream adaptive value; abstain off
+    # exercises the fixed-threshold fallback (default policy is covered by
+    # the single-stream engine test — the knobs are shared)
+    settings = dict(settings, anomaly_score_method="cdf", cdf_quantile=0.9,
+                    cdf_floor=0.0, cdf_warmup_abstain=False)
     multi = MultiCameraEngine(model, config, n_streams=2,
                               anomaly_settings=settings)
     fixed = float(settings["anomaly_score_threshold"])
-    # cold: both streams fall back to the fixed threshold
+    # cold with abstain opted out: both streams fall back to the fixed
+    # threshold (default abstains at +inf until the per-task CDF is warm)
     assert multi.current_threshold(0) == pytest.approx(fixed)
     assert multi.current_threshold(1) == pytest.approx(fixed)
+    settings_abstain = dict(settings, cdf_warmup_abstain=True)
+    multi.anomaly_settings = settings_abstain
+    assert multi.current_threshold(0) == float("inf")
+    multi.anomaly_settings = settings
     rng = np.random.RandomState(0)
     multi._score_history[0].extend(rng.normal(0.0, 1.0, 200).tolist())
     multi._score_history[1].extend(rng.normal(10.0, 1.0, 200).tolist())

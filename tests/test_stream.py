@@ -392,14 +392,18 @@ def test_ring_seeded_with_first_frame():
 def test_cdf_threshold_per_task(engine):
     """anomaly_score_method 'cdf': threshold comes from the per-task score
     CDF once warm, and new_task() resets it (BASELINE config #3)."""
+    fixed = float(engine.anomaly_settings["anomaly_score_threshold"])
     engine.anomaly_settings = dict(
-        engine.anomaly_settings, anomaly_score_method="cdf", cdf_quantile=0.9
+        engine.anomaly_settings, anomaly_score_method="cdf", cdf_quantile=0.9,
+        cdf_floor=0.0,  # observe the raw adaptive value below
     )
     engine.new_task()
-    # cold: falls back to the fixed threshold
-    assert engine.current_threshold() == pytest.approx(
-        float(engine.anomaly_settings["anomaly_score_threshold"])
-    )
+    # cold: ABSTAIN (+inf) while the per-task CDF warms — falling back to
+    # the fixed threshold during the post-switch re-seeding storm measured
+    # as the boundary false-alarm source (QUALITY_r5 -> r6)
+    assert engine.current_threshold() == float("inf")
+    engine.anomaly_settings["cdf_warmup_abstain"] = False
+    assert engine.current_threshold() == pytest.approx(fixed)  # opt-out
     rng = np.random.RandomState(0)
     engine._score_history.extend(rng.normal(0.0, 1.0, 200).tolist())
     engine._cdf_dirty = 99
@@ -407,11 +411,14 @@ def test_cdf_threshold_per_task(engine):
     # ~90th percentile of N(0,1) is ~1.28; the histogram CDF returns the
     # right edge of the covering bin, so allow one bin of slack
     assert 0.9 < thr < 2.3, thr
+    # default floor = the configured fixed threshold: the adaptive value
+    # can only RAISE the operator's threshold, never undercut it
+    engine.anomaly_settings.pop("cdf_floor")
+    engine._cdf_dirty = 99
+    assert engine.current_threshold() == pytest.approx(max(thr, fixed))
     engine.new_task()
     assert len(engine._score_history) == 0
-    assert engine.current_threshold() == pytest.approx(
-        float(engine.anomaly_settings["anomaly_score_threshold"])
-    )
+    assert engine.current_threshold() == pytest.approx(fixed)  # abstain off
     engine.anomaly_settings = dict(engine.anomaly_settings, anomaly_score_method="zz_count")
 
 
