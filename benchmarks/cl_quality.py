@@ -154,6 +154,9 @@ def main():
                              "size — a 1%% blob is invisible to the count-"
                              "based streaming scorer)")
     parser.add_argument("--calib-quantile", type=float, default=0.995)
+    parser.add_argument("--cdf-window", type=int, default=None,
+                        help="override the engine's cdf_window (recent-score "
+                             "window the per-task CDF reads)")
     args = parser.parse_args()
 
     if args.preset == "small":
@@ -197,6 +200,8 @@ def main():
         "buffer_record_period_s": 1.0,  # the per-task CDF statistics
         "anomalous_state_period_s": 2.0,
     }
+    if args.cdf_window is not None:
+        cdf_settings["cdf_window"] = int(args.cdf_window)
     eng_cdf = build_engine(config, cdf_settings, seed=0)
     rec_cdf = run_stream(eng_cdf, tasks_frames, use_new_task=True)
     del eng_cdf  # flagship engine ~8 GB on device (params + Adam moments)

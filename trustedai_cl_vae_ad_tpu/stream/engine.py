@@ -643,7 +643,7 @@ class StreamingEngine:
             adapted yet — abstaining there trades ~(skip+32) frames of
             blindness for the whole false-alarm storm. Set False to restore
             the fixed-threshold fallback during warm-up.
-          * ``cdf_window`` (default 256) — the CDF reads only the most
+          * ``cdf_window`` (default 96) — the CDF reads only the most
             recent scores, so a drifting/CL-improving stream's threshold
             tracks the current score regime instead of the whole task's
             non-stationary history.
@@ -660,7 +660,7 @@ class StreamingEngine:
             if self._cdf is None or self._cdf_dirty >= 16:
                 from trustedai_cl_vae_ad_tpu.anomaly.cdf import CDFObject
 
-                window = int(self.anomaly_settings.get("cdf_window", 256))
+                window = int(self.anomaly_settings.get("cdf_window", 96))
                 hist = np.asarray(self._score_history)
                 self._cdf = CDFObject(hist[-window:] if window > 0 else hist)
                 self._cdf_dirty = 0

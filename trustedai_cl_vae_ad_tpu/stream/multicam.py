@@ -793,7 +793,7 @@ class MultiCameraEngine:
         A/B rationale lives): ``cdf_floor`` (default: the fixed threshold)
         floors the extrapolated quantile, ``cdf_warmup_abstain`` (default
         True) returns +inf until the per-task CDF is ready, ``cdf_window``
-        (default 256) reads only the most recent scores. None when the
+        (default 96) reads only the most recent scores. None when the
         engine was built without anomaly_settings (scoring runs, but no
         state machine is configured)."""
         if self.anomaly_settings is None:
@@ -808,7 +808,7 @@ class MultiCameraEngine:
             if self._cdf[i] is None or self._cdf_dirty[i] >= 16:
                 from trustedai_cl_vae_ad_tpu.anomaly.cdf import CDFObject
 
-                window = int(self.anomaly_settings.get("cdf_window", 256))
+                window = int(self.anomaly_settings.get("cdf_window", 96))
                 hist = np.asarray(self._score_history[i])
                 self._cdf[i] = CDFObject(hist[-window:] if window > 0 else hist)
                 self._cdf_dirty[i] = 0
