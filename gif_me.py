@@ -24,9 +24,12 @@ def save_gif(img_list: list, output_filename: str, period: int):
         assert os.path.isfile(img_path), img_path
 
     imgs = [Image.open(p) for p in img_list]
-    print(f"Output Size: {imgs[0].size}")
+    # a blank seed frame precedes the appended images — reference quirk
+    # (gif_me.py:36-41): frame 0 of the GIF is empty, preserved for parity
     output_gif = Image.new(imgs[0].mode, imgs[0].size)
-    print(f"Saving to: {os.path.abspath(output_filename)}")
+    out_path = os.path.abspath(output_filename)
+    print(f"{len(imgs)} frames at {imgs[0].size} -> {out_path} "
+          f"({period} ms/frame)")
     output_gif.save(
         output_filename, format="GIF", save_all=True, append_images=imgs,
         duration=period, loop=0,
