@@ -66,6 +66,12 @@ def get_args():
                              "Note: switching models or quitting drains any "
                              "in-flight write first — the UI may stall for "
                              "a few seconds at those two moments")
+    parser.add_argument("--max-rss-mb", type=float, default=None,
+                        help="Graceful restart guard for multi-day runs: on "
+                             "breach, save CL state to the cache and exit "
+                             "with code 3 for a supervisor restart (see "
+                             "camera_streamer.py --max-rss-mb and "
+                             "docs/SERVING.md 'Host memory')")
     parser.add_argument("--warmup", nargs="?", const="native", default=None,
                         metavar="HxW",
                         help="Pre-compile the frame dispatch before the GUI "
@@ -113,6 +119,8 @@ if HAVE_QT:
             self.async_autosave = bool(getattr(args, "async_autosave", False))
             self.quantize = bool(getattr(args, "quantize", False))
             self.warmup = getattr(args, "warmup", None)
+            self.max_rss_mb = getattr(args, "max_rss_mb", None)
+            self._rss_tick = 0
             self.engine = None
             self.source = None
             self.last_frame = None
@@ -513,7 +521,43 @@ if HAVE_QT:
             if frame is not None:
                 self.last_frame = frame
 
+        def _rss_guard(self) -> bool:
+            """--max-rss-mb (docs/SERVING.md 'Host memory'): poll every 25
+            ticks; on breach save dirty CL state, drain, and exit(3) so a
+            supervisor restarts the app before the OOM killer fires."""
+            if not self.max_rss_mb:
+                return False
+            self._rss_tick += 1
+            if self._rss_tick % 25 != 0:
+                return False
+            from trustedai_cl_vae_ad_tpu.utils.profiling import rss_mb
+
+            rss = rss_mb()
+            if rss <= self.max_rss_mb:
+                return False
+            print(f"host RSS {rss:.0f} MB exceeded --max-rss-mb "
+                  f"{self.max_rss_mb:.0f}: saving state and exiting 3 for "
+                  "supervisor restart")
+            self.stream_timer.stop()
+            self.update_timer.stop()
+            eng = self.engine
+            if eng is not None:
+                try:
+                    if eng.model_cache_dir and getattr(eng, "model_changed_flag", False):
+                        eng.save_model_to_dir(eng.model_cache_dir)
+                    if eng.recording_flag:
+                        eng.terminate_recording()
+                    eng.drain_autosaves()
+                except Exception as e:  # noqa: BLE001 — still exit gracefully
+                    print(f"rss-guard save failed: {e}")
+            app = QApplication.instance()
+            if app is not None:
+                app.exit(3)
+            return True
+
         def update_draws(self):
+            if self._rss_guard():
+                return
             if self.last_frame is None:
                 return
             self.stream_label.setPixmap(

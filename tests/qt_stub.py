@@ -147,13 +147,15 @@ class QTimer(_WidgetBase):
         super().__init__()
         self.timeout = Signal()
         self.interval = None
+        self.active = False
         QTimer.instances.append(self)
 
     def start(self, ms=0):
         self.interval = ms
+        self.active = True
 
     def stop(self):
-        pass
+        self.active = False
 
     def fire(self):
         self.timeout.emit()
@@ -244,11 +246,22 @@ class QMessageBox:
 
 
 class QApplication:
+    _instance = None
+
     def __init__(self, argv):
-        pass
+        QApplication._instance = self
+        self.exit_code = None
 
     def exec_(self):
-        return 0
+        return self.exit_code if self.exit_code is not None else 0
+
+    def exit(self, code=0):
+        # real Qt: quits the event loop with this return code
+        self.exit_code = code
+
+    @staticmethod
+    def instance():
+        return QApplication._instance
 
 
 class QAction(_WidgetBase):

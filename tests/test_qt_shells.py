@@ -447,3 +447,24 @@ def test_qimage_stub_rejects_wrong_stride():
     img_bad = QImage(np.ascontiguousarray(padded).data[: h * w * 3 + h],
                      w, h, w * 3, QImage.Format_RGB888)
     assert not np.array_equal(img_bad.array, arr)  # skew is visible
+
+
+def test_cam_window_rss_guard_exits_3(cam_window):
+    """--max-rss-mb in the Qt shell (docs/SERVING.md 'Host memory'): on
+    breach the tick handler stops both timers, saves/drains, and quits the
+    event loop with code 3 so a supervisor restarts the app."""
+    from tests.qt_stub import QApplication
+
+    w = cam_window
+    app = QApplication([])  # the instance main() would have created
+    w.max_rss_mb = 1.0  # any real python process is far above 1 MB
+    _tick(w, 25)  # guard polls every 25 ticks
+    assert app.exit_code == 3
+    assert not w.stream_timer.active and not w.update_timer.active
+    # without the flag nothing exits (fresh app instance)
+    w2_app = QApplication([])
+    w.max_rss_mb = None
+    w.stream_timer.start(50)
+    w.update_timer.start(50)
+    _tick(w, 26)
+    assert w2_app.exit_code is None
