@@ -25,10 +25,30 @@ def opt(v: float) -> dict:
 
 def main() -> None:
     log_dir, pause_point = sys.argv[1], sys.argv[2]
-    from trustedai_cl_vae_ad_tpu.train.checkpoint import save_checkpoint
+    from trustedai_cl_vae_ad_tpu.train.checkpoint import (
+        AsyncSaver,
+        save_checkpoint,
+    )
 
     save_checkpoint(log_dir, tree(1.0), opt_state=opt(1.0))
     print("ROUND1-DONE", flush=True)
+    if pause_point == "async_inflight":
+        # round 2 via the async path, killed while the background write is
+        # in flight (before wait() ever commits): bulky leaves keep the
+        # write going while the parent kills us — but the assertion holds
+        # REGARDLESS of write completion, because an uncommitted round is
+        # never selected by restore
+        import numpy as np
+
+        big = {"encoder": {"w": np.full((2048, 2048), 2.0, np.float32)},
+               "decoder": {"w": np.full((2048, 2048), 2.0, np.float32)}}
+        saver = AsyncSaver()
+        saver.save(log_dir, big)
+        print("ASYNC-STARTED", flush=True)
+        import time
+
+        time.sleep(30)  # parent SIGKILLs here
+        return
     os.environ["TCVAE_CKPT_TEST_PAUSE"] = f"{pause_point}:30"
     save_checkpoint(log_dir, tree(2.0), opt_state=opt(2.0))
     print("ROUND2-DONE", flush=True)

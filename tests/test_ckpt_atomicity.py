@@ -170,6 +170,97 @@ def test_sigkill_during_save_restores_consistent_round(tmp_path, point, expected
     assert float(np.asarray(params["encoder"]["w"])[0, 0]) == 3.0
 
 
+def test_sigkill_during_async_background_write(tmp_path):
+    """AsyncSaver: a kill while the background write is in flight must leave
+    round 1 as the restore point — an uncommitted round (wait() never ran)
+    is never selected, whether or not its bytes finished landing."""
+    d = str(tmp_path / "log")
+    proc = subprocess.Popen(
+        [sys.executable, VICTIM, d, "async_inflight"],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        buf = ""
+        while time.time() < deadline:
+            r, _, _ = select.select([proc.stdout], [], [], 1.0)
+            if not r:
+                if proc.poll() is not None:
+                    pytest.fail(f"victim exited early:\n{buf}")
+                continue
+            line = proc.stdout.readline()
+            buf += line
+            if "ASYNC-STARTED" in line:
+                break
+        else:
+            pytest.fail(f"timed out:\n{buf}")
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+    params, opt = _restore(d)
+    assert float(np.asarray(params["encoder"]["w"])[0, 0]) == 1.0
+    assert float(np.asarray(params["decoder"]["w"])[0, 0]) == 1.0
+    assert float(np.asarray(opt["mu"])[0, 0]) == 1.0
+
+
+def test_doctor_reports_round_state(tmp_path):
+    """validate_logdir on a rounds-layout dir: reports layout/round info,
+    warns (never errors) on stale staging and a lagging 'current' pointer."""
+    import shutil
+
+    from trustedai_cl_vae_ad_tpu.config import save_config
+    from trustedai_cl_vae_ad_tpu.registry import load_model_from_config
+    from trustedai_cl_vae_ad_tpu.train.checkpoint import ROUNDS_SUBDIR
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from validate_logdir import validate_logdir
+    finally:
+        sys.path.pop(0)
+
+    config = {
+        "data": {"image_size": [16, 16, 3]},
+        "loss": {"kurtosis": 1.8, "w_kl_divergence": 0.0, "w_kurtosis": 1e-4,
+                 "w_mse": 1.0, "w_skew": 0.0, "w_z_l1_reg": 0.0},
+        "model": {"type": "KurtosisSingle", "decoder_dense_filters": 4,
+                  "latent_dimensions": 8, "layers": [4]},
+        "training": {"batch_size": 8, "beta": 1e-6, "learning_rate": 1e-3,
+                     "max_epochs": 1},
+    }
+    d = tmp_path / "log"
+    d.mkdir()
+    save_config(config, str(d / "config.yml"))
+    model = load_model_from_config(config)
+    model.save_model(str(d))
+    model.save_model(str(d))
+
+    report = validate_logdir(str(d))
+    assert not report["errors"], report
+    assert report["info"]["layout"] == "rounds"
+    assert report["info"]["rounds_complete"] == 2
+    assert report["info"]["round_selected"] == "00000002"
+
+    # stale staging (a killed save) -> warning, not error
+    os.makedirs(d / ROUNDS_SUBDIR / ".tmp-00000003")
+    report = validate_logdir(str(d))
+    assert not report["errors"]
+    assert any("interrupted save round" in w for w in report["warnings"])
+
+    # pointer lagging the newest complete round (kill between commit and
+    # swap) -> warning; restore still resolves the pointer's round
+    cur = d / "current"
+    cur.unlink()
+    os.symlink(os.path.join(ROUNDS_SUBDIR, "00000001"), cur)
+    report = validate_logdir(str(d))
+    assert not report["errors"]
+    assert any("pointer" in w for w in report["warnings"])
+    assert report["info"]["round_selected"] == "00000001"
+    shutil.rmtree(d / ROUNDS_SUBDIR / ".tmp-00000003")
+
+
 def test_quantized_sidecar_replace_is_crash_safe(tmp_path):
     """quantized/ replacement never rmtrees the only copy: a kill between
     the two commit renames leaves either a complete staging dir or the

@@ -102,13 +102,14 @@ def validate_logdir(log_dir: str) -> dict:
         cur = os.path.join(log_dir, "current")
         cur_name = (os.path.basename(os.readlink(cur).rstrip("/"))
                     if os.path.islink(cur) else None)
-        if cur_name != os.path.basename(base):
+        newest = rounds[-1][1]
+        if cur_name != newest:
             warnings.append(
                 f"'current' pointer is {cur_name or 'missing'} but the "
-                f"newest complete round is {os.path.basename(base)} — a "
-                "save was interrupted between commit and pointer swap; "
-                "restore uses the pointer's round when valid, else the "
-                "newest complete round")
+                f"newest complete round is {newest} — a save was "
+                "interrupted between commit and pointer swap; restore "
+                f"uses {os.path.basename(base)} (the pointer's round when "
+                "valid, else the newest complete round)")
         for sub in ("encoder", "decoder", "optimizer"):
             p = os.path.join(log_dir, sub)
             if os.path.isdir(p) and not os.path.islink(p):
