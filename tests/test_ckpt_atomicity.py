@@ -60,6 +60,24 @@ def test_round_layout_symlinks_and_gc(tmp_path):
     assert float(np.asarray(opt["mu"])[0, 0]) == 3.0
 
 
+def test_keep_rounds_knob(tmp_path, monkeypatch):
+    """TCVAE_CKPT_KEEP_ROUNDS=1 (disk-constrained deploys): only the newest
+    round survives each commit; restore still works and crash windows still
+    never delete the only copy (deletion is post-commit)."""
+    from trustedai_cl_vae_ad_tpu.train.checkpoint import (
+        ROUNDS_SUBDIR, save_checkpoint)
+
+    monkeypatch.setenv("TCVAE_CKPT_KEEP_ROUNDS", "1")
+    d = str(tmp_path / "log")
+    for v in (1.0, 2.0, 3.0):
+        save_checkpoint(d, _tree(v), opt_state=_opt(v))
+    rounds = sorted(n for n in os.listdir(os.path.join(d, ROUNDS_SUBDIR))
+                    if not n.startswith("."))
+    assert rounds == ["00000003"]
+    params, _ = _restore(d)
+    assert float(np.asarray(params["encoder"]["w"])[0, 0]) == 3.0
+
+
 def test_legacy_inplace_logdir_restores_and_upgrades(tmp_path):
     """Pre-round logdirs (real encoder/ decoder/ optimizer/ dirs in place,
     as every earlier build and the TF importer wrote) still restore; the

@@ -165,7 +165,12 @@ def _commit_round(log_dir: str, tmp_path: str, n: int) -> None:
         if os.path.isdir(p):
             shutil.rmtree(p)  # legacy in-place subtree, superseded by the round
         _atomic_symlink(os.path.join(CURRENT_LINK, sub), p)
-    for rn, rname in _complete_rounds(rounds_path)[:-2]:
+    # retention: each round is a full checkpoint copy (~11 GB at flagship
+    # scale with moments), so disk-constrained deploys can drop the rollback
+    # copy with TCVAE_CKPT_KEEP_ROUNDS=1 — crash safety is unaffected (old
+    # rounds are only deleted AFTER the new one is durable and pointed at)
+    keep = max(1, int(os.environ.get("TCVAE_CKPT_KEEP_ROUNDS", "2")))
+    for rn, rname in _complete_rounds(rounds_path)[:-keep]:
         shutil.rmtree(os.path.join(rounds_path, rname), ignore_errors=True)
 
 
