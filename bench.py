@@ -195,6 +195,11 @@ def run_bench(batch_size: int, steps: int = 30, warmup: int = 5,
         compiled = step_fn.lower(params, opt_state, x, rngs[0], mu, sigma).compile()
         with open(dump_hlo, "w") as f:
             f.write(compiled.as_text())
+        # measure through the AOT executable we just compiled: with compiler
+        # options set the dispatch cache already shares it, but on the plain
+        # jit path (options unset) calling step_fn would compile a SECOND
+        # executable — 90-200 s per shape through the remote tunnel
+        step_fn = compiled
     for i in range(warmup):
         params, opt_state, loss, z = step_fn(params, opt_state, x, rngs[i], mu, sigma)
     # NOTE: on some TPU runtimes block_until_ready does not synchronize; a

@@ -99,7 +99,10 @@ def run_stream(engine, tasks_frames, use_new_task: bool):
             records.append({
                 "task": task, "off": off,
                 "score": None if np.isnan(score) else float(score),
-                "threshold": float(thr),
+                # +inf = the warm-up abstention (cdf_warmup_abstain): keep
+                # the JSON strict-parseable (json.dumps would emit the
+                # non-standard Infinity literal)
+                "threshold": float(thr) if np.isfinite(thr) else None,
                 "fired": bool(np.isfinite(score) and score > thr),
             })
             t += 1
@@ -130,7 +133,7 @@ def summarize(records, anom_events, boundary: int):
             "task": task,
             "detected_events": det, "n_events": len(anom_events),
             "fp_boundary": fp_boundary, "fp_steady": fp_steady,
-            "threshold_end": round(thr_end, 4),
+            "threshold_end": None if thr_end is None else round(thr_end, 4),
             "score_p50": round(float(np.median(scores)), 4) if scores else None,
             "score_anomalous_max": round(max(anom_scores), 4) if anom_scores else None,
             "score_max_normal": round(max(

@@ -70,7 +70,8 @@ def main():
         "unit": "frames/sec",
         "tasks": args.tasks,
         "cl_epochs": engine.cl_epochs,
-        "final_cdf_threshold": round(engine.current_threshold(), 4),
+        "final_cdf_threshold": (lambda t: None if t is None or not np.isfinite(t)
+                        else round(float(t), 4))(engine.current_threshold()),
     }))
 
 

@@ -41,6 +41,14 @@ def _rss_guard_tripped(args, n: int, engine) -> bool:
         return False
     print(f"host RSS {rss:.0f} MB exceeded --max-rss-mb {args.max_rss_mb:.0f}: "
           f"saving state and exiting {RSS_EXIT_CODE} for supervisor restart")
+    # an in-flight --async-autosave round must land BEFORE the synchronous
+    # save below: save_checkpoint's staging sweep assumes nothing is in
+    # flight, and racing the background writers could tear the very round
+    # this guard exists to preserve
+    try:
+        engine.drain_autosaves()
+    except Exception as e:  # noqa: BLE001
+        print(f"rss-guard autosave drain failed: {e}")
     if engine.model_cache_dir and getattr(engine, "model_changed_flag", False):
         try:
             engine.save_model_to_dir(engine.model_cache_dir)

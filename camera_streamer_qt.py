@@ -535,24 +535,29 @@ if HAVE_QT:
             rss = rss_mb()
             if rss <= self.max_rss_mb:
                 return False
+            from camera_streamer import RSS_EXIT_CODE  # one restart contract
+
             print(f"host RSS {rss:.0f} MB exceeded --max-rss-mb "
-                  f"{self.max_rss_mb:.0f}: saving state and exiting 3 for "
-                  "supervisor restart")
+                  f"{self.max_rss_mb:.0f}: saving state and exiting "
+                  f"{RSS_EXIT_CODE} for supervisor restart")
             self.stream_timer.stop()
             self.update_timer.stop()
             eng = self.engine
             if eng is not None:
                 try:
+                    # drain any in-flight --async-autosave round FIRST: the
+                    # synchronous save's staging sweep assumes nothing is in
+                    # flight (see camera_streamer._rss_guard_tripped)
+                    eng.drain_autosaves()
                     if eng.model_cache_dir and getattr(eng, "model_changed_flag", False):
                         eng.save_model_to_dir(eng.model_cache_dir)
                     if eng.recording_flag:
                         eng.terminate_recording()
-                    eng.drain_autosaves()
                 except Exception as e:  # noqa: BLE001 — still exit gracefully
                     print(f"rss-guard save failed: {e}")
             app = QApplication.instance()
             if app is not None:
-                app.exit(3)
+                app.exit(RSS_EXIT_CODE)
             return True
 
         def update_draws(self):

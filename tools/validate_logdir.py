@@ -100,16 +100,26 @@ def validate_logdir(log_dir: str) -> dict:
                 "mid-write; harmless (never selected by restore, swept at "
                 "the next save)")
         cur = os.path.join(log_dir, "current")
-        cur_name = (os.path.basename(os.readlink(cur).rstrip("/"))
-                    if os.path.islink(cur) else None)
         newest = rounds[-1][1]
-        if cur_name != newest:
+        if os.path.isdir(cur) and not os.path.islink(cur):
+            # a symlink-following copy (cp -r / rsync without -l /
+            # copytree) materializes 'current' as a real directory — a
+            # healthy copy, not an interrupted save; the next save swaps a
+            # fresh symlink in (train/checkpoint._commit_round)
             warnings.append(
-                f"'current' pointer is {cur_name or 'missing'} but the "
-                f"newest complete round is {newest} — a save was "
-                "interrupted between commit and pointer swap; restore "
-                f"uses {os.path.basename(base)} (the pointer's round when "
-                "valid, else the newest complete round)")
+                "'current' is an in-place directory (symlink-following "
+                "copy) — restore uses the newest complete round "
+                f"({newest}); the next save restores the pointer")
+        else:
+            cur_name = (os.path.basename(os.readlink(cur).rstrip("/"))
+                        if os.path.islink(cur) else None)
+            if cur_name != newest:
+                warnings.append(
+                    f"'current' pointer is {cur_name or 'missing'} but the "
+                    f"newest complete round is {newest} — a save was "
+                    "interrupted between commit and pointer swap; restore "
+                    f"uses {os.path.basename(base)} (the pointer's round "
+                    "when valid, else the newest complete round)")
         for sub in ("encoder", "decoder", "optimizer"):
             p = os.path.join(log_dir, sub)
             if os.path.isdir(p) and not os.path.islink(p):

@@ -285,6 +285,10 @@ def save_quantized_checkpoint(log_dir: str, qparams: dict) -> str:
     # staging dir appear only when complete), stamp provenance (the staging
     # completion marker), then swap with two renames; loaders heal a kill
     # between the renames (_heal_quantized).
+    # heal BEFORE sweeping: if the previous save was killed between its two
+    # commit renames, .staging/.old may hold the ONLY copy — promoting it
+    # first means the sweep below never deletes the last recoverable state
+    _heal_quantized(log_dir)
     path = os.path.abspath(os.path.join(log_dir, QUANTIZED_SUBDIR))
     staging, old = path + ".staging", path + ".old"
     for leftover in (staging, old):
