@@ -318,11 +318,13 @@ def main():
     if fps is None:
         raise RuntimeError("benchmark failed at all batch sizes")
     preset = " tiny-preset" if os.environ.get("BENCH_PRESET") == "tiny" else ""
-    h, w, _c = _bench_config()["data"]["image_size"]
+    cfg = _bench_config()
+    h, w, _c = cfg["data"]["image_size"]
+    latent = int(cfg["model"]["latent_dimensions"])
     if n_data:
         out = {
             "metric": f"train+score frames/sec AGGREGATE over {n_data} "
-                      f"devices @{h}x{w} (KurtosisGlobalCVAE latent-2000, "
+                      f"devices @{h}x{w} (KurtosisGlobalCVAE latent-{latent}, "
                       f"dp={n_data}){preset}",
             "value": round(fps, 1),
             "unit": "frames/sec",
@@ -335,7 +337,7 @@ def main():
     else:
         out = {
             "metric": f"train+score frames/sec/chip @{h}x{w} "
-                      f"(KurtosisGlobalCVAE latent-2000){preset}",
+                      f"(KurtosisGlobalCVAE latent-{latent}){preset}",
             "value": round(fps, 1),
             "unit": "frames/sec",
             "vs_baseline": round(fps / 10000.0, 4),
